@@ -1,0 +1,146 @@
+"""SQLite → Spark SQL dialect rewriter (small, rule-based).
+
+The primary dialect strategy is prompt-side: the rebuild's
+``[INSTRUCTION]`` targets Spark SQL directly (SURVEY.md §7), so this
+rewriter only absorbs *residual* SQLite-isms an LLM habitually emits
+(SURVEY.md §4.2-1).  It is a string/token transform — deliberately not a
+Catalyst extension; everything downstream is stock Spark SQL.
+
+Handled (SQLite semantics per SURVEY.md §2.B dialect-Δ rows):
+
+- ``strftime('%Y', d)`` and friends → ``date_format`` / ``year()`` etc.
+- scalar two-arg ``min/max`` → ``least/greatest`` (§2.B-30)
+- ``ifnull`` → kept (Spark has it); ``random()`` → ``rand()``
+- ``GROUP_CONCAT(x [, sep])`` → ``array_join(collect_list(x), sep)``
+  (§2.B-16)
+- double-quoted string *literals* → single-quoted (SQLite allows
+  ``"1"`` as a literal; Spark would read an identifier) — only rewritten
+  when the quoted text is not a known column/table identifier.
+- ``LIKE`` case-insensitivity (§2.B-8): SQLite LIKE is ASCII-case-
+  insensitive; Spark's is case-sensitive → rewrite to ``ILIKE``.
+"""
+
+from __future__ import annotations
+
+import re
+
+_STRFTIME_MAP = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%j": "DDD",
+    "%w": "F",
+}
+
+
+def _rewrite_strftime(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        fmt, arg = m.group(1), m.group(2)
+        if fmt == "%Y":
+            return f"CAST(year({arg}) AS STRING)"
+        if fmt == "%m":
+            return f"date_format({arg}, 'MM')"
+        if fmt == "%d":
+            return f"date_format({arg}, 'dd')"
+        out = fmt
+        for k, v in _STRFTIME_MAP.items():
+            out = out.replace(k, v)
+        return f"date_format({arg}, '{out}')"
+
+    return re.sub(
+        r"strftime\(\s*'([^']*)'\s*,\s*([^)]+?)\s*\)", repl, sql, flags=re.IGNORECASE
+    )
+
+
+def _rewrite_scalar_minmax(sql: str) -> str:
+    # MIN(a, b[, ...]) with 2+ args is scalar in SQLite → least();
+    # aggregate MIN(a) is untouched.  Parenthesis-aware scan.
+    out, i = [], 0
+    pat = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        depth, j, top_commas = 1, m.end(), 0
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                top_commas += 1
+            j += 1
+        fn = m.group(1).lower()
+        inner = sql[m.end() : j - 1]
+        if top_commas >= 1:
+            out.append(("least(" if fn == "min" else "greatest(") + inner + ")")
+        else:
+            out.append(sql[m.start() : j])
+        i = j
+    return "".join(out)
+
+
+def _rewrite_group_concat(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        args = m.group(1)
+        parts = _split_top_level(args)
+        if len(parts) == 2:
+            return f"array_join(collect_list({parts[0]}), {parts[1]})"
+        return f"array_join(collect_list({args}), ',')"
+
+    return re.sub(r"group_concat\(([^()]*)\)", repl, sql, flags=re.IGNORECASE)
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _rewrite_double_quoted_literals(sql: str, identifiers: set[str]) -> str:
+    def repl(m: re.Match) -> str:
+        inner = m.group(1)
+        if inner in identifiers or inner.lower() in identifiers:
+            return f"`{inner}`"
+        return "'" + inner.replace("'", "''") + "'"
+
+    return re.sub(r'"([^"]*)"', repl, sql)
+
+
+_TABLE_TOKEN_RE = re.compile(r"(?<![\w`'\"])table(?![\w`'\"])", re.IGNORECASE)
+
+
+def rewrite_table_placeholder(sql: str, table_name: str) -> str:
+    """Token-aware replacement of the bare identifier ``table`` with the
+    real (hash-named) table.  Fixes the reference's naive substring
+    replace (``pandasqlite/pandasqlite.py:247``) that corrupts
+    identifiers merely containing the word "table"."""
+    return _TABLE_TOKEN_RE.sub(f"`{table_name}`", sql)
+
+
+def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> str:
+    """Apply all residual-SQLite-ism rewrites to a SQL string."""
+    identifiers = {i.lower() for i in (identifiers or set())}
+    sql = _rewrite_strftime(sql)
+    sql = _rewrite_scalar_minmax(sql)
+    sql = _rewrite_group_concat(sql)
+    sql = re.sub(r"\brandom\s*\(\s*\)", "rand()", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\b(\w+(?:\.\w+)?)\s+LIKE\s+", r"\1 ILIKE ", sql, flags=re.IGNORECASE)
+    sql = _rewrite_double_quoted_literals(sql, identifiers)
+    return sql

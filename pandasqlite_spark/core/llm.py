@@ -1,0 +1,102 @@
+"""LLM callback protocol, sanity check, and a deterministic fake for tests.
+
+The reference's only extension point is ``llm_callback: str -> str``
+(reference ``pandasqlite/pandasqlite.py:57, 183``; ``README.md:57-68``),
+defaulting to a watsonx.ai llama-3-405b backend
+(``pandasqlite.py:24-54``).  We keep the same plain-function protocol —
+LLM calls are **driver-side**, a handful per ingest, never a Spark UDF.
+
+Fixes over the reference, noted in SURVEY.md §2.A:
+
+- ``sanity_check`` honors the passed callback (the reference calls its
+  default backend directly at ``pandasqlite.py:261``, so custom models
+  could never pass without watsonx credentials).
+- failure raises instead of ``exit(0)`` (``pandasqlite.py:279``).
+
+No network backend is bundled: this container is offline, and the
+engine is backend-agnostic by design.  Wire any ``str -> str`` model
+function in; :class:`FakeLLM` covers tests (SURVEY.md §5-1).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Callable
+
+LLMCallback = Callable[[str], str]
+
+_sanity_memo: dict[int, bool] = {}
+
+
+class LLMNotSane(RuntimeError):
+    pass
+
+
+def sanity_check(llm_callback: LLMCallback) -> None:
+    """One-shot "reply YES" probe, memoized per callback (semantics of
+    reference ``pandasqlite/pandasqlite.py:253-280``, with the callback
+    and exit() bugs fixed)."""
+    key = id(llm_callback)
+    if _sanity_memo.get(key):
+        return
+    reply = llm_callback(
+        "This is a sanity check. Reply with the single word YES and nothing else."
+    )
+    if reply.strip().strip("'\"").upper() != "YES":
+        raise LLMNotSane(f"LLM sanity check failed; got: {reply!r}")
+    _sanity_memo[key] = True
+
+
+class FakeLLM:
+    """Deterministic, offline stand-in for the LLM callback.
+
+    Understands the engine's enrichment prompts well enough to produce
+    schema-plausible JSON, and answers text2sql prompts from a
+    ``question -> sql`` table supplied by the test.  This is the
+    test-strategy cornerstone the reference never had (SURVEY.md §5-1).
+    """
+
+    def __init__(self, text2sql_answers: dict[str, str] | None = None):
+        self.answers = text2sql_answers or {}
+        self.calls: list[str] = []
+
+    def __call__(self, prompt: str) -> str:
+        self.calls.append(prompt)
+        if "sanity check" in prompt.lower():
+            return "YES"
+        if "[QUESTION]" in prompt or "```sql" in prompt:
+            for q, sql in self.answers.items():
+                if q in prompt:
+                    return f"```sql\n{sql}\n```"
+            return "```sql\nSELECT 1 AS one\n```"
+        if "TEXT, NUMBER, ENUM" in prompt or "TEXT, NUMBER or ENUM" in prompt:
+            cols = self._columns_from_prompt(prompt)
+            return json.dumps({c: "TEXT" for c in cols})
+        if "description of each column" in prompt:
+            cols = self._columns_from_prompt(prompt)
+            return json.dumps({c: f"column {c}" for c in cols})
+        if "description of each value" in prompt:
+            vals = self._values_from_prompt(prompt)
+            return json.dumps({v: f"value {v}" for v in vals})
+        if "curriculum" in prompt:
+            return json.dumps(
+                [
+                    {
+                        "question": "How many rows are there?",
+                        "sql": "SELECT COUNT(*) AS n FROM table",
+                        "difficulty": 1,
+                    }
+                ]
+            )
+        return "YES"
+
+    @staticmethod
+    def _columns_from_prompt(prompt: str) -> list[str]:
+        m = re.findall(r'"([^"]+)":', prompt)
+        return list(dict.fromkeys(m)) or ["col"]
+
+    @staticmethod
+    def _values_from_prompt(prompt: str) -> list[str]:
+        m = re.findall(r"- ([^\n]+)", prompt)
+        return list(dict.fromkeys(v.strip() for v in m)) or ["value"]

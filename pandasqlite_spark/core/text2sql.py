@@ -1,0 +1,71 @@
+"""Natural language → Spark SQL → DataFrame.
+
+Re-expression of the reference's ``text2sql`` (reference
+``pandasqlite/pandasqlite.py:183-250``): assemble the five-section
+prompt plus the few-shot curriculum, make one LLM call, extract the
+fenced SQL block, rewrite the ``table`` placeholder to the real
+(hash-named) table.
+
+Two reference bugs fixed (SURVEY.md §3.2):
+
+- ``:247`` rewrites with ``result.replace("table", ...)`` using the
+  loop-leaked *last* ingestion's hash and corrupts any identifier that
+  merely contains the substring ``table``.  We rewrite token-aware and
+  only when the batch has exactly one table (with several tables the
+  prompt's curriculum already names each table by hash).
+- the extracted SQL additionally passes through the dialect rewriter to
+  absorb residual SQLite-isms an LLM may emit (SURVEY.md §4.2-1).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pandasqlite_spark.core.dialect import (
+    rewrite_sqlite_to_spark,
+    rewrite_table_placeholder,
+)
+from pandasqlite_spark.core.llm import LLMCallback, sanity_check
+from pandasqlite_spark.core.prompts import PromptTemplate, assemble_messages, render_plain
+
+_FENCE_RE = re.compile(r"```sql\s*(.*?)\s*```", re.DOTALL | re.IGNORECASE)
+
+
+def extract_sql(completion: str) -> str:
+    """Pull the SQL out of the first ```sql fenced block (reference
+    ``:246`` splits on the fence markers); fall back to the raw text."""
+    m = _FENCE_RE.search(completion)
+    return (m.group(1) if m else completion).strip().rstrip(";")
+
+
+def text2sql(
+    question: str,
+    ingestions: list[dict],
+    llm_callback: LLMCallback,
+    *,
+    template: PromptTemplate = render_plain,
+    documentation: str | None = None,
+) -> str:
+    """Generate a Spark SQL statement answering ``question`` over the
+    ingested tables. Execute with :func:`run` / ``spark.sql``."""
+    sanity_check(llm_callback)
+    messages = assemble_messages(question, ingestions, documentation)
+    completion = llm_callback(template(messages))
+    sql = extract_sql(completion)
+    if len(ingestions) == 1:
+        sql = rewrite_table_placeholder(sql, ingestions[0]["hash"])
+    return rewrite_sqlite_to_spark(sql)
+
+
+def run(
+    spark: SparkSession,
+    question: str,
+    ingestions: list[dict],
+    llm_callback: LLMCallback,
+    **kwargs,
+) -> DataFrame:
+    """End-to-end: question → SQL → ``spark.sql`` DataFrame (the
+    reference's ``pd.read_sql(sql, db)`` step, ``README.md:49``)."""
+    return spark.sql(text2sql(question, ingestions, llm_callback, **kwargs))

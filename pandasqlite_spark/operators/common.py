@@ -1,0 +1,82 @@
+"""Shared helpers for the operator surface.
+
+Cross-engine determinism conventions (used by every queries()/oracle_sql()
+pair so the driver's value-hash compare is exact, not approximate):
+
+- **Money/measure aggregation in DECIMAL, surfaced as DOUBLE.**  A sum of
+  doubles is order-dependent (floating-point addition is not
+  associative), so a Spark sum and a DuckDB sum over the same rows can
+  differ in the last ulp.  Casting to ``DECIMAL(18,2)`` first makes the
+  aggregation exact and order-independent; casting the exact result back
+  to DOUBLE yields the bit-identical value in both engines.
+- **Total ordering for LIMIT/window rows:** every ORDER BY that feeds a
+  LIMIT or a window function carries a unique tie-break key.
+- **Type alignment:** DuckDB widens more eagerly than Spark (``SUM(int)``
+  → HUGEINT, ``year()`` → BIGINT, ``row_number()`` → BIGINT); oracles
+  cast back to the Spark-side type explicitly.
+
+These conventions cost nothing at scale — decimal aggregation is
+JVM-side, codegen'd, and shuffle-friendly (partial aggregation still
+applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — Catalyst handles column pruning + predicate pushdown."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores TIMESTAMP(NANOS) parquet, which Spark's
+    vectorized reader rejects outright.  Read nanos as long (legacy
+    conf) and convert to microsecond TimestampType with integer
+    division — exact, and the same truncation DuckDB applies when it
+    narrows ns → µs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the star-schema tables as temp views for SQL-form operators."""
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def dec(c: str | Column, scale: int = 2) -> Column:
+    """Exact-decimal view of a measure column (see module docstring)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+def dsum(c: str | Column, alias: str, scale: int = 2) -> Column:
+    """Order-independent sum of a double measure, surfaced as DOUBLE."""
+    return F.sum(dec(c, scale)).cast("double").alias(alias)
+
+
+def davg(c: str | Column, alias: str, scale: int = 2) -> Column:
+    """Exact average: decimal sum / count, surfaced as DOUBLE."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec(col, scale)).cast("double") / F.count(col)).alias(alias)

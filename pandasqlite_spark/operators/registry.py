@@ -1,0 +1,39 @@
+"""Assembles the full queries()/oracle_sql() surface for the driver.
+
+Merges the relational surface (SURVEY.md §2.B), the pipeline operators
+(§2.A: ingest round-trip, sampling, text2sql e2e), and the
+LLM-data-pipeline extensions (§2.D: dedup, similarity, text analysis,
+event windows).  Keys without an oracle entry are genuinely
+non-SQL-expressible (or rely on engine-specific hashing) and get the
+driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _modules():
+    from pandasqlite_spark.operators import pipeline, relational
+    from pandasqlite_spark.functions import dedup, similarity, text
+    from pandasqlite_spark.streaming import events as streaming_events
+
+    return (relational, pipeline, dedup, similarity, text, streaming_events)
+
+
+def queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _modules():
+        out.update(getattr(m, "QUERIES", {}))
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(getattr(m, "ORACLES", {}))
+    return out

@@ -1,0 +1,37 @@
+"""Every queries() key with an oracle_sql() entry must match the DuckDB
+oracle exactly (row count, schema, order-insensitive values) — the same
+contract the driver enforces at sf0.01 (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.util import compare, duckdb_connection
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_query_matches_oracle(key, spark, sf_dir):
+    con = duckdb_connection(sf_dir)
+    got = QUERIES[key](spark, sf_dir)
+    expected = con.sql(ORACLES[key]).df()
+    problems = compare(got, expected)
+    assert not problems, f"{key}: {problems}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_keys_run(key, spark, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.count() >= 0
