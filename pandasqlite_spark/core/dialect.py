@@ -77,11 +77,11 @@ def _rewrite_scalar_minmax(sql: str) -> str:
                 top_commas += 1
             j += 1
         fn = m.group(1).lower()
-        inner = sql[m.end() : j - 1]
+        inner = _rewrite_scalar_minmax(sql[m.end() : j - 1])  # recurse into args
         if top_commas >= 1:
             out.append(("least(" if fn == "min" else "greatest(") + inner + ")")
         else:
-            out.append(sql[m.start() : j])
+            out.append(m.group(0) + inner + ")")
         i = j
     return "".join(out)
 

@@ -1,4 +1,271 @@
-"""Filled in at M4."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.D).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Four tiers, all shuffle-architected for 100 TB:
+
+- **exact** — one hash-partitioned groupBy on the text (at scale:
+  groupBy on ``xxhash64(text)`` so the shuffle moves 8-byte keys, with
+  an equality re-check inside each group to squash hash collisions).
+- **normalized** — same, over a canonicalized form.
+- **MinHash + LSH** — shingle → k minhashes → band → bucket-join.
+  The only shuffles are the per-doc signature aggregation and the
+  band-bucket self-join; bucket sizes are bounded by LSH design, so the
+  join never degenerates into an all-pairs product.
+- **SimHash** — per-token hash bit-votes aggregated per doc; identical
+  16-bit signatures form near-dup groups.
+
+Hash portability: the oracle-checked paths hash with **md5 hex strings**
+(identical in Spark and DuckDB; lexicographic min on the hex = numeric
+min on the 128-bit value).  The production fast path
+(``minhash_signatures(..., portable=False)``) uses ``xxhash64`` — one
+JVM instruction per hash instead of a cryptographic digest — and is
+what ``bench.py`` exercises.  Same algorithm, cheaper hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.functions.text import tokens
+from pandasqlite_spark.operators.common import load
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r = N_HASHES // N_BANDS = 2
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# exact & normalized
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: str = "text"):
+    """lower → strip non-alphanumerics → collapse whitespace → trim."""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def dedup_exact(df: DataFrame, key) -> DataFrame:
+    """Deterministic exact dedup: keep the lowest doc_id per key.
+    (``dropDuplicates`` keeps an *arbitrary* row — unacceptable for a
+    reproducible pipeline.)"""
+    return df.groupBy(key.alias("k")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = dedup_exact(d, F.col("text"))
+    return out.select(F.md5("k").alias("text_hash"), "keep_id", "n_copies")
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = dedup_exact(d, normalize_text())
+    return out.select(F.md5("k").alias("text_hash"), "keep_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc.  Docs shorter than n
+    tokens have no shingles and drop out (consistent with the oracle)."""
+    t = tokens()
+    return (
+        df.select("doc_id", t.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(toks)-{n}),"
+                    f" i -> concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(n))})))"
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = N_HASHES, portable: bool = True
+) -> DataFrame:
+    """k-minhash signature per doc: min over salted hashes of shingles.
+
+    ``portable=True`` → md5 hex strings (cross-engine reproducible,
+    oracle-checkable).  ``portable=False`` → xxhash64 bigints (the
+    production fast path; ~10× cheaper per hash at 100 TB).
+    """
+    sh = shingles(df)
+    if portable:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"m{i}")
+            for i in range(k)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(f"s{i}|"), F.col("sh"))).alias(f"m{i}")
+            for i in range(k)
+        ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, bands: int = N_BANDS, k: int = N_HASHES) -> DataFrame:
+    """Unpivot the signature into (doc_id, band, band_sig) buckets."""
+    r = k // bands
+    exprs = []
+    for b in range(bands):
+        concat = ", ".join(f"cast(m{b * r + j} as string)" for j in range(r))
+        exprs.append(f"{b}, md5(concat({concat}))")
+    stack = f"stack({bands}, {', '.join(exprs)}) as (band, band_sig)"
+    return sig.selectExpr("doc_id", stack)
+
+
+def candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Self-join on (band, band_sig) — the LSH bucket join.  At scale
+    this is a shuffle on the bucket key; skewed mega-buckets are handled
+    by AQE skew-join splitting."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return minhash_signatures(d)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return candidate_pairs(lsh_bands(minhash_signatures(d)))
+
+
+def _minhash_oracle_sig() -> str:
+    mins = ",\n               ".join(
+        f"min(md5('s{i}|' || sh)) AS m{i}" for i in range(N_HASHES)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       for i in range(1, len(t) - 1)])) AS sh
+          FROM toks WHERE len(t) >= 3)
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    """
+
+
+def _minhash_oracle_pairs() -> str:
+    r = N_HASHES // N_BANDS
+    bands = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5({' || '.join(f'm{b * r + j}' for j in range(r))}) AS band_sig FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH sig AS ({_minhash_oracle_sig()}),
+        bands AS (
+          {bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit portable variant; production would widen to 64 via
+# xxhash64 bit arithmetic — same aggregation shape)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_sql(table: str, div_op: str, tok_src: str | None = None) -> str:
+    """Engine-common simhash SQL; ``div_op`` is `div` (Spark) or `//`
+    (DuckDB); ``tok_src`` overrides the token-table subquery (Spark uses
+    explode(), DuckDB unnest()).  Per token: 16 bit-votes from the first
+    4 md5 hex chars; per doc: vote sums → sign bits → integer signature."""
+    votes = []
+    weights = []
+    b = 0
+    for j in range(4):  # hex char position
+        val = f"(instr('{_HEX}', substring(md5(tok), {j + 1}, 1)) - 1)"
+        for p in (8, 4, 2, 1):  # bit within the hex char
+            votes.append(
+                f"SUM(2 * (({val} {div_op} {p}) % 2) - 1) AS s{b}"
+            )
+            weights.append(f"CASE WHEN s{b} >= 0 THEN {1 << (15 - b)} ELSE 0 END")
+            b += 1
+    votes_sql = ",\n               ".join(votes)
+    sig = " + ".join(weights)
+    if tok_src is None:
+        tok_src = f"SELECT doc_id, unnest({_TOKS}) AS tok FROM {table}"
+    return f"""
+        WITH tok_tbl AS (
+          {tok_src}
+        ),
+        votes AS (
+          SELECT doc_id,
+               {votes_sql}
+          FROM tok_tbl GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+        FROM votes
+    """
+
+
+def _simhash_sql_spark(table: str) -> str:
+    tok_src = (
+        f"SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS tok"
+        f" FROM {table}"
+    )
+    return _simhash_sql(table, "div", tok_src)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql_spark("documents"))
+
+
+QUERIES = {
+    "dedup-exact": q_dedup_exact,
+    "dedup-normalized": q_dedup_normalized,
+    "dedup-minhash-signature": q_dedup_minhash_signature,
+    "dedup-minhash-pairs": q_dedup_minhash_pairs,
+    "dedup-simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup-exact": """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "dedup-normalized": """
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS text_hash,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))
+    """,
+    "dedup-minhash-signature": _minhash_oracle_sig(),
+    "dedup-minhash-pairs": _minhash_oracle_pairs(),
+    "dedup-simhash": _simhash_sql("documents", "//"),
+}

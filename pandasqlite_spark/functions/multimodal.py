@@ -1,0 +1,95 @@
+"""Multimodal column plumbing (SURVEY.md §2.D).
+
+Images/audio/video are opaque ``BinaryType`` columns with typed
+metadata; decode / feature-extract run as Arrow-batched pandas
+functions over ``mapInPandas``.  The container has no image/audio
+libraries, so the *decoders* are stubbed (clearly marked), while the
+Spark-side plumbing — schema, partition-sized batches, UDF signatures —
+is real and tested:
+
+- ``attach_payload``      — derive a deterministic fake binary payload
+                            (production: ``spark.read.format("binaryFile")``
+                            or a lazy fetch-by-URI map function)
+- ``extract_features``    — mapInPandas over the binary column producing
+                            typed features (here: byte statistics, the
+                            deterministic stand-in for an image decoder)
+- ``decode_image`` etc.   — the real decoder seams, NotImplementedError
+                            until the libs exist on the cluster
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes int, byte_mean double, byte_min int, byte_max int"
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in payload: the md5 digest bytes of the text.
+    In production this column comes from ``binaryFile`` / object-store
+    fetch; everything downstream only sees BinaryType."""
+    return docs.withColumn("payload", F.unhex(F.md5("text")))
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.  The
+    batch shape (one pandas frame per partition chunk) is exactly what a
+    real image decoder would receive; only `_fake_decode` would change."""
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(with_payload.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_fake_decode)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": feats.map(lambda f: f[0]).astype("int32"),
+                    "byte_mean": feats.map(lambda f: f[1]),
+                    "byte_min": feats.map(lambda f: f[2]).astype("int32"),
+                    "byte_max": feats.map(lambda f: f[3]).astype("int32"),
+                }
+            )
+            yield out
+
+    return with_payload.select("doc_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, float, int, int]:
+    """STUB decoder: byte statistics instead of pixel decoding.
+    Deterministic, so the pipeline is testable end-to-end."""
+    b = list(payload)
+    return (len(b), sum(b) / len(b), min(b), max(b))
+
+
+def decode_image(payload: bytes):
+    """Real decoder seam — requires an imaging library on the cluster."""
+    raise NotImplementedError("image decoding requires PIL/opencv on the cluster")
+
+
+def decode_audio(payload: bytes):
+    raise NotImplementedError("audio decoding requires soundfile/librosa on the cluster")
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30):
+    raise NotImplementedError("video frame sampling requires pyav/ffmpeg on the cluster")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs))
+
+
+QUERIES = {
+    "multimodal-features": q_multimodal_features,  # rows-only (binary/UDF path)
+}
+
+ORACLES: dict = {}

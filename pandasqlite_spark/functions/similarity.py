@@ -1,4 +1,182 @@
-"""Filled in at M4."""
+"""Similarity search over embedding columns (SURVEY.md §2.D).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline, pure
+  built-in array functions (``zip_with`` + ``aggregate``): JVM-side,
+  codegen'd, embarrassingly parallel; the only cross-partition step is
+  the final top-k merge (``TakeOrderedAndProject``).  Oracle-checked
+  bit-exactly via decimal dot products.
+- **Random-hyperplane LSH buckets** — the 100 TB path: a seeded
+  hyperplane matrix (driver-side numpy, broadcast with the task
+  closure) signs each embedding into a bucket via one Arrow-batched
+  pandas UDF; near-neighbor search then touches only same-bucket rows
+  (bucket join ≪ all-pairs).  Deterministic (fixed seed) but
+  numpy-float-dependent, so it gets the rows-only check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+_DEC = "decimal(8,6)"
+
+
+def _dot_fast(a: str, b: str) -> Column:
+    """Double-precision dot product via ``zip_with`` + ``aggregate`` —
+    the production form (sequential fold, no explode blow-up)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    emb: DataFrame, query: DataFrame, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Brute-force cosine top-k of ``emb`` rows against a 1-row ``query``
+    DataFrame with column ``qv`` (same dimension).  Production form:
+    double arithmetic, array fold, broadcast query."""
+    joined = emb.crossJoin(F.broadcast(query))
+    cos = _dot_fast("embedding", "qv") / (
+        F.sqrt(_dot_fast("embedding", "embedding")) * F.sqrt(_dot_fast("qv", "qv"))
+    )
+    return (
+        joined.select(id_col, cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_exact(
+    emb: DataFrame, query: DataFrame, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Oracle-checkable variant: posexplode + true decimal SUM, which
+    stays exact (Spark's ``aggregate`` lambda would round a scale digit
+    away per step once the accumulator hits precision 38).
+
+    float → double → decimal(8,6): the double hop is load-bearing —
+    casting float straight to decimal goes through the float's short
+    string form in Spark but the widened double in DuckDB.
+    """
+    e = emb.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
+        id_col, "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+    )
+    q = query.select(F.posexplode("qv").alias("pos", "qx")).select(
+        "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
+    )
+    # scale-6 inputs keep every summed scaled integer below 2^53, so
+    # the final decimal→double conversion is exact in both engines (at
+    # higher scales the conversion itself rounds, engine-dependently)
+    def as_dbl(c: Column) -> Column:
+        return c.cast("double")
+
+    nq = q.agg(as_dbl(F.sum(F.col("qx") * F.col("qx"))).alias("nq"))
+    per_vec = (
+        e.join(F.broadcast(q), "pos")
+        .groupBy(id_col)
+        .agg(
+            as_dbl(F.sum(F.col("x") * F.col("qx"))).alias("dot"),
+            as_dbl(F.sum(F.col("x") * F.col("x"))).alias("ne"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))
+    return (
+        per_vec.crossJoin(F.broadcast(nq))
+        .select(id_col, cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk_exact(emb.filter(F.col("vec_id") != 0), query, k=10)
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket path (scale): rows-only check
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+_SEED = 42
+
+
+def lsh_bucket_ids(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-random-projection bucket id per row via one vectorized
+    pandas UDF (Arrow batches; numpy matmul — no per-row Python)."""
+    import numpy as np
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(emb.sparkSession)
+
+    rng = np.random.default_rng(_SEED)
+    planes = rng.standard_normal((dim, n_planes)).astype("float32")
+
+    @F.pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) >= 0  # (batch, n_planes)
+        return pd.Series((bits * (1 << np.arange(n_planes))).sum(axis=1).astype("int32"))
+
+    return emb.withColumn("bucket", bucket("embedding"))
+
+
+def bucketed_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Per-bucket brute force: candidates only among same-bucket rows —
+    the join that replaces the all-pairs product at 100 TB."""
+    b = lsh_bucket_ids(emb)
+    a = b.select("bucket", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    c = b.select("bucket", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    pairs = a.join(c, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select("bucket", "a_id", "b_id", dot.alias("dot"))
+
+
+def q_simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        lsh_bucket_ids(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+QUERIES = {
+    "simsearch-topk": q_simsearch_topk,
+    "simsearch-lsh-buckets": q_simsearch_lsh_buckets,  # rows-only (numpy path)
+}
+
+ORACLES = {
+    "simsearch-topk": """
+        WITH q AS (
+          SELECT t.i AS pos,
+                 CAST(CAST(qv.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS qx
+          FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qv,
+               generate_series(1, 64) t(i)),
+        nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+        e AS (
+          SELECT e.vec_id, t.i AS pos,
+                 CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings e, generate_series(1, 64) t(i)
+          WHERE e.vec_id <> 0),
+        per_vec AS (
+          SELECT e.vec_id,
+                 CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+                 CAST(SUM(e.x * e.x) AS DOUBLE) AS ne
+          FROM e JOIN q ON e.pos = q.pos
+          GROUP BY e.vec_id)
+        SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+        FROM per_vec, nq
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """,
+}

@@ -1,4 +1,153 @@
-"""Filled in at M4."""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.D).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+All four operators are pure ``pyspark.sql.functions`` column expressions
+— JVM-side, whole-stage-codegen'd, no Python in the hot path — so they
+scale linearly over a 100 TB documents table with zero shuffles (the
+queries are per-row; only the optional aggregations shuffle).
+
+Tokenization contract (shared with :mod:`pandasqlite_spark.functions.dedup`
+and every DuckDB oracle): ``split(trim(lower(text)), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+# Small English function-word list for the n-gram/stopword language
+# heuristic (public-knowledge stopwords, not tied to any model).
+EN_STOPWORDS = (
+    "the", "a", "an", "of", "to", "in", "and", "is", "for", "on",
+    "with", "as", "at", "by", "from", "or", "that", "this", "it", "be",
+)
+
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count — the cheap estimator; a BPE-ish regex
+    variant is ``bpe_piece_count``."""
+    return F.size(tokens(col))
+
+
+def bpe_piece_count(col: str = "text") -> Column:
+    """BPE-ish piece count: words + digit runs + punctuation marks each
+    count as pieces (a regex proxy for subword tokenizers)."""
+    return F.size(
+        F.expr(rf"regexp_extract_all(lower({col}), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    )
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    toks = tokens(col)
+    hits = F.expr(f"size(filter(split(trim(lower({col})), '\\\\s+'), x -> x IN {_SW_SQL}))")
+    return hits.cast("double") / F.size(toks)
+
+
+def language_guess(col: str = "text", threshold: float = 0.08) -> Column:
+    """n-gram/stopword heuristic language ID: English function-word hit
+    ratio above ``threshold`` ⇒ 'en'.  (Container has no langid libs —
+    the heuristic is the real operator, not a stub.)"""
+    return F.when(stopword_ratio(col) >= threshold, "en").otherwise("other")
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite quality in [0,1]: length saturation + lexical diversity
+    + alpha-character ratio — standard pretraining-corpus heuristics."""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    length_sat = F.least(F.lit(1.0), n / F.lit(100.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(F.col(col)), "[^a-z]", "")).cast("double")
+        / F.length(col)
+    )
+    return F.round(0.4 * length_sat + 0.3 * distinct_ratio + 0.3 * alpha_ratio, 9)
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (the classic "fingerprint" dedup key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+# --- query keys -----------------------------------------------------------
+
+
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        bpe_piece_count().alias("n_pieces"),
+        F.length("text").alias("n_chars_live"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio(), 9).alias("sw_ratio"),
+        language_guess().alias("lang_guess"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score().alias("quality"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint().alias("fp"))
+
+
+QUERIES = {
+    "text-tokenize": q_text_tokenize,
+    "text-langid": q_text_langid,
+    "text-quality-score": q_text_quality,
+    "text-fingerprint": q_text_fingerprint,
+}
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+ORACLES = {
+    "text-tokenize": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                    AS INTEGER) AS n_pieces,
+               CAST(length(text) AS INTEGER) AS n_chars_live
+        FROM documents
+    """,
+    "text-langid": f"""
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter({_TOKS}, x -> x IN {_SW_SQL})) AS DOUBLE)
+                     / len({_TOKS}), 9) AS sw_ratio,
+               CASE WHEN CAST(len(list_filter({_TOKS}, x -> x IN {_SW_SQL})) AS DOUBLE)
+                         / len({_TOKS}) >= 0.08
+                    THEN 'en' ELSE 'other' END AS lang_guess
+        FROM documents
+    """,
+    "text-quality-score": f"""
+        SELECT doc_id,
+               ROUND(0.4 * LEAST(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+                   + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                            / CAST(len({_TOKS}) AS DOUBLE))
+                   + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                 AS DOUBLE) / length(text)), 9) AS quality
+        FROM documents
+    """,
+    "text-fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+        FROM documents
+    """,
+}

@@ -19,10 +19,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from pandasqlite_spark.operators import pipeline, relational
-    from pandasqlite_spark.functions import dedup, similarity, text
+    from pandasqlite_spark.functions import dedup, multimodal, similarity, text
     from pandasqlite_spark.streaming import events as streaming_events
 
-    return (relational, pipeline, dedup, similarity, text, streaming_events)
+    return (relational, pipeline, dedup, multimodal, similarity, text, streaming_events)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,4 +1,213 @@
-"""Filled in at M4."""
+"""Event-time windowed aggregation — batch forms and their Structured
+Streaming twins (SURVEY.md §2.D; the reference has no streaming at all,
+§2.C — this is north-star surface).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Batch keys are oracle-checked; the streaming twin
+(``events-streaming-tumbling``) runs a real ``readStream`` →
+``groupBy(window(...))`` → memory-sink query to completion and must
+equal the batch tumbling aggregation — the strongest check available
+for a streaming operator (exactly-once over a finite source).
+
+Scale notes: tumbling/sliding aggs shuffle once on (window, type);
+sessionization shuffles once on user_id — the window function and the
+grouped agg share the partitioning, so Catalyst plans a single
+Exchange.  In true streaming, ``withWatermark`` bounds state; the
+helpers expose it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pandasqlite_spark.operators.common import dsum, load_events
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+# ---------------------------------------------------------------------------
+# batch
+# ---------------------------------------------------------------------------
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total")
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+def sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Batch sessionization: gap > threshold starts a new session.
+    lag + running count over one user_id partitioning (single shuffle)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_session = F.when(
+        (ms - F.lag(ms).over(w)).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    )
+
+
+def session_agg(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    return (
+        sessionize(events, gap_ms)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total"),
+            F.min(F.unix_millis("ts")).alias("start_ms"),
+            F.max(F.unix_millis("ts")).alias("end_ms"),
+        )
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_events(spark, sf_dir))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load_events(spark, sf_dir))
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# streaming twins
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos handled the
+    same way as the batch reader).  Real deployments swap this for
+    Kafka; everything downstream is source-agnostic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """The streaming twin of :func:`tumbling_agg`.  Watermark bounds
+    state for append-mode sinks; with complete mode over a finite
+    source the result equals the batch aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total")
+    )
+
+
+def streaming_session_window(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization via ``session_window`` (dynamic
+    windows merged as events arrive; state bounded by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_MEMSINK_SEQ = [0]
+
+
+def run_stream_to_memory(agg: DataFrame, mode: str = "complete") -> tuple:
+    """Drive a finite streaming query to completion against a memory
+    sink; returns (result_table_name, query)."""
+    _MEMSINK_SEQ[0] += 1
+    name = f"stream_result_{_MEMSINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name, q
+
+
+def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = streaming_tumbling(read_events_stream(spark, sf_dir))
+    name, q = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)
+
+
+QUERIES = {
+    "events-tumbling-agg": q_events_tumbling,
+    "events-sliding-agg": q_events_sliding,
+    "events-session-agg": q_events_session,
+    "events-streaming-tumbling": q_events_streaming_tumbling,
+}
+
+_TUMBLING_ORACLE = """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES = {
+    "events-tumbling-agg": _TUMBLING_ORACLE,
+    "events-sliding-agg": """
+        WITH shifted AS (
+          SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+        SELECT win_start, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM shifted GROUP BY 1, 2
+    """,
+    "events-session-agg": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, value, ts,
+                 CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
+                        OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, event_id, value, ts,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               MIN(epoch_ms(ts)) AS start_ms, MAX(epoch_ms(ts)) AS end_ms
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    "events-streaming-tumbling": _TUMBLING_ORACLE,
+}

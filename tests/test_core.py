@@ -1,0 +1,112 @@
+"""Unit/property tests for the pipeline pieces with real logic
+(SURVEY.md §5-4): sanitization, hashing, fence parsing, placeholder
+rewrite, dialect rules, prompts, cache round-trip."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pandasqlite_spark.core.dialect import (
+    rewrite_sqlite_to_spark,
+    rewrite_table_placeholder,
+)
+from pandasqlite_spark.core.hashing import combine_hashes, hash_pandas
+from pandasqlite_spark.core.llm import FakeLLM, LLMNotSane, sanity_check
+from pandasqlite_spark.core.sanitize import sanitize_column_name
+from pandasqlite_spark.core.text2sql import extract_sql
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_sanitize_idempotent(name):
+    once = sanitize_column_name(name)
+    assert sanitize_column_name(once) == once
+
+
+def test_sanitize_reference_semantics():
+    # reference pandasqlite.py:94 — runs of non-alphanumerics → '_'
+    assert sanitize_column_name("Unit cost") == "Unit_cost"
+    assert sanitize_column_name("a  b!!c") == "a_b_c"
+
+
+def test_hash_pandas_stable_and_content_sensitive():
+    a = pd.DataFrame({"x": [1, 2, 3]})
+    assert hash_pandas(a) == hash_pandas(a.copy())
+    assert hash_pandas(a) != hash_pandas(pd.DataFrame({"x": [1, 2, 4]}))
+    assert combine_hashes(["a", "b"]) != combine_hashes(["b", "a"])
+
+
+def test_hash_spark_order_insensitive(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, s string")
+    from pandasqlite_spark.core.hashing import hash_spark
+
+    h1 = hash_spark(df)
+    h2 = hash_spark(df.orderBy(df.id.desc()))
+    h3 = hash_spark(df.filter("id < 3"))
+    assert h1 == h2 and h1 != h3
+
+
+def test_extract_sql_fence_and_fallback():
+    assert extract_sql("blah\n```sql\nSELECT 1\n```\nmore") == "SELECT 1"
+    assert extract_sql("```SQL\nSELECT 2;\n```") == "SELECT 2"
+    assert extract_sql("SELECT 3") == "SELECT 3"
+
+
+def test_rewrite_table_placeholder_token_aware():
+    # the reference's naive replace corrupts identifiers (pandasqlite.py:247)
+    out = rewrite_table_placeholder("SELECT my_table.x FROM table", "h1")
+    assert out == "SELECT my_table.x FROM `h1`"
+    out = rewrite_table_placeholder("SELECT 'table' FROM table, TABLE", "h")
+    assert out == "SELECT 'table' FROM `h`, `h`"
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("SELECT strftime('%Y', d) FROM t", "SELECT CAST(year(d) AS STRING) FROM t"),
+        ("SELECT MIN(a, b) FROM t", "SELECT least(a, b) FROM t"),
+        ("SELECT MIN(a) FROM t", "SELECT MIN(a) FROM t"),
+        ("SELECT MAX(a, MIN(b, c)) FROM t", "SELECT greatest(a, least(b, c)) FROM t"),
+        (
+            "SELECT GROUP_CONCAT(x, ';') FROM t",
+            "SELECT array_join(collect_list(x), ';') FROM t",
+        ),
+        ("SELECT random()", "SELECT rand()"),
+        ("SELECT * FROM t WHERE a LIKE 'x%'", "SELECT * FROM t WHERE a ILIKE 'x%'"),
+        ('SELECT * FROM t WHERE s = "1"', "SELECT * FROM t WHERE s = '1'"),
+    ],
+)
+def test_dialect_rules(src, expected):
+    assert rewrite_sqlite_to_spark(src) == expected
+
+
+def test_dialect_keeps_known_identifiers_quoted():
+    out = rewrite_sqlite_to_spark('SELECT "Unit_cost" FROM t', identifiers={"unit_cost"})
+    assert out == "SELECT `Unit_cost` FROM t"
+
+
+def test_sanity_check_honors_callback():
+    # reference bug (pandasqlite.py:261): passed callback was ignored
+    sanity_check(FakeLLM())
+    with pytest.raises(LLMNotSane):
+        sanity_check(lambda p: "NO")
+
+
+def test_ingest_cache_roundtrip(spark, tmp_path, monkeypatch):
+    from pandasqlite_spark.core import cache
+    from pandasqlite_spark.core.ingest import ingest
+
+    monkeypatch.setenv(cache.ENV_VAR, str(tmp_path))
+    pdf = pd.DataFrame({"a b": [1, 2], "c": ["x", "y"]})
+    res1, _, h1 = ingest(spark, [pdf], FakeLLM(), persist=True)
+    assert res1[0]["column_types"] is not None
+    assert "a_b" in res1[0]["ddl"]
+    # second ingest of identical content: cache hit, same hash
+    res2, _, h2 = ingest(spark, [pdf.copy()], FakeLLM(), persist=True)
+    assert h1 == h2 and res2[0]["ddl"] == res1[0]["ddl"]
+    # reopen by hash re-registers the stored table
+    res3, _, _ = ingest(spark, h1)
+    assert spark.table(f"`{res3[0]['hash']}`").count() == 2
