@@ -146,6 +146,39 @@ def candidate_pairs(bands_df: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact 3-gram Jaccard for candidate pairs — the verification stage
+    after LSH: cheap because it only touches candidate pairs, never the
+    all-pairs product.  One shuffle on doc_id (sizes), one on the pair."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return j.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+def q_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
+    return jaccard_verify(d, pairs)
+
+
 def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return minhash_signatures(d)
@@ -246,6 +279,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup-exact": q_dedup_exact,
+    "dedup-jaccard-verify": q_dedup_jaccard_verify,
     "dedup-normalized": q_dedup_normalized,
     "dedup-minhash-signature": q_dedup_minhash_signature,
     "dedup-minhash-pairs": q_dedup_minhash_pairs,
@@ -267,5 +301,20 @@ ORACLES = {
     """,
     "dedup-minhash-signature": _minhash_oracle_sig(),
     "dedup-minhash-pairs": _minhash_oracle_pairs(),
+    "dedup-jaccard-verify": f"""
+        WITH pairs AS ({_minhash_oracle_pairs()}),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS l
+          FROM toks WHERE len(t) >= 3)
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                 / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) AS jaccard
+        FROM pairs p
+        JOIN shl a ON a.doc_id = p.doc_a
+        JOIN shl b ON b.doc_id = p.doc_b
+    """,
     "dedup-simhash": _simhash_sql("documents", "//"),
 }

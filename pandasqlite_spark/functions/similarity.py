@@ -98,6 +98,61 @@ def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) search: coarse cells + in-cell rerank
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+
+
+def _explode_dec(df: DataFrame, id_expr, arr: str = "embedding") -> DataFrame:
+    return df.select(
+        id_expr, F.posexplode(arr).alias("pos", "raw")
+    ).select(id_expr, "pos", F.col("raw").cast("double").cast(_DEC).alias("x"))
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its max-dot-product centroid cell.  At
+    100 TB: centroids are broadcast (k rows), the fact side never
+    shuffles for assignment — one narrow pass."""
+    e = _explode_dec(emb, F.col(id_col))
+    c = _explode_dec(centroids, F.col("cid")).withColumnRenamed("x", "cx")
+    dots = (
+        e.join(F.broadcast(c), "pos")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(F.col("x") * F.col("cx")).cast("double").alias("dot"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("dot").desc(), F.col("cid"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cid").alias("cell"))
+    )
+
+
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: assign all vectors to cells (deterministic stand-in
+    centroids: the first N_CELLS vectors; production would k-means),
+    then rerank ONLY the query's cell — the candidate set shrinks by
+    ~N_CELLS× versus brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    assign = ivf_assign(emb, cents)
+    qcell = assign.filter(F.col("vec_id") == 0).select("cell")
+    cand_ids = (
+        assign.join(F.broadcast(qcell), "cell")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    cand = emb.join(cand_ids, "vec_id")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk_exact(cand, query, k=5)
+
+
+# ---------------------------------------------------------------------------
 # LSH bucket path (scale): rows-only check
 # ---------------------------------------------------------------------------
 
@@ -152,10 +207,45 @@ def q_simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "simsearch-topk": q_simsearch_topk,
+    "simsearch-ivf": q_simsearch_ivf,
     "simsearch-lsh-buckets": q_simsearch_lsh_buckets,  # rows-only (numpy path)
 }
 
+_IVF_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, t.i AS pos,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings, generate_series(1, 64) t(i)),
+    c AS (SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < 8),
+    dots AS (
+      SELECT e.vec_id, c.cid, CAST(SUM(e.x * c.cx) AS DOUBLE) AS dot
+      FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        FROM dots) t
+      WHERE rn = 1),
+    qcell AS (SELECT cell FROM assign WHERE vec_id = 0),
+    cand AS (SELECT a.vec_id FROM assign a, qcell
+             WHERE a.cell = qcell.cell AND a.vec_id <> 0),
+    q AS (SELECT pos, x AS qx FROM e WHERE vec_id = 0),
+    nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+    per AS (
+      SELECT e.vec_id,
+             CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+             CAST(SUM(e.x * e.x) AS DOUBLE) AS ne
+      FROM e JOIN q ON e.pos = q.pos
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1)
+    SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+    FROM per, nq
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+"""
+
 ORACLES = {
+    "simsearch-ivf": _IVF_ORACLE,
     "simsearch-topk": """
         WITH q AS (
           SELECT t.i AS pos,

@@ -18,11 +18,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from pandasqlite_spark.operators import pipeline, relational
+    from pandasqlite_spark.operators import advanced, pipeline, relational
     from pandasqlite_spark.functions import dedup, multimodal, similarity, text
     from pandasqlite_spark.streaming import events as streaming_events
 
-    return (relational, pipeline, dedup, multimodal, similarity, text, streaming_events)
+    return (
+        relational,
+        advanced,
+        pipeline,
+        dedup,
+        multimodal,
+        similarity,
+        text,
+        streaming_events,
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,143 @@
+"""GO-Sales fidelity fixtures (SURVEY.md §5-3): the reference's own
+sample CSVs (/root/reference/sample_data, read-only) flow through our
+ingest exactly as the reference demo does (reference test.py:33-42),
+and the README's canonical questions (reference README.md:42-46) run
+end-to-end with golden SQL via the deterministic FakeLLM."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from pandasqlite_spark.core.ingest import ingest
+from pandasqlite_spark.core.llm import FakeLLM
+from pandasqlite_spark.core.text2sql import text2sql
+
+SAMPLE_DIR = Path("/root/reference/sample_data")
+
+pytestmark = pytest.mark.skipif(
+    not SAMPLE_DIR.exists(), reason="reference sample_data not present"
+)
+
+
+@pytest.fixture(scope="module")
+def gosales(spark, tmp_path_factory, request):
+    import os
+
+    os.environ["PANDASQLITE_SPARK_CACHE_DIR"] = str(
+        tmp_path_factory.mktemp("gosales_cache")
+    )
+    frames = {
+        p.stem: pd.read_csv(p) for p in sorted(SAMPLE_DIR.glob("*.csv"))
+    }
+    names = list(frames)
+    results, _, batch = ingest(spark, list(frames.values()), FakeLLM(), persist=False)
+    by_name = dict(zip(names, results))
+    return frames, by_name, results
+
+
+def test_ingest_sanitizes_and_registers(spark, gosales):
+    frames, by_name, _ = gosales
+    ddl = by_name["go_products"]["ddl"]
+    # 'Unit cost' → Unit_cost (reference pandasqlite.py:94 semantics)
+    assert "Unit_cost" in ddl and "Unit cost" not in ddl
+    t = spark.table(f"`{by_name['go_products']['hash']}`")
+    assert t.count() == len(frames["go_products"])
+
+
+def test_snapshot_contract(gosales):
+    _, by_name, _ = gosales
+    vf = by_name["go_1k"]["value_format"]
+    # 5 samples per column, lowercased keys (reference pandasqlite.py:290-302)
+    assert set(vf) == {"retailer_code", "product_number", "date", "quantity"}
+    assert all(len(v) == 5 for v in vf.values())
+
+
+def test_readme_q_categories_sold_in_country(spark, gosales):
+    """README.md:42 — 'Show the categories for products sold in <country>'
+    (join go_1k ⋈ go_retailers ⋈ go_products + filter + distinct)."""
+    frames, by_name, results = gosales
+    h1k = by_name["go_1k"]["hash"]
+    hret = by_name["go_retailers"]["hash"]
+    hprod = by_name["go_products"]["hash"]
+    question = "Show the categories for products sold in France"
+    golden = (
+        f"SELECT DISTINCT p.Product_type FROM `{h1k}` s "
+        f"JOIN `{hret}` r ON s.Retailer_code = r.Retailer_code "
+        f"JOIN `{hprod}` p ON s.Product_number = p.Product_number "
+        f"WHERE r.Country = 'France'"
+    )
+    llm = FakeLLM(text2sql_answers={question: golden})
+    sql = text2sql(question, results, llm)
+    got = {r[0] for r in spark.sql(sql).collect()}
+
+    # pandas ground truth
+    m = frames["go_1k"].merge(
+        frames["go_retailers"], on="Retailer code", how="inner"
+    ).merge(frames["go_products"], left_on="Product number", right_on="Product number")
+    want = set(m[m["Country"] == "France"]["Product type"].unique())
+    assert got == want and len(got) > 0
+
+
+def test_readme_q_most_popular_product(spark, gosales):
+    """reference test.py:24 — \"what's the most popular product?\""""
+    frames, by_name, results = gosales
+    h1k = by_name["go_1k"]["hash"]
+    hprod = by_name["go_products"]["hash"]
+    question = "what's the most popular product?"
+    golden = (
+        f"SELECT p.Product, CAST(SUM(s.Quantity) AS BIGINT) AS total_qty "
+        f"FROM `{h1k}` s JOIN `{hprod}` p ON s.Product_number = p.Product_number "
+        f"GROUP BY p.Product ORDER BY total_qty DESC, p.Product LIMIT 1"
+    )
+    llm = FakeLLM(text2sql_answers={question: golden})
+    row = spark.sql(text2sql(question, results, llm)).collect()[0]
+
+    m = frames["go_1k"].merge(frames["go_products"], on="Product number")
+    want = m.groupby("Product")["Quantity"].sum().sort_values(ascending=False)
+    assert row["Product"] == want.index[0]
+    assert row["total_qty"] == int(want.iloc[0])
+
+
+def test_readme_q_average_items_per_purchase(spark, gosales):
+    """README.md:46 — 'average number of items sold per purchase'."""
+    frames, by_name, results = gosales
+    h1k = by_name["go_1k"]["hash"]
+    question = "average number of items sold per purchase"
+    golden = (
+        f"SELECT CAST(SUM(Quantity) AS DOUBLE) / COUNT(*) AS avg_items FROM `{h1k}`"
+    )
+    llm = FakeLLM(text2sql_answers={question: golden})
+    got = spark.sql(text2sql(question, results, llm)).collect()[0]["avg_items"]
+    want = frames["go_1k"]["Quantity"].sum() / len(frames["go_1k"])
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_ddmmyyyy_date_strings_stay_text_and_parse(spark, gosales):
+    """GO dates are dd/mm/yyyy TEXT (FIXTURES.md §A) — they must ingest
+    as strings (reference keeps string typing, pandasqlite.py:159) and
+    be parseable in queries via to_date."""
+    frames, by_name, results = gosales
+    h1k = by_name["go_1k"]["hash"]
+    assert '"Date" TEXT' in by_name["go_1k"]["ddl"]
+    df = spark.sql(
+        f"SELECT CAST(SUM(Quantity) AS BIGINT) AS q FROM `{h1k}` "
+        f"WHERE year(to_date(Date, 'dd/MM/yyyy')) = 2018 "
+        f"AND month(to_date(Date, 'dd/MM/yyyy')) = 2"
+    )
+    got = df.collect()[0]["q"]
+    d = pd.to_datetime(frames["go_1k"]["Date"], format="%d/%m/%Y")
+    want = int(frames["go_1k"]["Quantity"][(d.dt.year == 2018) & (d.dt.month == 2)].sum())
+    assert got == want
+
+
+def test_small_frame_sampling_no_crash(spark):
+    """The reference errors on frames with <5 rows (sample(5),
+    pandasqlite.py:298); ours must not (FIXTURES.md edge case)."""
+    tiny = pd.DataFrame({"a": [1, 2], "b c": ["x", None]})
+    results, _, _ = ingest(spark, [tiny], FakeLLM(), persist=False)
+    vf = results[0]["value_format"]
+    assert len(vf["a"]) == 2  # returns what exists instead of raising
+    assert "b_c" in vf
