@@ -153,6 +153,42 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection on the embedding space: all pairs with
+    cosine >= threshold.  This oracle-checked form is the exact
+    all-pairs baseline; the 100 TB path replaces the pair join with
+    :func:`bucketed_neighbors` (LSH buckets) and only reranks
+    candidates — same scoring, ~buckets**2/n fewer pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _explode_dec(emb, F.col("vec_id"))
+    norms = e.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("nn")
+    )
+    a = e.select(F.col("vec_id").alias("va"), "pos", F.col("x").alias("xa"))
+    b = e.select(F.col("vec_id").alias("vb"), "pos", F.col("x").alias("xb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    return (
+        dots.join(na, "va").join(nb, "vb")
+        .select("va", "vb", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH bucket path (scale): rows-only check
 # ---------------------------------------------------------------------------
 
@@ -208,6 +244,7 @@ def q_simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "simsearch-topk": q_simsearch_topk,
     "simsearch-ivf": q_simsearch_ivf,
+    "dedup-embedding-cosine": q_dedup_embedding_cosine,
     "simsearch-lsh-buckets": q_simsearch_lsh_buckets,  # rows-only (numpy path)
 }
 
@@ -244,8 +281,25 @@ _IVF_ORACLE = """
     LIMIT 5
 """
 
+_EMB_DUP_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, t.i AS pos,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings, generate_series(1, 64) t(i)),
+    n AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS nn FROM e GROUP BY 1),
+    d AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT va, vb, dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+    FROM d JOIN n na ON na.vec_id = d.va JOIN n nb ON nb.vec_id = d.vb
+    WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {COSINE_DUP_THRESHOLD}
+"""
+
 ORACLES = {
     "simsearch-ivf": _IVF_ORACLE,
+    "dedup-embedding-cosine": _EMB_DUP_ORACLE,
     "simsearch-topk": """
         WITH q AS (
           SELECT t.i AS pos,

@@ -109,7 +109,37 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint().alias("fp"))
 
 
+def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A composed training-data curation pipeline — the operators above
+    chained the way a 100 TB corpus job would run them: language filter
+    → quality gate → normalized dedup (keep lowest doc_id) → per-doc
+    stats.  Entirely JVM-side expressions; the only shuffle is the
+    dedup groupBy."""
+    from pandasqlite_spark.functions.dedup import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        language_guess().alias("lang_guess"),
+        quality_score().alias("quality"),
+        token_count().alias("n_tokens"),
+        fingerprint().alias("fp"),
+    )
+    kept = scored.filter((F.col("lang_guess") == "en") & (F.col("quality") > 0.55))
+    w_norm = kept.withColumn("norm", normalize_text())
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("norm").orderBy("doc_id")
+    return (
+        w_norm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "quality", "fp")
+    )
+
+
 QUERIES = {
+    "pipeline-compose": q_pipeline_compose,
     "text-tokenize": q_text_tokenize,
     "text-langid": q_text_langid,
     "text-quality-score": q_text_quality,
@@ -118,7 +148,35 @@ QUERIES = {
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
 
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
 ORACLES = {
+    "pipeline-compose": f"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 CASE WHEN CAST(len(list_filter({_TOKS}, x -> x IN {_SW_SQL}))
+                           AS DOUBLE) / len({_TOKS}) >= 0.08
+                      THEN 'en' ELSE 'other' END AS lang_guess,
+                 ROUND(0.4 * LEAST(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+                     + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                              / CAST(len({_TOKS}) AS DOUBLE))
+                     + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                   AS DOUBLE) / length(text)), 9) AS quality,
+                 CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                 md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+          FROM documents),
+        kept AS (
+          SELECT *, {_NORM} AS norm FROM scored
+          WHERE lang_guess = 'en' AND quality > 0.55),
+        deduped AS (
+          SELECT doc_id, n_tokens, quality, fp,
+                 ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+          FROM kept)
+        SELECT doc_id, n_tokens, quality, fp FROM deduped WHERE rn = 1
+    """,
     "text-tokenize": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,

@@ -74,6 +74,35 @@ def session_agg(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
     )
 
 
+def multires_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: aggregate once at
+    minute grain, then derive the hour grain from the minute partials
+    (sums of sums).  At 100 TB the minute table is the only scan of the
+    raw data; every coarser resolution reuses it — the continuous-
+    aggregate pattern."""
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
+        )
+    )
+    return (
+        minute.groupBy(
+            F.date_trunc("hour", "minute").alias("hour"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").cast("double").alias("total"),
+        )
+    )
+
+
+def q_events_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multires_rollup(load_events(spark, sf_dir))
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(load_events(spark, sf_dir))
 
@@ -166,6 +195,7 @@ def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events-multires-rollup": q_events_multires,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
@@ -180,6 +210,14 @@ _TUMBLING_ORACLE = """
 """
 
 ORACLES = {
+    # sums-of-sums over minute partials == direct hourly aggregation:
+    # the oracle IS the direct form, proving the rollup composition
+    "events-multires-rollup": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    """,
     "events-tumbling-agg": _TUMBLING_ORACLE,
     "events-sliding-agg": """
         WITH shifted AS (

@@ -1,0 +1,84 @@
+"""Scale-property tests: these assert the *plan shapes* the 100 TB
+design depends on, not just results — a shuffle that sneaks back in is
+a regression even when answers stay right."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+from pandasqlite_spark.operators.scale import (
+    bucketed_join,
+    plan_has_exchange,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, no_broadcast):
+    # tables land in ./spark-warehouse (gitignored); warehouse.dir is a
+    # static conf and cannot be pointed at tmp_path per-test
+    write_bucketed(load(spark, sf_dir, "orders"), "b_orders", "o_orderkey")
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+    )
+    j = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+    assert not plan_has_exchange(j), "bucketed join must be co-located (no Exchange)"
+    # same join over raw parquet DOES shuffle — proving the assert bites
+    raw = load(spark, sf_dir, "orders").join(
+        load(spark, sf_dir, "lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    assert plan_has_exchange(raw)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    plain = c.join(n, c.c_nationkey == n.n_nationkey).groupBy("n_name").count()
+    salted = (
+        salted_join(c, n, "c_nationkey", "n_nationkey", n_salts=4)
+        .groupBy("n_name")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_aqe_and_skew_join_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_flagship_filter_pushdown(spark, sf_dir):
+    """The flagship query's shipdate filter must reach the parquet scan."""
+    from pandasqlite_spark.operators.relational import q_agg_count_sum_avg_min_max
+
+    plan = (
+        q_agg_count_sum_avg_min_max(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from pandasqlite_spark.operators.relational import q_join_inner_equi
+
+    plan = (
+        q_join_inner_equi(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
