@@ -69,3 +69,36 @@ def run(
     """End-to-end: question → SQL → ``spark.sql`` DataFrame (the
     reference's ``pd.read_sql(sql, db)`` step, ``README.md:49``)."""
     return spark.sql(text2sql(question, ingestions, llm_callback, **kwargs))
+
+
+def run_with_repair(
+    spark: SparkSession,
+    question: str,
+    ingestions: list[dict],
+    llm_callback: LLMCallback,
+    *,
+    max_repairs: int = 2,
+    **kwargs,
+) -> DataFrame:
+    """Like :func:`run`, with an analysis-error repair loop the
+    reference lacks: when Catalyst rejects the generated SQL, the
+    question is re-asked with the failing SQL and the analyzer's error
+    appended, up to ``max_repairs`` times.  (Standard Text-to-SQL
+    practice; the analyzer error names missing columns/tables, which
+    is exactly the feedback an LLM can act on.)  Raises the last
+    analysis error if every attempt fails."""
+    q = question
+    last_exc: Exception | None = None
+    for _ in range(max_repairs + 1):
+        sql = text2sql(q, ingestions, llm_callback, **kwargs)
+        try:
+            df = spark.sql(sql)
+            df.schema  # force analysis now, not at first action
+            return df
+        except Exception as exc:  # AnalysisException and parse errors
+            last_exc = exc
+            q = (
+                f"{question}\n\n[PREVIOUS ATTEMPT]\n{sql}\n\n"
+                f"[ERROR]\n{exc}\n\nFix the SQL statement."
+            )
+    raise last_exc

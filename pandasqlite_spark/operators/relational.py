@@ -540,6 +540,98 @@ def q_window_frame_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic-parity and function-surface extras
+# ---------------------------------------------------------------------------
+
+
+def q_filter_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery containing NULL is three-valued-logic
+    quicksand (result: no row qualifies).  SQLite, Spark and DuckDB all
+    agree — this key pins that the engine keeps ANSI 3VL here even with
+    ansi.enabled=false."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 5) FROM customer)"
+    )
+
+
+def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function surface: one row per word of p_name."""
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType function surface (§2.B-33 — absent in SQLite, native
+    in Spark) over document token arrays."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    dedup = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(dedup, 1, 3), ",").alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles — SQLite has none; Spark's
+    percentile() and DuckDB's quantile_cont/median share linear
+    interpolation, so values match bit-for-bit on 2-decimal doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first_value("o_orderkey").over(w).alias("top_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+        F.last_value("o_orderkey").over(wfull).alias("bottom_key"),
+    )
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").alias("next_week"),
+    )
+
+
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.col("p_name").rlike("^re").alias("is_re"),
+        F.size(F.expr("regexp_extract_all(p_name, '[aeiou]', 0)")).alias("n_vowels"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — one entry per builder above
 # ---------------------------------------------------------------------------
 
@@ -776,6 +868,63 @@ ORACLES: dict[str, str] = {
                  AS running_total
         FROM events
     """,
+    "filter-not-in-null": (
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 5) FROM customer)"
+    ),
+    "explode-lateral": (
+        "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part"
+    ),
+    "array-funcs": r"""
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\s+')))[1:3], ',') AS first3,
+               list_contains(string_split_regex(trim(lower(text)), '\s+'), 'the')
+                 AS has_the,
+               CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+                 AS INTEGER) AS n_distinct
+        FROM documents
+    """,
+    "agg-median": """
+        SELECT l_returnflag,
+               median(l_quantity) AS median_qty,
+               quantile_cont(l_quantity, 0.25) AS p25_qty,
+               quantile_cont(l_quantity, 0.75) AS p75_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "window-ntile": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile
+        FROM customer
+    """,
+    "window-first-last": """
+        SELECT o_orderkey, o_orderpriority,
+               FIRST_VALUE(o_orderkey) OVER w AS top_key,
+               NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+               LAST_VALUE(o_orderkey) OVER wf AS bottom_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "date-arith": """
+        SELECT o_orderkey,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+                 AS days_since,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+               strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS next_week
+        FROM orders
+    """,
+    "regexp-funcs": """
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+               regexp_matches(p_name, '^re') AS is_re,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels
+        FROM part
+    """,
 }
 
 QUERIES = {
@@ -820,4 +969,12 @@ QUERIES = {
     "window-rank": q_window_rank,
     "window-lag-lead": q_window_lag_lead,
     "window-frame-running-sum": q_window_frame_running_sum,
+    "filter-not-in-null": q_filter_not_in_null,
+    "explode-lateral": q_explode_lateral,
+    "array-funcs": q_array_funcs,
+    "agg-median": q_agg_median,
+    "window-ntile": q_window_ntile,
+    "window-first-last": q_window_first_last,
+    "date-arith": q_date_arith,
+    "regexp-funcs": q_regexp_funcs,
 }
