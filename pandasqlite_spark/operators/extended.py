@@ -1,0 +1,284 @@
+"""Extended SQL surface: grouping sets, unpivot, higher-order array
+functions, map/struct types, null-safe equality, series generation,
+deterministic sampling, union-by-name, the parquet write path, and
+bool/bitwise aggregates.
+
+These go past SQLite's grammar (the reference delegates everything to
+SQLite — `pandasqlite.py:77,223`; SURVEY.md §2.B-18/33 marks grouping
+sets and array/map types as absent there), but they are first-class in
+Spark SQL and in any 100 TB pipeline: multi-resolution reporting
+(GROUPING SETS computes all levels in one shuffle), long/wide reshaping
+(unpivot is a zero-shuffle row-local expansion), nested types, and a
+partitioned parquet sink whose partition column prunes on read.
+
+Every key is oracle-checked against DuckDB; where an operation is
+engine-specific by construction (approximate sketches), the query emits
+a *verifiable assertion* (boolean within-tolerance flag) so the driver
+hash-compare still applies.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import dsum, load, register_views
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: subtotal levels (flag×status, flag, grand total)
+    in ONE pass / one shuffle — at 100 TB this replaces three scans.
+    SQLite has no grouping sets (SURVEY.md §2.B-18)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via ``stack`` — row-local generation, no
+    shuffle, pipelined inside whole-stage codegen."""
+    p = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE),"
+        " 'size', CAST(p_size AS DOUBLE)) AS (metric, val)",
+    )
+
+
+def q_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions (transform/filter/aggregate) — lambda
+    expressions evaluated JVM-side per row; the idiomatic replacement
+    for per-row Python loops (SURVEY.md §2.B-33)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x).alias("total_len"),
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: build a map from columns, extract by key.
+    The oracle states the algebraic identity (extracting what was put
+    in), so the check pins Spark's map semantics to a known answer."""
+    e = load(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("etype"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType round-trip: named_struct → field access (same
+    identity-oracle pattern as map-funcs)."""
+    c = load(spark, sf_dir, "customer")
+    s = F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal"))
+    return c.select(
+        "c_custkey",
+        s.getField("name").alias("name"),
+        F.round(s.getField("bal") * 2, 2).alias("double_bal"),
+    )
+
+
+def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality ``<=>`` (DuckDB/ANSI: IS NOT DISTINCT FROM):
+    NULL <=> NULL is TRUE, unlike ``=``."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        "SELECT COUNT(*) AS n_null5 FROM customer "
+        "WHERE NULLIF(c_nationkey, 5) <=> NULL"
+    )
+
+
+def q_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series generation: sequence + explode (DuckDB: generate_series)
+    — the date-spine builder for gap-filling time series joins."""
+    return spark.sql(
+        """
+        SELECT CAST(month(d) AS INT) AS m, COUNT(*) AS n_days
+        FROM (SELECT explode(sequence(DATE'1995-01-01', DATE'1995-03-31',
+                                      interval 1 day)) AS d)
+        GROUP BY month(d)
+        """
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling: md5-prefix predicate gives the SAME ~1/16
+    sample in any engine, any partitioning, any run — unlike
+    TABLESAMPLE/rand(), which are engine- and split-dependent.  This is
+    how a 100 TB pipeline takes a reproducible dev slice."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema alignment by column NAME, not position —
+    the safe union for evolving schemas (a positional union here would
+    silently swap the columns)."""
+    n = load(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_regionkey") <= 1).select("n_nationkey", "n_name")
+    b = n.filter(F.col("n_regionkey") > 1).select("n_name", "n_nationkey")
+    return a.unionByName(b)
+
+
+def q_write_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink path: write orders partitioned by o_orderpriority,
+    read back, aggregate.  Partitioning by the grouping key means the
+    read-side aggregation gets partition pruning for free and the
+    directory layout IS the coarse index — the standard layout for a
+    100 TB lakehouse table."""
+    o = load(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="pqs_roundtrip_"), "orders")
+    (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or and bit_and/bit_or/bit_xor aggregates — all
+    partial-aggregatable (map-side combine), so the shuffle carries one
+    row per (group × partition)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000)   AS all_gt_1k,
+               bool_or(o_totalprice > 100000)  AS any_gt_100k,
+               bit_and(o_orderkey) AS band,
+               bit_or(o_orderkey)  AS bor,
+               bit_xor(o_orderkey) AS bxor
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_approx_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approx_count_distinct, checked as an assertion: the
+    sketch estimate must land within 5% of the exact count.  Sketch
+    values are engine-specific, so the *tolerance check* is the
+    portable contract.  At 100 TB the sketch is mergeable (no
+    count-distinct shuffle explosion) — that's the point."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+                <= 0.05 * count(DISTINCT o_custkey)) AS ok
+        FROM orders
+        """
+    )
+
+
+ORACLES: dict[str, str] = {
+    "agg-grouping-sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "unpivot-stack": """
+        SELECT p_partkey, 'retailprice' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+    "higher-order-array": r"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> length(x) > 3)) AS INTEGER) AS n_long,
+               CAST(list_aggregate(list_transform(
+                        string_split_regex(trim(text), '\s+'),
+                        x -> length(x)), 'sum') AS INTEGER) AS total_len
+        FROM documents
+    """,
+    "map-funcs": """
+        SELECT event_id, event_type AS etype, CAST(2 AS INTEGER) AS n_keys
+        FROM events
+    """,
+    "struct-funcs": """
+        SELECT c_custkey, c_name AS name,
+               round(c_acctbal * 2, 2) AS double_bal
+        FROM customer
+    """,
+    "null-safe-eq": """
+        SELECT COUNT(*) AS n_null5 FROM customer
+        WHERE NULLIF(c_nationkey, 5) IS NOT DISTINCT FROM NULL
+    """,
+    "generate-series": """
+        SELECT CAST(month(d) AS INTEGER) AS m, COUNT(*) AS n_days
+        FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+                                            DATE '1995-03-31',
+                                            INTERVAL 1 DAY))::DATE AS d)
+        GROUP BY month(d)
+    """,
+    "deterministic-sample": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+    "union-by-name": """
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 1
+        UNION ALL
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey > 1
+    """,
+    "write-roundtrip-parquet": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg-bool-bitwise": """
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000)   AS all_gt_1k,
+               bool_or(o_totalprice > 100000)  AS any_gt_100k,
+               bit_and(o_orderkey) AS band,
+               bit_or(o_orderkey)  AS bor,
+               bit_xor(o_orderkey) AS bxor
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "approx-distinct-ok": "SELECT TRUE AS ok",
+}
+
+QUERIES = {
+    "agg-grouping-sets": q_agg_grouping_sets,
+    "unpivot-stack": q_unpivot_stack,
+    "higher-order-array": q_higher_order_array,
+    "map-funcs": q_map_funcs,
+    "struct-funcs": q_struct_funcs,
+    "null-safe-eq": q_null_safe_eq,
+    "generate-series": q_generate_series,
+    "deterministic-sample": q_deterministic_sample,
+    "union-by-name": q_union_by_name,
+    "write-roundtrip-parquet": q_write_roundtrip_parquet,
+    "agg-bool-bitwise": q_agg_bool_bitwise,
+    "approx-distinct-ok": q_approx_distinct_ok,
+}

@@ -18,13 +18,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from pandasqlite_spark.operators import advanced, pipeline, relational
+    from pandasqlite_spark.operators import advanced, extended, pipeline, relational
     from pandasqlite_spark.functions import dedup, multimodal, similarity, text
     from pandasqlite_spark.streaming import events as streaming_events
 
     return (
         relational,
         advanced,
+        extended,
         pipeline,
         dedup,
         multimodal,

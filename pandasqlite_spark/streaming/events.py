@@ -194,12 +194,72 @@ def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each view joined to purchases by the
+    same user within ``horizon`` after it.  Watermarks on BOTH sides
+    plus the event-time range condition let Spark expire join state —
+    the memory-bounded form of stream-stream join (state per user is
+    limited to the horizon + watermark slack, instead of the whole
+    stream)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
+    ).select("user_id", "view_id", "purchase_id")
+
+
+def q_events_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode stream-stream join driven to completion; over the
+    finite source the result equals the batch range join (the oracle)."""
+    joined = streaming_view_purchase_join(read_events_stream(spark, sf_dir))
+    name, q = run_stream_to_memory(joined, mode="append")
+    return spark.table(name)
+
+
+def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicates`` keyed by
+    event_id with a watermark bounding the dedup state.  Each id is
+    emitted once across all micro-batches — the ingestion-side guard
+    every at-least-once source (Kafka, file drops) needs."""
+    ev = read_events_stream(spark, sf_dir)
+    # duplicate the input stream (union with itself) to prove dedup
+    deduped = (
+        ev.unionByName(ev)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+    name, q = run_stream_to_memory(deduped, mode="append")
+    return spark.table(name)
+
+
 QUERIES = {
     "events-multires-rollup": q_events_multires,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
     "events-streaming-tumbling": q_events_streaming_tumbling,
+    "events-streaming-join": q_events_streaming_join,
+    "events-streaming-dedup": q_events_streaming_dedup,
 }
 
 _TUMBLING_ORACLE = """
@@ -219,6 +279,17 @@ ORACLES = {
         FROM events GROUP BY 1, 2
     """,
     "events-tumbling-agg": _TUMBLING_ORACLE,
+    # batch equivalent of the finite stream-stream join; epoch_us on
+    # both sides pins the same µs truncation Spark applies to ns input
+    "events-streaming-join": """
+        SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND epoch_us(b.ts) BETWEEN epoch_us(a.ts)
+                                AND epoch_us(a.ts) + 3600000000
+    """,
+    "events-streaming-dedup": "SELECT event_id, event_type FROM events",
     "events-sliding-agg": """
         WITH shifted AS (
           SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
