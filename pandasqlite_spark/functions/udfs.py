@@ -1,0 +1,98 @@
+"""User-defined function surface: the Python escape hatches, done the
+fast way (SURVEY.md §2.A "extension point" — the reference's only UDF
+is the driver-side ``llm_callback``; row-level Python enters here).
+
+Two patterns, both Arrow-batched (never row-at-a-time Python UDFs):
+
+- **Scalar ``pandas_udf``** — vectorized column math on Arrow batches.
+  ~10-100× the throughput of a plain ``udf()`` because (de)serialization
+  is columnar and the inner loop is numpy, not the Python interpreter.
+- **``applyInPandas``** — grouped map: each group arrives as ONE pandas
+  frame; the natural home for per-group model scoring / normalization.
+  One shuffle on the group key; group size must fit an executor (bound
+  it upstream for 100 TB inputs — here segments are bounded).
+
+Both examples use integer/rational arithmetic so results are
+bit-identical to the SQL oracle (a float mean/std would differ in the
+last ulp between numpy's pairwise summation and SQL's streaming sum).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pandasqlite_spark.operators.common import ensure_package_on_workers, load
+
+
+def _weighted_len(text: pd.Series) -> pd.Series:
+    """Vectorized scoring: 2·chars + spaces (exact integer math)."""
+    return (text.str.len() * 2 + text.str.count(" ")).astype("int64")
+
+
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF over documents.  The plan shows ArrowEvalPython
+    — one Python stage, columnar transfer, no shuffle.  (The UDF is
+    wrapped lazily: ``pandas_udf`` parses its DDL return type against an
+    active session, so decorating at import time would break
+    session-less imports.)"""
+    ensure_package_on_workers(spark)
+    score = pandas_udf(_weighted_len, "long")
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", score(F.col("text")).alias("score"))
+
+
+_ZSCHEMA = "c_custkey bigint, c_mktsegment string, pct_rank double"
+
+
+def _pct_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group percent-rank of acctbal (ties → min rank), computed in
+    pandas: the grouped-map shape of a per-group normalizer.  Exact
+    rational arithmetic ⇒ engine-portable."""
+    n = len(pdf)
+    r = pdf["c_acctbal"].rank(method="min")
+    pct = (r - 1) / (n - 1) if n > 1 else r * 0.0
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_mktsegment": pdf["c_mktsegment"],
+            "pct_rank": pct,
+        }
+    )
+
+
+def q_grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map: per-segment percent-rank.  Equivalent
+    to the SQL window (the oracle) — the point is exercising the
+    grouped-Arrow path with a result SQL can verify."""
+    ensure_package_on_workers(spark)
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(_pct_rank, _ZSCHEMA)
+    )
+
+
+ORACLES: dict[str, str] = {
+    "pandas-udf-score": """
+        SELECT doc_id,
+               CAST(length(text) * 2
+                    + (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+                 AS score
+        FROM documents
+    """,
+    "grouped-pandas-rank": """
+        SELECT c_custkey, c_mktsegment,
+               percent_rank() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal) AS pct_rank
+        FROM customer
+    """,
+}
+
+QUERIES = {
+    "pandas-udf-score": q_pandas_udf_score,
+    "grouped-pandas-rank": q_grouped_pandas_rank,
+}

@@ -18,19 +18,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from pandasqlite_spark.operators import advanced, extended, pipeline, relational
-    from pandasqlite_spark.functions import dedup, multimodal, similarity, text
+    from pandasqlite_spark.operators import advanced, extended, pipeline, relational, tpch
+    from pandasqlite_spark.functions import dedup, multimodal, similarity, text, udfs
     from pandasqlite_spark.streaming import events as streaming_events
 
     return (
         relational,
         advanced,
         extended,
+        tpch,
         pipeline,
         dedup,
         multimodal,
         similarity,
         text,
+        udfs,
         streaming_events,
     )
 
