@@ -44,6 +44,11 @@ def _queries(sf_dir: str):
         q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
         return cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
 
+    def _tpch_q5(spark, d):
+        from pandasqlite_spark.operators.tpch import q_tpch_q5
+
+        return q_tpch_q5(spark, d)
+
     def text_pipeline(spark, d):
         docs = load(spark, d, "documents")
         return docs.select(
@@ -61,6 +66,7 @@ def _queries(sf_dir: str):
         "q8_events_session": lambda s, d: session_agg(load_events(s, d)),
         "q9_text_quality": text_pipeline,
         "q10_rollup": R.q_agg_rollup,
+        "q11_tpch_q5": _tpch_q5,
     }
 
 

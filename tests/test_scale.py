@@ -82,3 +82,38 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         q_join_inner_equi(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q5_plan_shape(spark, sf_dir):
+    """Q5: date filter pushed to the orders scan; region/nation reach
+    the fact side as broadcasts; aggregation is partial (two
+    HashAggregates around one Exchange)."""
+    from pandasqlite_spark.operators.tpch import q_tpch_q5
+
+    plan = _plan(q_tpch_q5(spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushdown
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
+
+
+def test_tpch_q3_topk_plan(spark, sf_dir):
+    """Top-10 must plan as TakeOrderedAndProject, never a global sort."""
+    from pandasqlite_spark.operators.tpch import q_tpch_q3
+
+    plan = _plan(q_tpch_q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_pandas_udf_is_arrow_batched(spark, sf_dir):
+    """The scalar UDF must run as ArrowEvalPython (vectorized), not
+    BatchEvalPython (row-at-a-time pickling)."""
+    from pandasqlite_spark.functions.udfs import q_pandas_udf_score
+
+    plan = _plan(q_pandas_udf_score(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
