@@ -197,6 +197,49 @@ def q_approx_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path SQL the reference never had (SURVEY.md §2.C): CTAS
+    into a managed parquet catalog table + INSERT INTO append, then
+    query it back.  On a cluster this is the persistent-table path
+    (warehouse dir on object storage); the append is a metadata-plus-
+    files operation, no rewrite of existing data."""
+    register_views(spark, sf_dir, ("nation",))
+    spark.sql("DROP TABLE IF EXISTS cat_nation")
+    spark.sql(
+        "CREATE TABLE cat_nation USING PARQUET AS "
+        "SELECT * FROM nation WHERE n_regionkey <= 2"
+    )
+    spark.sql("INSERT INTO cat_nation SELECT * FROM nation WHERE n_regionkey > 2")
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n, min(n_name) AS first_name
+        FROM cat_nation GROUP BY n_regionkey
+        """
+    )
+
+
+def q_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (MERGE) without a row-level-ops table format: union the
+    base with the change set, keep the newest version per key via a
+    ranked window.  One shuffle on the key (none at all if the target
+    is bucketed by it) — the standard CDC-compaction pattern where
+    Delta/Iceberg MERGE isn't available."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    merged = o.withColumn("_v", F.lit(0)).unionByName(updates.withColumn("_v", F.lit(1)))
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("_v"))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "agg-grouping-sets": """
         SELECT l_returnflag, l_linestatus,
@@ -266,6 +309,18 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "approx-distinct-ok": "SELECT TRUE AS ok",
+    "catalog-insert-select": """
+        SELECT n_regionkey, COUNT(*) AS n, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey
+    """,
+    "upsert-emulation": """
+        WITH updates AS (
+          SELECT o_orderkey, o_totalprice + 1000 AS new_price FROM orders
+          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0')
+        SELECT o.o_orderkey,
+               coalesce(u.new_price, o.o_totalprice) AS price
+        FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    """,
 }
 
 QUERIES = {
@@ -281,4 +336,6 @@ QUERIES = {
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
+    "catalog-insert-select": q_catalog_insert_select,
+    "upsert-emulation": q_upsert_emulation,
 }

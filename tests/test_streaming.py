@@ -49,3 +49,74 @@ def test_batch_sessionization_gap_semantics(spark, sf_dir):
         rs.sort(key=lambda r: r["session_id"])
         for a, b in zip(rs, rs[1:]):
             assert b["start_ms"] - a["end_ms"] > 30 * 60 * 1000
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark far past an old window; batch 2 delivers a row for that
+    old window.  Append-mode aggregation must emit the closed window
+    WITHOUT the late row — the state-bounding contract that makes a
+    100 TB stream's memory finite."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows)
+        # µs precision: pandas defaults to ns, which Spark's reader
+        # refuses against a declared TimestampType schema
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name, index=False)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    # batch 1: two rows in the 00:00 window, one at 06:00 (watermark
+    # driver: max event time 06:00 - 1h delay => watermark 05:00)
+    write_batch(
+        "b1.parquet",
+        {"k": ["a", "a", "a"], "ts": [t0, t0 + pd.Timedelta("5 min"), t0 + pd.Timedelta("6 h")]},
+    )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "k", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait for batch 1 to commit, then drop a LATE row into the
+        # already-closed 00:00 window
+        for _ in range(60):
+            if any(p["numInputRows"] == 3 for p in q.recentProgress):
+                break
+            time.sleep(0.5)
+        write_batch("b2.parquet", {"k": ["a"], "ts": [t0 + pd.Timedelta("1 min")]})
+        for _ in range(60):
+            done = sum(p["numInputRows"] for p in q.recentProgress) >= 4
+            emitted = {
+                (r["start"], r["k"]): r["n"] for r in spark.table("late_test").collect()
+            }
+            if done and (t0.to_pydatetime(), "a") in emitted:
+                break
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {(r["start"], r["k"]): r["n"] for r in spark.table("late_test").collect()}
+    # the 00:00 window closed with exactly the 2 on-time rows; the late
+    # third row was dropped, not merged and not re-emitted
+    assert emitted.get((t0.to_pydatetime(), "a")) == 2, emitted
