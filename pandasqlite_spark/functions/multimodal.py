@@ -83,13 +83,69 @@ def sample_video_frames(payload: bytes, every_n: int = 30):
     raise NotImplementedError("video frame sampling requires pyav/ffmpeg on the cluster")
 
 
+def resize_image(payload: bytes, width: int, height: int):
+    """Real resize seam — requires PIL/opencv; the Spark-side shape is
+    identical to :func:`extract_features` (binary in → binary out via
+    ``mapInPandas``)."""
+    raise NotImplementedError("image resizing requires PIL/opencv on the cluster")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hex string"
+
+
+def sample_frames(with_payload: DataFrame, frame_bytes: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: one binary payload row → N frame rows
+    (here: fixed-width byte chunks standing in for decoded video
+    frames).  The row-explosion shape — per-input fan-out inside
+    ``mapInPandas``, no driver involvement, output partitioning
+    inherited from the input — is exactly what a real pyav sampler
+    produces; only the chunker would change."""
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(with_payload.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload) // frame_bytes):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hex": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(op, FRAME_SCHEMA)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs))
+
+
 QUERIES = {
     "multimodal-features": q_multimodal_features,  # rows-only (binary/UDF path)
+    "multimodal-frames": q_multimodal_frames,
 }
 
-ORACLES: dict = {}
+# the fake payload is unhex(md5(text)), so each 4-byte frame is an
+# 8-hex-char slice of the digest — SQL can state the expected frames
+# exactly, giving the binary fan-out path a real value-hash oracle
+ORACLES: dict = {
+    "multimodal-frames": """
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+               substr(md5(text), i * 8 + 1, 8) AS frame_hex
+        FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
+    """,
+}
