@@ -189,6 +189,20 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(lsh_bands(minhash_signatures(d)))
 
 
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup operator (SURVEY.md §2.D `dedup-near`):
+    LSH candidate generation → exact Jaccard verification → threshold.
+    Work scales with LSH collisions, never with n² pairs."""
+    d = load(spark, sf_dir, "documents")
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
+    from pyspark.sql import functions as F
+    return (
+        jaccard_verify(d, pairs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+
 def _minhash_oracle_sig() -> str:
     mins = ",\n               ".join(
         f"min(md5('s{i}|' || sh)) AS m{i}" for i in range(N_HASHES)
@@ -283,6 +297,7 @@ QUERIES = {
     "dedup-normalized": q_dedup_normalized,
     "dedup-minhash-signature": q_dedup_minhash_signature,
     "dedup-minhash-pairs": q_dedup_minhash_pairs,
+    "dedup-near": q_dedup_near,
     "dedup-simhash": q_dedup_simhash,
 }
 
@@ -317,4 +332,19 @@ ORACLES = {
         JOIN shl b ON b.doc_id = p.doc_b
     """,
     "dedup-simhash": _simhash_sql("documents", "//"),
+    "dedup-near": f"""
+        WITH pairs AS ({_minhash_oracle_pairs()}),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS l
+          FROM toks WHERE len(t) >= 3)
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN shl a ON a.doc_id = p.doc_a
+        JOIN shl b ON b.doc_id = p.doc_b
+        WHERE CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                 / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= 0.5
+    """,
 }
