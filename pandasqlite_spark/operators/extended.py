@@ -205,6 +205,14 @@ def q_catalog_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     files operation, no rewrite of existing data."""
     register_views(spark, sf_dir, ("nation",))
     spark.sql("DROP TABLE IF EXISTS cat_nation")
+    # a fresh session's metastore doesn't know tables a previous run
+    # left in the warehouse dir, so DROP alone can't clear the
+    # location; remove the orphaned directory or CTAS fails
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "cat_nation"), ignore_errors=True)
     spark.sql(
         "CREATE TABLE cat_nation USING PARQUET AS "
         "SELECT * FROM nation WHERE n_regionkey <= 2"

@@ -110,3 +110,51 @@ def test_ingest_cache_roundtrip(spark, tmp_path, monkeypatch):
     # reopen by hash re-registers the stored table
     res3, _, _ = ingest(spark, h1)
     assert spark.table(f"`{res3[0]['hash']}`").count() == 2
+
+
+# --- property tests: the dialect rewriter must be safe to re-apply and
+# must not disturb SQL that is already Spark-clean ---------------------------
+
+_SPARK_CLEAN = [
+    "SELECT a, sum(b) AS s FROM t GROUP BY a HAVING sum(b) > 3 ORDER BY a",
+    "SELECT coalesce(x, 0), least(a, b), greatest(a, b) FROM t",
+    "SELECT year(to_date(d, 'dd/MM/yyyy')) FROM t WHERE c IN (1, 2, 3)",
+    "WITH c AS (SELECT 1 AS one) SELECT one FROM c",
+    "SELECT rand(), array_join(collect_list(x), ',') FROM t GROUP BY k",
+]
+
+
+@pytest.mark.parametrize("sql", _SPARK_CLEAN)
+def test_rewriter_noop_on_spark_clean_sql(sql):
+    from pandasqlite_spark.core.dialect import rewrite_sqlite_to_spark
+
+    assert rewrite_sqlite_to_spark(sql) == sql
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "SELECT strftime('%Y', d) FROM t",
+                "SELECT min(a, b) FROM t",
+                "SELECT max(a, 3) FROM t",
+                "SELECT GROUP_CONCAT(x, ';') FROM t GROUP BY k",
+                "SELECT random() AS r",
+                'SELECT * FROM t WHERE s = "lit"',
+                "SELECT name FROM t WHERE name LIKE '%a%'",
+            ]
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_rewriter_idempotent(parts):
+    """rewrite(rewrite(x)) == rewrite(x) for any combination of the
+    SQLite-isms the rewriter targets — re-application must never
+    double-mangle."""
+    from pandasqlite_spark.core.dialect import rewrite_sqlite_to_spark
+
+    sql = " UNION ALL ".join(parts)
+    once = rewrite_sqlite_to_spark(sql)
+    assert rewrite_sqlite_to_spark(once) == once
