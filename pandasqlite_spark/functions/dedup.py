@@ -94,6 +94,38 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def minhash_signatures_local(df: DataFrame, k: int = N_HASHES, n: int = 3) -> DataFrame:
+    """Shuffle-free minhash: keep the shingle set as an ARRAY per row
+    and take ``array_min(transform(...))`` per hash — the whole
+    signature is computed row-locally inside codegen, versus
+    :func:`minhash_signatures`'s explode → groupBy which shuffles
+    |docs| × k partial-agg rows.  At 100 TB this removes the only
+    exchange from signature generation; identical output (docs shorter
+    than n tokens drop out).
+
+    Measured tradeoff (sf0.1, local[32], single-partition input): the
+    explode→groupBy form wins end-to-end, because its exchange (a) re-
+    parallelizes a narrow input across all cores and (b) is deduplicated
+    by ReusedExchange when the LSH stage self-joins — the shuffle-free
+    form recomputes the whole signature on both join sides.  Prefer this
+    variant only when the input is already well-partitioned AND the
+    signature feeds a single consumer (or is persisted)."""
+    sh_arr = F.expr(
+        f"array_distinct(transform(sequence(0, size(toks)-{n}),"
+        f" i -> concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(n))})))"
+    )
+    base = (
+        df.select("doc_id", tokens().alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("doc_id", sh_arr.alias("shs"))
+    )
+    mins = [
+        F.array_min(F.expr(f"transform(shs, s -> xxhash64('s{i}|' || s))")).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return base.select("doc_id", *mins)
+
+
 def minhash_signatures(
     df: DataFrame, k: int = N_HASHES, portable: bool = True
 ) -> DataFrame:
@@ -111,7 +143,7 @@ def minhash_signatures(
         ]
     else:
         aggs = [
-            F.min(F.xxhash64(F.lit(f"s{i}|"), F.col("sh"))).alias(f"m{i}")
+            F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"m{i}")
             for i in range(k)
         ]
     return sh.groupBy("doc_id").agg(*aggs)
