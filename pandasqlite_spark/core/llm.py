@@ -100,3 +100,48 @@ class FakeLLM:
     def _values_from_prompt(prompt: str) -> list[str]:
         m = re.findall(r"- ([^\n]+)", prompt)
         return list(dict.fromkeys(v.strip() for v in m)) or ["value"]
+
+
+def watsonx_backend(
+    model_id: str = "meta-llama/llama-3-405b-instruct",
+    *,
+    max_new_tokens: int = 4096,
+    credentials: dict | None = None,
+    project_id: str | None = None,
+) -> LLMCallback:
+    """The reference's default backend, rebuilt as an optional factory
+    (reference ``pandasqlite/pandasqlite.py:24-54``): greedy decoding,
+    ``max_new_tokens=4096``, stop sequence ``"\\n\\n"``, prompt prefixed
+    with ``"input:"``, completion truncated at the first ``"\\n\\n"``.
+
+    Requires ``ibm_watsonx_ai`` (not bundled — this engine is
+    backend-agnostic and offline-testable); raises ImportError with a
+    clear message otherwise.  Returned callable is a plain ``str ->
+    str`` driver-side function like every other backend.
+    """
+    try:
+        from ibm_watsonx_ai import Credentials  # type: ignore
+        from ibm_watsonx_ai.foundation_models import ModelInference  # type: ignore
+    except ImportError as exc:  # pragma: no cover - lib absent in CI
+        raise ImportError(
+            "watsonx_backend requires the optional dependency "
+            "'ibm_watsonx_ai'; install it or pass your own llm_callback "
+            "(any str -> str function)."
+        ) from exc
+
+    model = ModelInference(  # pragma: no cover - network backend
+        model_id=model_id,
+        credentials=Credentials(**credentials) if credentials else None,
+        project_id=project_id,
+        params={
+            "decoding_method": "greedy",
+            "max_new_tokens": max_new_tokens,
+            "stop_sequences": ["\n\n"],
+        },
+    )
+
+    def callback(prompt: str) -> str:  # pragma: no cover - network backend
+        out = model.generate_text(prompt="input:" + prompt)
+        return out.split("\n\n")[0]
+
+    return callback

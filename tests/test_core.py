@@ -158,3 +158,16 @@ def test_rewriter_idempotent(parts):
     sql = " UNION ALL ".join(parts)
     once = rewrite_sqlite_to_spark(sql)
     assert rewrite_sqlite_to_spark(once) == once
+
+
+def test_watsonx_backend_raises_clear_importerror_when_lib_absent():
+    from pandasqlite_spark.core.llm import watsonx_backend
+
+    try:
+        import ibm_watsonx_ai  # noqa: F401
+
+        pytest.skip("ibm_watsonx_ai unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="llm_callback"):
+        watsonx_backend()
