@@ -188,6 +188,26 @@ def run_stream_to_memory(agg: DataFrame, mode: str = "complete") -> tuple:
     return name, q
 
 
+def run_stream_foreach_batch_parquet(df: DataFrame, out_dir: str) -> None:
+    """The production sink pattern: ``foreachBatch`` hands each
+    micro-batch over as a *batch* DataFrame, so any batch writer (here:
+    parquet partitioned by batch id) becomes a streaming sink.
+    Exactly-once comes from the checkpoint (batch ids replay
+    deterministically) + an idempotent write (mode=overwrite into the
+    batch's own directory)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
 def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = streaming_tumbling(read_events_stream(spark, sf_dir))
     name, q = run_stream_to_memory(agg, mode="complete")

@@ -120,3 +120,26 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 00:00 window closed with exactly the 2 on-time rows; the late
     # third row was dropped, not merged and not re-emitted
     assert emitted.get((t0.to_pydatetime(), "a")) == 2, emitted
+
+
+def test_foreach_batch_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Stream → foreachBatch parquet sink → read back: contents equal
+    the batch source (count + exact value sum), proving the idempotent
+    batch-writer sink pattern end-to-end."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.operators.common import load_events
+    from pandasqlite_spark.streaming.events import (
+        read_events_stream,
+        run_stream_foreach_batch_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+    run_stream_foreach_batch_parquet(read_events_stream(spark, sf_dir), out)
+    back = spark.read.parquet(out + "/batch=*")
+    src = load_events(spark, sf_dir)
+    agg = lambda df: df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    ).collect()[0]
+    assert agg(back) == agg(src)
