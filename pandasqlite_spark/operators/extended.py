@@ -248,6 +248,63 @@ def q_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = all 2^n grouping-set combinations in one shuffle."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_s,
+               CAST(grouping(o_orderpriority) AS INT) AS g_p,
+               COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """
+    )
+
+
+def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ORDER BY key: peers within a value
+    distance (vs ROWS' positional distance).  State per partition is a
+    sliding value-window — O(frame) not O(partition)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                              RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+                 AS n_within_100
+        FROM customer
+        """
+    )
+
+
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table joined against real data — the constant
+    lookup-table idiom (broadcast by construction)."""
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(
+        """
+        SELECT n.n_name, t.tier
+        FROM nation n
+        JOIN (VALUES (0, 'core'), (1, 'growth'), (2, 'frontier')) AS t(rk, tier)
+          ON n.n_regionkey = t.rk
+        """
+    )
+
+
+def q_sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST on an ascending sort (both engines default
+    NULLS-first-on-ASC; the explicit override must agree too)."""
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(
+        """
+        SELECT s_suppkey, NULLIF(s_nationkey, 3) AS nk
+        FROM supplier
+        ORDER BY nk ASC NULLS LAST, s_suppkey
+        """
+    )
+
+
 ORACLES: dict[str, str] = {
     "agg-grouping-sets": """
         SELECT l_returnflag, l_linestatus,
@@ -317,6 +374,31 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "approx-distinct-ok": "SELECT TRUE AS ok",
+    "agg-cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+               COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "window-range-between": """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                              RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+                 AS n_within_100
+        FROM customer
+    """,
+    "values-inline": """
+        SELECT n.n_name, t.tier
+        FROM nation n
+        JOIN (VALUES (0, 'core'), (1, 'growth'), (2, 'frontier')) AS t(rk, tier)
+          ON n.n_regionkey = t.rk
+    """,
+    "sort-nulls-last": """
+        SELECT s_suppkey, NULLIF(s_nationkey, 3) AS nk
+        FROM supplier
+        ORDER BY nk ASC NULLS LAST, s_suppkey
+    """,
     "catalog-insert-select": """
         SELECT n_regionkey, COUNT(*) AS n, min(n_name) AS first_name
         FROM nation GROUP BY n_regionkey
@@ -344,6 +426,10 @@ QUERIES = {
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
+    "agg-cube": q_agg_cube,
+    "window-range-between": q_window_range_between,
+    "values-inline": q_values_inline,
+    "sort-nulls-last": q_sort_nulls_last,
     "catalog-insert-select": q_catalog_insert_select,
     "upsert-emulation": q_upsert_emulation,
 }
