@@ -137,3 +137,16 @@ def test_minhash_local_equals_groupby_and_no_exchange(spark, sf_dir):
     a = sorted(map(tuple, local.collect()))
     b = sorted(map(tuple, grouped.collect()))
     assert a == b
+
+
+def test_session_agg_single_exchange(spark, sf_dir):
+    """Sessionize (window over user_id) + session aggregation must share
+    ONE user_id exchange: the groupBy on (user_id, session_id) is
+    satisfied by the window's partitioning."""
+    import re
+
+    from pandasqlite_spark.operators.common import load_events
+    from pandasqlite_spark.streaming.events import session_agg
+
+    plan = _plan(session_agg(load_events(spark, sf_dir)))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
