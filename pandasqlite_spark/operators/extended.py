@@ -248,6 +248,24 @@ def q_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string bundle: padding, translate, reverse, repeat, and
+    levenshtein (the fuzzy-match primitive for entity resolution)."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               lpad(p_brand, 12, '.')            AS padded,
+               rpad(p_brand, 12, '.')            AS rpadded,
+               translate(p_type, 'AEIOU', 'aeiou') AS translated,
+               reverse(p_brand)                  AS rev,
+               repeat('ab', p_size % 3)          AS rep,
+               levenshtein(p_brand, 'Brand#1')   AS lev
+        FROM part
+        """
+    )
+
+
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE = all 2^n grouping-set combinations in one shuffle."""
     register_views(spark, sf_dir, ("orders",))
@@ -374,6 +392,16 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "approx-distinct-ok": "SELECT TRUE AS ok",
+    "string-funcs-extra": """
+        SELECT p_partkey,
+               lpad(p_brand, 12, '.')            AS padded,
+               rpad(p_brand, 12, '.')            AS rpadded,
+               translate(p_type, 'AEIOU', 'aeiou') AS translated,
+               reverse(p_brand)                  AS rev,
+               repeat('ab', p_size % 3)          AS rep,
+               CAST(levenshtein(p_brand, 'Brand#1') AS INTEGER) AS lev
+        FROM part
+    """,
     "agg-cube": """
         SELECT o_orderstatus, o_orderpriority,
                CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
@@ -426,6 +454,7 @@ QUERIES = {
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
+    "string-funcs-extra": q_string_funcs_extra,
     "agg-cube": q_agg_cube,
     "window-range-between": q_window_range_between,
     "values-inline": q_values_inline,
