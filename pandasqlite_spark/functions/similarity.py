@@ -166,23 +166,33 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`bucketed_neighbors` (LSH buckets) and only reranks
     candidates — same scoring, ~buckets**2/n fewer pairs."""
     emb = load(spark, sf_dir, "embeddings")
-    e = _explode_dec(emb, F.col("vec_id"))
-    norms = e.groupBy("vec_id").agg(
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("nn")
+    # per-row decimal vector: the dot/norm folds below are then exact
+    # (order-independent), so values match the decimal oracle while the
+    # pair join moves n²/2 ROWS, not the n²·dim positions a
+    # posexplode+join formulation would shuffle (measured 1.5× wall at
+    # sf0.1 locally; the shuffle-volume gap widens on a real network)
+    dec_vec = F.expr(f"transform(embedding, v -> CAST(CAST(v AS DOUBLE) AS {_DEC}))")
+    zero = "CAST(0 AS DECIMAL(25,12))"
+    # the re-CAST in each step pins the accumulator type, and the
+    # accumulator precision is kept at 25 ON PURPOSE: (25,12)+(17,12)
+    # widens to (26,12) — still exact — while a 38-precision
+    # accumulator would hit Spark's cap and silently ROUND each step
+    # to scale 11, breaking the oracle match in the last bits
+    norm = F.expr(
+        f"CAST(aggregate(transform(embedding, v -> CAST(CAST(v AS DOUBLE) AS {_DEC})),"
+        f" {zero}, (acc, x) -> CAST(acc + x * x AS DECIMAL(25,12))) AS DOUBLE)"
     )
-    a = e.select(F.col("vec_id").alias("va"), "pos", F.col("x").alias("xa"))
-    b = e.select(F.col("vec_id").alias("vb"), "pos", F.col("x").alias("xb"))
-    dots = (
-        a.join(b, "pos")
-        .filter(F.col("va") < F.col("vb"))
-        .groupBy("va", "vb")
-        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("dot"))
+    e = emb.select("vec_id", dec_vec.alias("xs"), norm.alias("nn"))
+    a = e.select(F.col("vec_id").alias("va"), F.col("xs").alias("xa"), F.col("nn").alias("na"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("xs").alias("xb"), F.col("nn").alias("nb"))
+    dot = F.expr(
+        f"CAST(aggregate(zip_with(xa, xb, (x, y) -> x * y), {zero},"
+        f" (acc, v) -> CAST(acc + v AS DECIMAL(25,12))) AS DOUBLE)"
     )
-    na = norms.select(F.col("vec_id").alias("va"), F.col("nn").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nn").alias("nb"))
     cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
     return (
-        dots.join(na, "va").join(nb, "vb")
+        a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", dot.alias("dot"), "na", "nb")
         .select("va", "vb", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
