@@ -254,6 +254,38 @@ def q_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL: every non-aggregate select item becomes a group
+    key (modern convenience syntax; also guards against the SQLite
+    bare-column pitfall noted in SURVEY.md §2.B-15)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ALL
+        """
+    )
+
+
+def q_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: per outer row, a dependent
+    subquery (top-2 customers by balance per nation).  Catalyst
+    decorrelates this into a ranked window — no nested-loop
+    re-execution per row."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) AS t
+        """
+    )
+
+
 def q_string_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string bundle: padding, translate, reverse, repeat, and
     levenshtein (the fuzzy-match primitive for entity resolution)."""
@@ -398,6 +430,19 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "approx-distinct-ok": "SELECT TRUE AS ok",
+    "group-by-all": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ALL
+    """,
+    "lateral-subquery": """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) AS t
+    """,
     "string-funcs-extra": """
         SELECT p_partkey,
                lpad(p_brand, 12, '.')            AS padded,
@@ -460,6 +505,8 @@ QUERIES = {
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
+    "group-by-all": q_group_by_all,
+    "lateral-subquery": q_lateral_subquery,
     "string-funcs-extra": q_string_funcs_extra,
     "agg-cube": q_agg_cube,
     "window-range-between": q_window_range_between,
