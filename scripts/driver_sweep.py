@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Driver-style correctness sweep: run EVERY queries() key against its
+DuckDB oracle with full value comparison, in one fresh session — the
+same check the external driver performs at sf0.01, runnable at any SF:
+
+    python scripts/driver_sweep.py [sf_dir]
+
+Exits non-zero on any mismatch.  (This is how the approx-distinct rsd
+bug was caught: pytest defaults to sf0.001 where the sketch happened to
+be inside tolerance; the sweep at sf0.01 wasn't.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.util import compare, duckdb_connection  # noqa: E402
+from pandasqlite_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("driver_sweep")
+    con = duckdb_connection(sf_dir)
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    t0 = time.perf_counter()
+    failures: list[tuple[str, object]] = []
+    for key in sorted(queries):
+        t1 = time.perf_counter()
+        try:
+            df = queries[key](spark, sf_dir)
+            if key in oracles:
+                problems = compare(df, con.sql(oracles[key]).df())
+                if problems:
+                    failures.append((key, problems))
+            else:
+                df.count()  # rows-only keys: must at least execute
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            failures.append((key, repr(exc)[:300]))
+        dt = time.perf_counter() - t1
+        if dt > 15:
+            print(f"SLOW {key}: {dt:.1f}s", flush=True)
+    print(f"total: {time.perf_counter() - t0:.1f}s for {len(queries)} keys")
+    if failures:
+        for key, why in failures:
+            print(f"FAIL {key}: {why}")
+        return 1
+    print("all keys match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
