@@ -254,6 +254,17 @@ def q_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving fan-out: ``explode_outer`` keeps a row (with
+    NULL) for docs whose filtered token array is EMPTY — the outer-join
+    form of unnest, so downstream joins don't silently drop parents."""
+    d = load(spark, sf_dir, "documents")
+    longtoks = F.expr(
+        r"filter(split(trim(lower(text)), '\\s+'), x -> length(x) > 6)"
+    )
+    return d.select("doc_id", F.explode_outer(longtoks).alias("long_tok"))
+
+
 def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL: every non-aggregate select item becomes a group
     key (modern convenience syntax; also guards against the SQLite
@@ -430,6 +441,16 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "approx-distinct-ok": "SELECT TRUE AS ok",
+    "explode-outer": r"""
+        WITH lt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> length(x) > 6) AS l
+          FROM documents)
+        SELECT doc_id, unnest(l) AS long_tok FROM lt WHERE len(l) > 0
+        UNION ALL
+        SELECT doc_id, NULL AS long_tok FROM lt WHERE len(l) = 0
+    """,
     "group-by-all": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         FROM orders GROUP BY ALL
@@ -505,6 +526,7 @@ QUERIES = {
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
+    "explode-outer": q_explode_outer,
     "group-by-all": q_group_by_all,
     "lateral-subquery": q_lateral_subquery,
     "string-funcs-extra": q_string_funcs_extra,

@@ -35,11 +35,9 @@ def test_run_with_repair_fixes_analysis_error(spark):
 def test_run_with_repair_raises_after_budget(spark):
     pdf = pd.DataFrame({"a": [1]})
     results, _, _ = ingest(spark, [pdf], persist=False)
-    always_bad = FakeLLM(text2sql_answers={"q": "SELECT nope FROM table"})
-    always_bad.answers = {"": "SELECT nope FROM table"}  # match any question
+    always_bad = lambda p: "```sql\nSELECT nope FROM table\n```"
     with pytest.raises(Exception):
-        run_with_repair(spark, "q", results, lambda p: "```sql\nSELECT nope FROM table\n```",
-                        max_repairs=1)
+        run_with_repair(spark, "q", results, always_bad, max_repairs=1)
 
 
 def test_stateful_user_profiles(spark, sf_dir):
