@@ -150,3 +150,12 @@ def test_session_agg_single_exchange(spark, sf_dir):
 
     plan = _plan(session_agg(load_events(spark, sf_dir)))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_partitioned_scan_prunes(spark, sf_dir):
+    """The year filter must appear as PartitionFilters on the scan (file
+    pruning), not as a post-scan Filter over all partitions."""
+    from pandasqlite_spark.operators.advanced import q_scan_partitioned
+
+    plan = _plan(q_scan_partitioned(spark, sf_dir))
+    assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters", 1)[1][:200]
