@@ -163,6 +163,43 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting revenue: pure scan-side query — every predicate
+    reaches the parquet reader (PushedFilters), the aggregate is one
+    partial-agg row per partition, zero joins.  The canonical 'is the
+    scan path efficient' probe."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.03, 0.05))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT OUTER fact join →
+    per-customer count (counting only matched rows) → histogram of the
+    counts.  Two aggregations, each partial-aggregatable; customers
+    with no orders land in the c_count=0 bucket via the outer join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 order-priority checking (adapted: the schema has no
     commit/receipt dates, so the EXISTS predicate is 'a line shipped
@@ -320,6 +357,23 @@ ORACLES: dict[str, str] = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
+    "tpch-q6": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """,
+    "tpch-q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
     "tpch-q4": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders
@@ -379,6 +433,8 @@ QUERIES = {
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
     "tpch-q4": q_tpch_q4,
+    "tpch-q6": q_tpch_q6,
+    "tpch-q13": q_tpch_q13,
     "tpch-q5": q_tpch_q5,
     "tpch-q7": q_tpch_q7,
     "tpch-q10": q_tpch_q10,
