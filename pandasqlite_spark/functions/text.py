@@ -138,12 +138,47 @@ def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency, top-20: the n-gram table every
+    tokenizer-training / contamination-check pipeline builds.  Explode
+    is row-local; the only shuffle is the count groupBy (partial-agg:
+    the exchange carries one row per distinct bigram per partition)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens()
+    bigrams = F.expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"
+    )
+    return (
+        d.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram in buckets of 20 — the length-distribution
+    data-quality probe; integer bucketing keeps it engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.size(tokens()) / 20).cast("int") * 20
+    return (
+        d.select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "pipeline-compose": q_pipeline_compose,
     "text-tokenize": q_text_tokenize,
     "text-langid": q_text_langid,
     "text-quality-score": q_text_quality,
     "text-fingerprint": q_text_fingerprint,
+    "text-bigram-freq": q_text_bigram_freq,
+    "text-length-histogram": q_text_length_histogram,
 }
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -154,6 +189,19 @@ _NORM = (
 )
 
 ORACLES = {
+    "text-bigram-freq": f"""
+        WITH t AS (SELECT {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 2),
+        bg AS (
+          SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+          FROM t)
+        SELECT bigram, COUNT(*) AS n FROM bg
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "text-length-histogram": f"""
+        SELECT CAST(len({_TOKS}) // 20 * 20 AS INTEGER) AS bucket_lo,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
     "pipeline-compose": f"""
         WITH scored AS (
           SELECT doc_id, text,
