@@ -24,6 +24,29 @@ from __future__ import annotations
 
 import re
 
+# ---------------------------------------------------------------------------
+# Quote masking.  Every regex rewrite below must NOT fire inside a string
+# literal ('I LIKE it' must stay verbatim) or a backtick identifier.  We
+# replace those spans with \x00<n>\x00 sentinels first and restore them last.
+# ---------------------------------------------------------------------------
+_MASK_RE = re.compile(r"'(?:[^']|'')*'|`[^`]*`")
+_MASK_TOKEN_RE = re.compile(r"\x00(\d+)\x00")
+
+
+def _mask_quoted_spans(sql: str) -> tuple[str, list[str]]:
+    spans: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        spans.append(m.group(0))
+        return f"\x00{len(spans) - 1}\x00"
+
+    return _MASK_RE.sub(repl, sql), spans
+
+
+def _unmask(sql: str, spans: list[str]) -> str:
+    return _MASK_TOKEN_RE.sub(lambda m: spans[int(m.group(1))], sql)
+
+
 _STRFTIME_MAP = {
     "%Y": "yyyy",
     "%m": "MM",
@@ -36,9 +59,17 @@ _STRFTIME_MAP = {
 }
 
 
-def _rewrite_strftime(sql: str) -> str:
-    def repl(m: re.Match) -> str:
-        fmt, arg = m.group(1), m.group(2)
+def _rewrite_strftime(sql: str, spans: list[str]) -> str:
+    """Paren-balanced rewrite of ``strftime(<fmt>, <expr>)``.
+
+    Operates on the MASKED string: the format literal is a mask token
+    whose text we look up in ``spans``; the second argument is consumed
+    with a depth-counting scan so nested calls like
+    ``strftime('%Y', date(x))`` rewrite correctly (the old ``[^)]+?``
+    regex stopped at the first ``)`` and emitted malformed SQL).
+    """
+
+    def render(fmt: str, arg: str) -> str:
         if fmt == "%Y":
             return f"CAST(year({arg}) AS STRING)"
         if fmt == "%m":
@@ -50,9 +81,27 @@ def _rewrite_strftime(sql: str) -> str:
             out = out.replace(k, v)
         return f"date_format({arg}, '{out}')"
 
-    return re.sub(
-        r"strftime\(\s*'([^']*)'\s*,\s*([^)]+?)\s*\)", repl, sql, flags=re.IGNORECASE
-    )
+    pat = re.compile(r"strftime\(\s*\x00(\d+)\x00\s*,\s*", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        fmt = spans[int(m.group(1))].strip("'")
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        arg = sql[m.end() : j - 1].strip()
+        out.append(render(fmt, arg))
+        i = j
+    return "".join(out)
 
 
 def _rewrite_scalar_minmax(sql: str) -> str:
@@ -130,17 +179,31 @@ def rewrite_table_placeholder(sql: str, table_name: str) -> str:
     """Token-aware replacement of the bare identifier ``table`` with the
     real (hash-named) table.  Fixes the reference's naive substring
     replace (``pandasqlite/pandasqlite.py:247``) that corrupts
-    identifiers merely containing the word "table"."""
-    return _TABLE_TOKEN_RE.sub(f"`{table_name}`", sql)
+    identifiers merely containing the word "table".  Quoted spans are
+    masked so a literal like ``'my table'`` is never rewritten."""
+    masked, spans = _mask_quoted_spans(sql)
+    masked = _TABLE_TOKEN_RE.sub(f"`{table_name}`", masked)
+    return _unmask(masked, spans)
 
 
 def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> str:
-    """Apply all residual-SQLite-ism rewrites to a SQL string."""
+    """Apply all residual-SQLite-ism rewrites to a SQL string.
+
+    String literals and backtick identifiers are masked first, so no
+    rewrite ever fires inside them (``WHERE note = 'I LIKE it'`` is
+    untouched — the round-1 corruption bug).
+    """
     identifiers = {i.lower() for i in (identifiers or set())}
-    sql = _rewrite_strftime(sql)
-    sql = _rewrite_scalar_minmax(sql)
-    sql = _rewrite_group_concat(sql)
-    sql = re.sub(r"\brandom\s*\(\s*\)", "rand()", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\b(\w+(?:\.\w+)?)\s+LIKE\s+", r"\1 ILIKE ", sql, flags=re.IGNORECASE)
-    sql = _rewrite_double_quoted_literals(sql, identifiers)
-    return sql
+    masked, spans = _mask_quoted_spans(sql)
+    masked = _rewrite_strftime(masked, spans)
+    masked = _rewrite_scalar_minmax(masked)
+    masked = _rewrite_group_concat(masked)
+    masked = re.sub(r"\brandom\s*\(\s*\)", "rand()", masked, flags=re.IGNORECASE)
+    masked = re.sub(
+        r"(\x00\d+\x00|\)|\w+(?:\.\w+)?)(\s+NOT)?(\s+)LIKE\s+",
+        r"\1\2\3ILIKE ",
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = _rewrite_double_quoted_literals(masked, identifiers)
+    return _unmask(masked, spans)

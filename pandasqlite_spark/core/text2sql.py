@@ -56,7 +56,24 @@ def text2sql(
     sql = extract_sql(completion)
     if len(ingestions) == 1:
         sql = rewrite_table_placeholder(sql, ingestions[0]["hash"])
-    return rewrite_sqlite_to_spark(sql)
+    return rewrite_sqlite_to_spark(sql, identifiers=known_identifiers(ingestions))
+
+
+def known_identifiers(ingestions: list[dict]) -> set[str]:
+    """Table hashes + column names the dialect rewriter should treat as
+    identifiers (→ backticks), not string literals, when the LLM emits
+    SQLite-style double-quoted names.  Columns come from ``value_format``
+    (always populated by ingest) with a DDL-parse fallback."""
+    idents: set[str] = set()
+    for ing in ingestions:
+        if ing.get("hash"):
+            idents.add(ing["hash"])
+        for col in (ing.get("value_format") or {}):
+            idents.add(col)
+        # DDL renders identifiers double-quoted: CREATE TABLE "h" ("col" TYPE...)
+        for m in re.finditer(r'"([^"]+)"', ing.get("ddl") or ""):
+            idents.add(m.group(1))
+    return idents
 
 
 def run(

@@ -398,7 +398,7 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
-        F.col("o_orderstatus").cast("bigint").alias("bad_cast"),
+        F.col("o_orderstatus").try_cast("bigint").alias("bad_cast"),
     )
 
 

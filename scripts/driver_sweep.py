@@ -3,11 +3,17 @@
 DuckDB oracle with full value comparison, in one fresh session — the
 same check the external driver performs at sf0.01, runnable at any SF:
 
-    python scripts/driver_sweep.py [sf_dir]
+    python scripts/driver_sweep.py [sf_dir] [--vanilla]
 
 Exits non-zero on any mismatch.  (This is how the approx-distinct rsd
 bug was caught: pytest defaults to sf0.001 where the sketch happened to
 be inside tolerance; the sweep at sf0.01 wasn't.)
+
+``--vanilla`` runs the sweep under a DEFAULT-CONF SparkSession — Spark 4
+ANSI mode ON, no parity confs — replicating the external driver's own
+session.  Every key must pass in BOTH modes; a key that only passes under
+``get_spark`` has a hidden session-conf dependence (the round-1
+``cast-types`` failure mode).
 """
 
 from __future__ import annotations
@@ -23,9 +29,28 @@ from tests.util import compare, duckdb_connection  # noqa: E402
 from pandasqlite_spark.session import get_spark  # noqa: E402
 
 
+def vanilla_spark():
+    """A session with driver-like defaults: NO parity confs, ANSI on."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("driver_sweep_vanilla")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("driver_sweep")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vanilla = "--vanilla" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    spark = vanilla_spark() if vanilla else get_spark("driver_sweep")
+    if vanilla:
+        print(f"vanilla session: ansi={spark.conf.get('spark.sql.ansi.enabled')}")
     con = duckdb_connection(sf_dir)
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     t0 = time.perf_counter()

@@ -88,6 +88,74 @@ def test_dialect_keeps_known_identifiers_quoted():
     assert out == "SELECT `Unit_cost` FROM t"
 
 
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        # rewrites must never fire inside string literals (round-1 ADVICE:
+        # the LIKE regex corrupted "... = 'I LIKE it'" into 'I ILIKE it')
+        (
+            "SELECT * FROM t WHERE note = 'I LIKE it'",
+            "SELECT * FROM t WHERE note = 'I LIKE it'",
+        ),
+        (
+            "SELECT 'min(a, b)' AS lit, MIN(a, b) FROM t",
+            "SELECT 'min(a, b)' AS lit, least(a, b) FROM t",
+        ),
+        ("SELECT 'random()' FROM t", "SELECT 'random()' FROM t"),
+        (
+            "SELECT * FROM t WHERE a LIKE 'x%' AND b = 'y LIKE z'",
+            "SELECT * FROM t WHERE a ILIKE 'x%' AND b = 'y LIKE z'",
+        ),
+        # backtick identifier / close-paren / NOT on the left of LIKE
+        (
+            "SELECT * FROM t WHERE `my col` LIKE 'x%'",
+            "SELECT * FROM t WHERE `my col` ILIKE 'x%'",
+        ),
+        (
+            "SELECT * FROM t WHERE substr(a, 1, 2) LIKE 'x%'",
+            "SELECT * FROM t WHERE substr(a, 1, 2) ILIKE 'x%'",
+        ),
+        (
+            "SELECT * FROM t WHERE a NOT LIKE 'x%'",
+            "SELECT * FROM t WHERE a NOT ILIKE 'x%'",
+        ),
+        # nested call in strftime's 2nd arg (round-1 ADVICE: the [^)]+?
+        # regex emitted malformed SQL)
+        (
+            "SELECT strftime('%Y', date(x)) FROM t",
+            "SELECT CAST(year(date(x)) AS STRING) FROM t",
+        ),
+        (
+            "SELECT strftime('%Y-%m', coalesce(d, e)) FROM t",
+            "SELECT date_format(coalesce(d, e), 'yyyy-MM') FROM t",
+        ),
+    ],
+)
+def test_dialect_rules_quote_safety(src, expected):
+    assert rewrite_sqlite_to_spark(src) == expected
+
+
+def test_table_placeholder_not_rewritten_inside_literals():
+    out = rewrite_table_placeholder("SELECT 'a table here' FROM table", "h")
+    assert out == "SELECT 'a table here' FROM `h`"
+
+
+def test_known_identifiers_collects_hash_columns_and_ddl():
+    from pandasqlite_spark.core.text2sql import known_identifiers
+
+    ings = [
+        {
+            "hash": "abc123",
+            "value_format": {"Unit_cost": ["1"], "Region": ["x"]},
+            "ddl": 'CREATE TABLE "abc123" (\n\t"Unit_cost" FLOAT,\n\t"Region" TEXT\n)',
+        }
+    ]
+    idents = known_identifiers(ings)
+    assert {"abc123", "Unit_cost", "Region"} <= idents
+    out = rewrite_sqlite_to_spark('SELECT "Unit_cost" FROM "abc123"', identifiers=idents)
+    assert out == "SELECT `Unit_cost` FROM `abc123`"
+
+
 def test_sanity_check_honors_callback():
     # reference bug (pandasqlite.py:261): passed callback was ignored
     sanity_check(FakeLLM())
