@@ -159,18 +159,15 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.4
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection on the embedding space: all pairs with
-    cosine >= threshold.  This oracle-checked form is the exact
-    all-pairs baseline; the 100 TB path replaces the pair join with
-    :func:`bucketed_neighbors` (LSH buckets) and only reranks
-    candidates — same scoring, ~buckets**2/n fewer pairs."""
-    emb = load(spark, sf_dir, "embeddings")
-    # per-row decimal vector: the dot/norm folds below are then exact
-    # (order-independent), so values match the decimal oracle while the
-    # pair join moves n²/2 ROWS, not the n²·dim positions a
-    # posexplode+join formulation would shuffle (measured 1.5× wall at
-    # sf0.1 locally; the shuffle-volume gap widens on a real network)
+def _dec_rows(emb: DataFrame, *extra_cols: Column) -> DataFrame:
+    """(vec_id, xs, nn[, extras]): per-row decimal vector + exact norm.
+
+    The decimal vector makes the dot/norm folds exact
+    (order-independent), so values match the decimal oracle while a
+    pair join moves ROWS, not the n²·dim positions a posexplode+join
+    formulation would shuffle (measured 1.5× wall at sf0.1 locally; the
+    shuffle-volume gap widens on a real network).
+    """
     dec_vec = F.expr(f"transform(embedding, v -> CAST(CAST(v AS DOUBLE) AS {_DEC}))")
     zero = "CAST(0 AS DECIMAL(25,12))"
     # the re-CAST in each step pins the accumulator type, and the
@@ -182,20 +179,86 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(aggregate(transform(embedding, v -> CAST(CAST(v AS DOUBLE) AS {_DEC})),"
         f" {zero}, (acc, x) -> CAST(acc + x * x AS DECIMAL(25,12))) AS DOUBLE)"
     )
-    e = emb.select("vec_id", dec_vec.alias("xs"), norm.alias("nn"))
-    a = e.select(F.col("vec_id").alias("va"), F.col("xs").alias("xa"), F.col("nn").alias("na"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("xs").alias("xb"), F.col("nn").alias("nb"))
+    return emb.select("vec_id", dec_vec.alias("xs"), norm.alias("nn"), *extra_cols)
+
+
+def _pair_cosine(pairs: DataFrame) -> DataFrame:
+    """(va, vb, cosine) from pair rows carrying xa/xb/na/nb — exact
+    decimal dot fold surfaced as double (oracle-bit-exact)."""
+    zero = "CAST(0 AS DECIMAL(25,12))"
     dot = F.expr(
         f"CAST(aggregate(zip_with(xa, xb, (x, y) -> x * y), {zero},"
         f" (acc, v) -> CAST(acc + v AS DECIMAL(25,12))) AS DOUBLE)"
     )
     cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
-    return (
-        a.join(b, F.col("va") < F.col("vb"))
-        .select("va", "vb", dot.alias("dot"), "na", "nb")
-        .select("va", "vb", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    return pairs.select("va", "vb", dot.alias("dot"), "na", "nb").select(
+        "va", "vb", cos.alias("cosine")
     )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection on the embedding space: all pairs with
+    cosine >= threshold.  This is the EXACT-RECALL oracle baseline —
+    the pair join is an explicit n²/2 product.  The default operator a
+    user should reach for is :func:`embedding_near_dupes` /
+    ``dedup-embedding-bucketed``, which restricts candidates to LSH
+    buckets and reranks with the same exact scoring."""
+    e = _dec_rows(load(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("vec_id").alias("va"), F.col("xs").alias("xa"), F.col("nn").alias("na"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("xs").alias("xb"), F.col("nn").alias("nb"))
+    return _pair_cosine(a.join(b, F.col("va") < F.col("vb"))).filter(
+        F.col("cosine") >= COSINE_DUP_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed near-dup: the default, scale-safe path
+# ---------------------------------------------------------------------------
+
+N_SIGN_BITS = 8
+
+
+def sign_bucket(col: str = "embedding", n_bits: int = N_SIGN_BITS) -> Column:
+    """Axis-aligned sign-projection LSH bucket id — pure JVM expression.
+
+    Each of the first ``n_bits`` coordinates contributes one sign bit:
+    ``bucket = Σ_j (x[j] >= 0) << j``.  This is the random-hyperplane
+    family restricted to axis-aligned planes: same collision guarantee
+    shape (P[collision] grows with cosine), fully codegen'd, and —
+    unlike the numpy-hyperplane variant (:func:`lsh_bucket_ids`) —
+    reproducible in ANSI SQL, so the bucketed operator gets a full
+    value-hash oracle instead of a rows-only check.
+    """
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{j}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+    )
+    return F.expr(terms)
+
+
+def embedding_near_dupes(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD, exact: bool = False
+) -> DataFrame:
+    """Default embedding near-duplicate operator: LSH-bucket candidate
+    generation + exact cosine rerank.
+
+    The candidate join is an equi-join on ``bucket`` — shuffles move
+    same-bucket rows only (~n²/2^bits pairs), never a cartesian
+    product; ``tests/test_similarity_plans.py`` asserts the plan.  Pass
+    ``exact=True`` for the all-pairs exact-recall baseline (small n
+    only — n²/2 pairs at 100 TB is a non-starter).
+    """
+    e = _dec_rows(emb, sign_bucket().alias("bucket"))
+    a = e.select("bucket", F.col("vec_id").alias("va"), F.col("xs").alias("xa"), F.col("nn").alias("na"))
+    b = e.select("bucket", F.col("vec_id").alias("vb"), F.col("xs").alias("xb"), F.col("nn").alias("nb"))
+    if exact:
+        pairs = a.drop("bucket").join(b.drop("bucket"), F.col("va") < F.col("vb"))
+    else:
+        pairs = a.join(b, "bucket").filter(F.col("va") < F.col("vb"))
+    return _pair_cosine(pairs).filter(F.col("cosine") >= threshold)
+
+
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dupes(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -255,8 +318,38 @@ QUERIES = {
     "simsearch-topk": q_simsearch_topk,
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
+    "dedup-embedding-bucketed": q_dedup_embedding_bucketed,
     "simsearch-lsh-buckets": q_simsearch_lsh_buckets,  # rows-only (numpy path)
 }
+
+# DuckDB arrays are 1-indexed; Spark's sign_bucket reads embedding[j]
+# 0-indexed — embedding[j+1] below is the SAME coordinate.
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(N_SIGN_BITS)
+)
+
+_EMB_BUCKETED_ORACLE = f"""
+    WITH s AS (
+      SELECT vec_id, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings),
+    e AS (
+      SELECT vec_id, t.i AS pos,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings, generate_series(1, 64) t(i)),
+    n AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS nn FROM e GROUP BY 1),
+    cand AS (
+      SELECT sa.vec_id AS va, sb.vec_id AS vb
+      FROM s sa JOIN s sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id),
+    d AS (
+      SELECT c.va, c.vb, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN e a ON a.vec_id = c.va
+      JOIN e b ON b.vec_id = c.vb AND b.pos = a.pos
+      GROUP BY 1, 2)
+    SELECT va, vb, dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+    FROM d JOIN n na ON na.vec_id = d.va JOIN n nb ON nb.vec_id = d.vb
+    WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {COSINE_DUP_THRESHOLD}
+"""
 
 _IVF_ORACLE = """
     WITH e AS (
@@ -310,6 +403,7 @@ _EMB_DUP_ORACLE = f"""
 ORACLES = {
     "simsearch-ivf": _IVF_ORACLE,
     "dedup-embedding-cosine": _EMB_DUP_ORACLE,
+    "dedup-embedding-bucketed": _EMB_BUCKETED_ORACLE,
     "simsearch-topk": """
         WITH q AS (
           SELECT t.i AS pos,

@@ -152,6 +152,28 @@ def test_session_agg_single_exchange(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
+def test_embedding_dedup_default_has_no_cartesian(spark, sf_dir):
+    """The DEFAULT embedding near-dup path must candidate-generate via
+    the LSH bucket equi-join — no cartesian/nested-loop product in the
+    plan.  The exact=True baseline DOES plan a nested-loop product
+    (that contrast proves the assert bites), and the bucketed result is
+    a subset of the exact result with identical cosines."""
+    from pandasqlite_spark.functions.similarity import embedding_near_dupes
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = embedding_near_dupes(emb)
+    plan = _plan(bucketed)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact_plan = _plan(embedding_near_dupes(emb, exact=True))
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+    got = {(r.va, r.vb): r.cosine for r in bucketed.collect()}
+    full = {(r.va, r.vb): r.cosine for r in embedding_near_dupes(emb, exact=True).collect()}
+    assert set(got) <= set(full)
+    assert all(got[k] == full[k] for k in got)
+
+
 def test_partitioned_scan_prunes(spark, sf_dir):
     """The year filter must appear as PartitionFilters on the scan (file
     pruning), not as a post-scan Filter over all partitions."""
