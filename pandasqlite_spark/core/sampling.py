@@ -16,6 +16,8 @@ mis-typed high-cardinality column can't OOM the driver.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,15 +32,25 @@ def snapshot_data(df: DataFrame, n: int = SNAPSHOT_N, seed: int = 42) -> dict[st
     slice per column driver-side.  At 100 TB this reads a handful of
     parquet row groups (TABLESAMPLE-style), not the table.
     """
-    # Cheap bounded sample: 3 partitions' worth of heads is plenty for
-    # picking 5 example values; fall back to limit() on tiny frames.
-    rows = df.limit(max(n * 20, 100)).collect()
+    bound = max(n * 20, 100)
+    # Seeded Bernoulli sample, bounded by limit(): on a sorted or
+    # partition-clustered table, limit() heads alone would show the LLM
+    # one enum value / one date range (first-rows bias — the reference's
+    # df.sample(5) is random for the same reason).  limit() keeps the
+    # scan bounded at scale: Spark stops launching tasks once the limit
+    # is satisfied, so only a few partitions are ever read.
+    rows = df.sample(fraction=0.5, seed=seed).limit(bound).collect()
+    if len(rows) < n:  # tiny frame: the Bernoulli draw may under-fill
+        rows = df.limit(bound).collect()
+    rng = random.Random(seed)
     out: dict[str, list] = {}
     for c in df.columns:
         vals = [r[c] for r in rows if r[c] is not None]
         if len(vals) < n:  # keep NULLs if the column is mostly null
             vals = [r[c] for r in rows]
-        out[c.lower()] = vals[:n]
+        # seeded draw across the whole slice, not its head — the
+        # reference's df.sample(5) is uniform for the same reason
+        out[c.lower()] = rng.sample(vals, n) if len(vals) > n else vals
     return out
 
 

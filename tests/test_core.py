@@ -156,6 +156,30 @@ def test_known_identifiers_collects_hash_columns_and_ddl():
     assert out == "SELECT `Unit_cost` FROM `abc123`"
 
 
+def test_curriculum_rewritten_per_ingestion_in_multitable_batch(spark):
+    """Each few-shot curriculum entry must name ITS OWN ingestion's hash
+    (VERDICT r01 item 5): the reference leaks the last table's hash into
+    every entry (pandasqlite.py:247); a multi-table prompt whose
+    few-shots all say `table` (or the wrong hash) teaches the LLM wrong
+    table names."""
+    import re as _re
+
+    from pandasqlite_spark.core.ingest import ingest
+    from pandasqlite_spark.core.prompts import assemble_messages
+
+    a = pd.DataFrame({"x": [1, 2, 3]})
+    b = pd.DataFrame({"y": ["p", "q", "r"]})
+    results, _, _ = ingest(spark, [a, b], FakeLLM(), persist=False)
+    h1, h2 = results[0]["hash"], results[1]["hash"]
+    assert h1 != h2
+
+    few_shots = [c for r, c in assemble_messages("q?", results) if r == "assistant"]
+    assert any(f"`{h1}`" in s for s in few_shots)
+    assert any(f"`{h2}`" in s for s in few_shots)
+    # no few-shot retains the bare `table` placeholder
+    assert not any(_re.search(r"\bFROM\s+table\b", s, _re.I) for s in few_shots)
+
+
 def test_sanity_check_honors_callback():
     # reference bug (pandasqlite.py:261): passed callback was ignored
     sanity_check(FakeLLM())
