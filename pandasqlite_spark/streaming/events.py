@@ -74,6 +74,83 @@ def session_agg(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
     )
 
 
+def sessionize_two_phase(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS, chunk_grain: str = "day"
+) -> DataFrame:
+    """Skew-immune sessionization: identical output to :func:`sessionize`.
+
+    :func:`sessionize` partitions the window by ``user_id`` alone, so a
+    mega-user's entire history lands in ONE task — and AQE does not
+    split window skew (VERDICT r01).  Here the window runs per
+    ``(user_id, time-chunk)`` — task size is bounded by one user-chunk
+    of events — then chunk summaries (one tiny row per user-chunk)
+    stitch sessions across chunk boundaries:
+
+    - chunk k's first session continues chunk k-1's last session iff
+      the boundary gap ``first_ms(k) - last_ms(k-1) <= gap`` (the exact
+      complement of the new-session predicate), transitively across
+      chunks;
+    - each chunk's sessions shift by the running count of *effective*
+      new sessions in prior chunks (``n_sessions - merged``).
+
+    Costs one extra (tiny) summary window + a co-partitioned join vs
+    the single-phase form — the price of bounding the hot-key task.
+    """
+    ev = events.withColumn("chunk", F.date_trunc(chunk_grain, "ts"))
+    w1 = W.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_session = F.when(
+        (ms - F.lag(ms).over(w1)).isNull() | ((ms - F.lag(ms).over(w1)) > gap_ms), 1
+    ).otherwise(0)
+    ev = ev.withColumn(
+        "local_sid",
+        F.sum(new_session).over(w1.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    summaries = ev.groupBy("user_id", "chunk").agg(
+        F.min(ms).alias("first_ms"),
+        F.max(ms).alias("last_ms"),
+        F.max("local_sid").alias("n_sessions"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("chunk")
+    merged = F.when(
+        (F.col("first_ms") - F.lag("last_ms").over(w2)) <= gap_ms, 1
+    ).otherwise(0)
+    offsets = (
+        summaries.withColumn("merged", merged)
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum(F.col("n_sessions") - F.col("merged")).over(
+                    w2.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("user_id", "chunk", "offset", "merged")
+    )
+    return (
+        ev.join(offsets, ["user_id", "chunk"])
+        .withColumn(
+            "session_id",
+            (F.col("offset") + F.col("local_sid") - F.col("merged")).cast("bigint"),
+        )
+        .drop("chunk", "local_sid", "offset", "merged")
+    )
+
+
+def session_agg_two_phase(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    return (
+        sessionize_two_phase(events, gap_ms)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total"),
+            F.min(F.unix_millis("ts")).alias("start_ms"),
+            F.max(F.unix_millis("ts")).alias("end_ms"),
+        )
+    )
+
+
 def multires_rollup(events: DataFrame) -> DataFrame:
     """Hypertable-style multi-resolution rollup: aggregate once at
     minute grain, then derive the hour grain from the minute partials
@@ -113,6 +190,10 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_events(spark, sf_dir))
+
+
+def q_events_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg_two_phase(load_events(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +358,7 @@ QUERIES = {
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
+    "events-session-two-phase": q_events_session_two_phase,
     "events-streaming-tumbling": q_events_streaming_tumbling,
     "events-streaming-join": q_events_streaming_join,
     "events-streaming-dedup": q_events_streaming_dedup,
@@ -340,3 +422,7 @@ ORACLES = {
     """,
     "events-streaming-tumbling": _TUMBLING_ORACLE,
 }
+
+# identical semantics by construction — the two-phase form must match
+# the SAME oracle as the single-phase window
+ORACLES["events-session-two-phase"] = ORACLES["events-session-agg"]

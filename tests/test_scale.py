@@ -174,6 +174,41 @@ def test_embedding_dedup_default_has_no_cartesian(spark, sf_dir):
     assert all(got[k] == full[k] for k in got)
 
 
+def test_two_phase_session_equals_single_phase(spark, sf_dir):
+    """sessionize_two_phase must reproduce sessionize exactly —
+    including sessions that SPAN chunk boundaries (midnight) — while
+    its heavy window partitions on (user_id, chunk), bounding the
+    mega-user task that AQE can't split."""
+    from pandasqlite_spark.operators.common import load_events
+    from pandasqlite_spark.streaming.events import session_agg, session_agg_two_phase
+
+    ev = load_events(spark, sf_dir)
+    a = sorted(map(tuple, session_agg(ev).collect()))
+    b = sorted(map(tuple, session_agg_two_phase(ev).collect()))
+    assert a == b and len(a) > 0
+
+    # synthetic boundary case: one user active straight across midnight
+    # (10-min steps < 30-min gap → ONE session spanning two chunks),
+    # then a separate session the next afternoon
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 23, 30)
+    rows = [
+        (i, base + dt.timedelta(minutes=10 * i), 7, "view", 1.0)
+        for i in range(8)  # 23:30 … 00:40 crosses midnight
+    ] + [(100, dt.datetime(2024, 1, 2, 15, 0), 7, "view", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = sorted(map(tuple, session_agg_two_phase(df).select("session_id", "n_events").collect()))
+    assert got == [(1, 8), (2, 1)]
+    want = sorted(map(tuple, session_agg(df).select("session_id", "n_events").collect()))
+    assert got == want
+
+    plan = _plan(session_agg_two_phase(ev))
+    assert "user_id" in plan and "chunk" in plan
+
+
 def test_partitioned_scan_prunes(spark, sf_dir):
     """The year filter must appear as PartitionFilters on the scan (file
     pruning), not as a post-scan Filter over all partitions."""
