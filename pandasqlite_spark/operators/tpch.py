@@ -307,6 +307,79 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (adapted: no partsupp table, so supply
+    cost is the part's retail price — the join/agg shape is what
+    matters).  The heaviest join pattern in the set: lineitem joins
+    THREE ways (part by partkey, supplier by suppkey, orders by
+    orderkey).  Only nation is forced broadcast; part/supplier are left
+    to the planner — locally they fit the auto-broadcast threshold, at
+    100 TB they shuffle-join and AQE picks the build side."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    amount = _disc_price() - _dec("l_quantity") * _dec("p_retailprice")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept waiting (adapted: no commit/receipt
+    dates — "late" is shipping >60 days after the order date), written
+    DECORRELATED: the classic form is a doubly-correlated
+    EXISTS/NOT-EXISTS over lineitem (the oracle keeps that shape);
+    here per-order supplier/late-supplier counts are WINDOW aggregates
+    over the l_orderkey partition, so both subqueries collapse into
+    the one shuffle the l⋈orders join already pays — no lineitem
+    self-join at all."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    from pyspark.sql import Window as W
+
+    l = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    # per-order supplier counts as WINDOW aggregates — the order's line
+    # set is the window partition, so there is no per_order self-join
+    # and the fact shuffles exactly once on l_orderkey
+    w = W.partitionBy("l_orderkey")
+    l = l.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w))).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = F.broadcast(load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5"))
+    return (
+        l.filter("late")
+        # EXISTS(other supplier) ⇔ n_supp >= 2; NOT EXISTS(other LATE
+        # supplier) ⇔ n_late_supp = 1 (this line's supplier is late, so
+        # it is the one late supplier)
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES: dict[str, str] = {
@@ -417,6 +490,37 @@ ORACLES: dict[str, str] = {
             OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
                 AND l_quantity BETWEEN 20 AND 30))
     """,
+    "tpch-q9": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM({_DISC} - CAST(l_quantity AS DECIMAL(18,2))
+                                  * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_profit
+        FROM lineitem, part, supplier, orders, nation
+        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+          AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    "tpch-q21": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
     "tpch-q18": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                CAST(big._q AS DOUBLE) AS total_qty
@@ -441,4 +545,6 @@ QUERIES = {
     "tpch-q14": q_tpch_q14,
     "tpch-q18": q_tpch_q18,
     "tpch-q19": q_tpch_q19,
+    "tpch-q9": q_tpch_q9,
+    "tpch-q21": q_tpch_q21,
 }

@@ -174,6 +174,20 @@ def test_embedding_dedup_default_has_no_cartesian(spark, sf_dir):
     assert all(got[k] == full[k] for k in got)
 
 
+def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is decorrelated into window
+    aggregates: the whole query must shuffle lineitem exactly once
+    (the l_orderkey exchange the orders join already pays) — a
+    per-order self-join formulation would add two more."""
+    import re
+
+    from pandasqlite_spark.operators.tpch import q_tpch_q21
+
+    plan = _plan(q_tpch_q21(spark, sf_dir))
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys.count("l_orderkey") == 1, keys
+
+
 def test_two_phase_session_equals_single_phase(spark, sf_dir):
     """sessionize_two_phase must reproduce sessionize exactly —
     including sessions that SPAN chunk boundaries (midnight) — while
