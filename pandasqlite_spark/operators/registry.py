@@ -18,7 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from pandasqlite_spark.operators import advanced, extended, pipeline, relational, tpch
+    from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
     from pandasqlite_spark.functions import dedup, multimodal, similarity, text, udfs
     from pandasqlite_spark.streaming import events as streaming_events
 
@@ -26,6 +26,7 @@ def _modules():
         relational,
         advanced,
         extended,
+        scale,
         tpch,
         pipeline,
         dedup,

@@ -67,3 +67,32 @@ def salted_join(
 def plan_has_exchange(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders through the salted join, aggregated per status.
+
+    Salting is result-invariant — the oracle is the plain join — so the
+    driver's value-hash proves the skew mitigation does not perturb
+    semantics while the plan test proves it balances the shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+QUERIES = {
+    "join-skew-salted": q_join_skew_salted,
+}
+
+ORACLES = {
+    "join-skew-salted": """
+        SELECT o_orderstatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+}
