@@ -235,6 +235,87 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cluster assignment (connected components over near-dup pairs) and
+# benchmark decontamination — the two steps after candidate generation
+# that a real training-data pipeline needs.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list
+    ``(doc_a, doc_b)`` → one ``(doc_id, rep_id)`` row per node, where
+    ``rep_id`` is the smallest doc_id in the node's component — the
+    canonical document every near-dup cluster keeps.
+
+    Pregel-style neighbor-min label propagation: each round joins the
+    current labels to the symmetric edge list and takes the min over
+    neighbors, converging in O(component diameter) rounds.  Near-dup
+    clusters have tiny diameters (dups of dups of one source), so this
+    terminates in a handful of rounds; each round is one shuffle on the
+    node key and the frontier is ``localCheckpoint``-ed so the plan
+    doesn't grow with iterations.  (For adversarial long-chain graphs,
+    switch to large-star/small-star, which contracts in O(log n)
+    rounds — same join shape, different update rule.)"""
+    sym = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
+        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = labels.join(nbr, "u", "left").select(
+            "u", F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.selectExpr("u AS doc_id", "lbl AS rep_id")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup pairs → dedup clusters: every doc in a ≥0.5-Jaccard pair
+    mapped to its cluster's canonical (minimum) doc_id."""
+    edges = q_dedup_near(spark, sf_dir)
+    return connected_components(edges)
+
+
+def decontaminate_ngram(
+    docs: DataFrame, bench: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of
+    distinct word n-grams it shares with ANY benchmark doc.  Docs with
+    ``n_shared > 0`` are contamination candidates to drop before
+    training.  The benchmark shingle set is tiny next to a 100 TB
+    corpus, so it broadcasts — the corpus-side scan never shuffles."""
+    bench_sh = shingles(bench, n).select("sh").distinct()
+    return (
+        shingles(docs, n)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stand-in split: doc_id % 100 == 0 is the held-out benchmark."""
+    d = load(spark, sf_dir, "documents")
+    return decontaminate_ngram(
+        d.filter(F.col("doc_id") % 100 != 0),
+        d.filter(F.col("doc_id") % 100 == 0),
+    )
+
+
 def _minhash_oracle_sig() -> str:
     mins = ",\n               ".join(
         f"min(md5('s{i}|' || sh)) AS m{i}" for i in range(N_HASHES)
@@ -331,6 +412,8 @@ QUERIES = {
     "dedup-minhash-pairs": q_dedup_minhash_pairs,
     "dedup-near": q_dedup_near,
     "dedup-simhash": q_dedup_simhash,
+    "dedup-connected-components": q_dedup_components,
+    "decontaminate-ngram": q_decontaminate_ngram,
 }
 
 ORACLES = {
@@ -378,5 +461,45 @@ ORACLES = {
         JOIN shl b ON b.doc_id = p.doc_b
         WHERE CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
                  / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= 0.5
+    """,
+    "dedup-connected-components": f"""
+        WITH RECURSIVE pairs AS (
+          WITH near_pairs AS ({_minhash_oracle_pairs()}),
+          toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+          shl AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) AS l
+            FROM toks WHERE len(t) >= 3)
+          SELECT p.doc_a, p.doc_b
+          FROM near_pairs p
+          JOIN shl a ON a.doc_id = p.doc_a
+          JOIN shl b ON b.doc_id = p.doc_b
+          WHERE CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                   / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id
+        FROM reach GROUP BY u
+    """,
+    "decontaminate-ngram": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       for i in range(1, len(t) - 1)])) AS sh
+          FROM toks WHERE len(t) >= 3),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0)
+        SELECT s.doc_id, COUNT(*) AS n_shared
+        FROM sh s JOIN bench b ON s.sh = b.sh
+        WHERE s.doc_id % 100 <> 0
+        GROUP BY s.doc_id
     """,
 }

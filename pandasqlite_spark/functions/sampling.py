@@ -1,0 +1,75 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Complements the row-level ``deterministic-sample`` key
+(operators/extended.py): here the *rate varies per class* so the output
+is class-balanced — the standard move when one language or source
+dominates a pretraining corpus.
+
+The sampler is hash-threshold based, not sort-based: each row computes
+a uniform value from ``md5(id)`` and keeps itself iff
+``value * n_class < 65536 * target``.  That is embarrassingly parallel
+(no per-class sort, no window, no skewed rank shuffle — only the tiny
+class-histogram aggregate, which broadcasts), reproducible across runs
+and engines, and stable under re-partitioning — exactly what a 100 TB
+corpus rebuild needs.  The trade-off vs rank-by-hash is binomial
+jitter around the target size (~±sqrt(target)), which balance use
+cases tolerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+
+def uniform_hash16(id_col) -> F.Column:
+    """First 16 bits of md5(id) as a bigint in [0, 65536) — the same
+    value DuckDB computes with ('0x' || substr(md5(id),1,4))::BIGINT,
+    so sampling decisions are reproducible across engines."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+
+
+def stratified_balanced_sample(
+    df: DataFrame, cls_col: str, id_col: str
+) -> DataFrame:
+    """Downsample every class to ≈ the rarest class's size.
+
+    Per-class keep-probability is ``target / n_class`` with
+    ``target = min(n_class)``; membership is decided by the row's own
+    hash, so the plan is scan → broadcast-join the class histogram →
+    filter.  Integer-only comparison (``h * n_class < 65536 * target``)
+    keeps the decision exact and engine-portable."""
+    counts = df.groupBy(cls_col).agg(F.count(F.lit(1)).alias("n_g"))
+    target = counts.agg(F.min("n_g").alias("t"))
+    h = uniform_hash16(F.col(id_col))
+    return (
+        df.join(F.broadcast(counts), cls_col)
+        .crossJoin(F.broadcast(target))
+        .filter(h * F.col("n_g") < 65536 * F.col("t"))
+        .select(id_col, cls_col)
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return stratified_balanced_sample(d, "lang", "doc_id")
+
+
+QUERIES = {
+    "sample-stratified": q_sample_stratified,
+}
+
+ORACLES = {
+    "sample-stratified": """
+        WITH counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+        tgt AS (SELECT MIN(n_g) AS t FROM counts)
+        SELECT doc_id, lang
+        FROM documents JOIN counts USING (lang) CROSS JOIN tgt
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * n_g
+              < 65536 * t
+    """,
+}

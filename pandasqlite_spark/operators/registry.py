@@ -19,7 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
-    from pandasqlite_spark.functions import dedup, multimodal, similarity, text, udfs
+    from pandasqlite_spark.functions import dedup, multimodal, sampling, similarity, text, udfs
     from pandasqlite_spark.streaming import events as streaming_events
 
     return (
@@ -30,6 +30,7 @@ def _modules():
         tpch,
         pipeline,
         dedup,
+        sampling,
         multimodal,
         similarity,
         text,

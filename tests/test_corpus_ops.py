@@ -1,0 +1,72 @@
+"""Functional tests for the corpus-pipeline operators added on top of
+candidate generation: cluster assignment (connected components),
+benchmark decontamination, and class-balanced deterministic sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.functions.dedup import (
+    connected_components,
+    decontaminate_ngram,
+)
+from pandasqlite_spark.functions.sampling import stratified_balanced_sample
+from pandasqlite_spark.operators.common import load
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a LONG, doc_b LONG")
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4-5 needs several propagation rounds; 10-11 is separate
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    got = {r.doc_id: r.rep_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    # two stars that share node 7 collapse into one component
+    edges = _edges(spark, [(7, 20), (7, 21), (3, 7), (3, 9)])
+    got = {r.doc_id: r.rep_id for r in connected_components(edges).collect()}
+    assert set(got.values()) == {3}
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares "the quick brown"
+            (2, "completely different words entirely here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown dog sits")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r.n_shared for r in decontaminate_ngram(docs, bench).collect()}
+    assert got == {1: 1}  # the shared trigram "the quick brown"; doc 2 clean
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    out = decontaminate_ngram(
+        d.filter(F.col("doc_id") % 100 != 0), d.filter(F.col("doc_id") % 100 == 0)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_balances_classes(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sample = stratified_balanced_sample(d, "lang", "doc_id")
+    class_n = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    target = min(class_n.values())
+    got = {r.lang: r.n for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in got.items():
+        # binomial jitter: mean target, sd <= sqrt(target)
+        assert abs(n - target) <= max(4 * math.sqrt(target), 5), (lang, n, target)
+    # deterministic: same rows on a rerun
+    again = {r.doc_id for r in sample.collect()}
+    assert again == {r.doc_id for r in stratified_balanced_sample(d, "lang", "doc_id").collect()}
