@@ -59,8 +59,33 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_balanced_sample(d, "lang", "doc_id")
 
 
+# ≈98% / 1% / 1% of the 16-bit hash space
+_TRAIN_CUT = 64225
+_VAL_CUT = 64880
+
+
+def split_assign(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the row's own id
+    hash — no shuffle, no global state, stable when the corpus is
+    rebuilt or re-partitioned, and a doc never migrates between splits
+    as new data arrives (the property random splits lack)."""
+    h = uniform_hash16(F.col(id_col))
+    return df.select(
+        id_col,
+        F.when(h < _TRAIN_CUT, "train")
+        .when(h < _VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_assign(load(spark, sf_dir, "documents"), "doc_id")
+
+
 QUERIES = {
     "sample-stratified": q_sample_stratified,
+    "split-assign": q_split_assign,
 }
 
 ORACLES = {
@@ -71,5 +96,14 @@ ORACLES = {
         FROM documents JOIN counts USING (lang) CROSS JOIN tgt
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * n_g
               < 65536 * t
+    """,
+    "split-assign": """
+        SELECT doc_id,
+               CASE WHEN h < 64225 THEN 'train'
+                    WHEN h < 64880 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h
+              FROM documents)
     """,
 }

@@ -71,6 +71,16 @@ def quality_score(col: str = "text") -> Column:
     return F.round(0.4 * length_sat + 0.3 * distinct_ratio + 0.3 * alpha_ratio, 9)
 
 
+def repetition_ratio(col: str = "text") -> Column:
+    """Duplicate-token mass ``1 - distinct/total`` — the cheap
+    repetitious-text signal (high values flag boilerplate / template
+    spam for the quality gate).  Row-local, codegen'd, no shuffle."""
+    toks = tokens(col)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 9
+    )
+
+
 def fingerprint(col: str = "text") -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (the classic "fingerprint" dedup key)."""
@@ -107,6 +117,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint().alias("fp"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.size(tokens()) > 0).select(
+        "doc_id", repetition_ratio().alias("rep_ratio")
+    )
 
 
 def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,6 +196,7 @@ QUERIES = {
     "text-fingerprint": q_text_fingerprint,
     "text-bigram-freq": q_text_bigram_freq,
     "text-length-histogram": q_text_length_histogram,
+    "text-repetition": q_text_repetition,
 }
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -189,6 +207,12 @@ _NORM = (
 )
 
 ORACLES = {
+    "text-repetition": f"""
+        SELECT doc_id,
+               ROUND(1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                     / len({_TOKS}), 9) AS rep_ratio
+        FROM documents WHERE len({_TOKS}) > 0
+    """,
     "text-bigram-freq": f"""
         WITH t AS (SELECT {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 2),
         bg AS (

@@ -12,7 +12,10 @@ from pandasqlite_spark.functions.dedup import (
     connected_components,
     decontaminate_ngram,
 )
-from pandasqlite_spark.functions.sampling import stratified_balanced_sample
+from pandasqlite_spark.functions.sampling import (
+    split_assign,
+    stratified_balanced_sample,
+)
 from pandasqlite_spark.operators.common import load
 
 
@@ -70,3 +73,17 @@ def test_stratified_sample_balances_classes(spark, sf_dir):
     # deterministic: same rows on a rerun
     again = {r.doc_id for r in sample.collect()}
     assert again == {r.doc_id for r in stratified_balanced_sample(d, "lang", "doc_id").collect()}
+
+
+def test_split_assign_covers_all_docs_and_is_stable(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    rows = split_assign(d, "doc_id").collect()
+    assert len(rows) == d.count()
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 0.9 * len(rows)  # ≈98% by construction
+    assert {(r.doc_id, r.split) for r in rows} == {
+        (r.doc_id, r.split) for r in split_assign(d, "doc_id").collect()
+    }
