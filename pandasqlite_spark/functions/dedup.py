@@ -316,6 +316,33 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_new_docs(new_docs: DataFrame, existing: DataFrame) -> DataFrame:
+    """Incremental corpus dedup: keep only the new docs whose
+    order-insensitive token-set fingerprint is absent from the already-
+    ingested corpus — the every-crawl-cycle operation of a growing
+    training corpus.  Shape: two row-local fingerprint projections and
+    one LEFT ANTI join on the 16-byte fingerprint.  The anti-join
+    shuffles only (id, fp) pairs, never document text; when the daily
+    increment is small relative to the corpus, flip the join order so
+    the increment side broadcasts."""
+    from pandasqlite_spark.functions.text import fingerprint
+
+    new_fp = new_docs.select("doc_id", fingerprint().alias("fp"))
+    old_fp = existing.select(fingerprint().alias("fp")).distinct()
+    return new_fp.join(old_fp, "fp", "left_anti").select("doc_id", "fp")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stand-in split: doc_id % 5 == 0 is the new increment; the rest
+    is the existing corpus (10% of the increment is dropped as
+    already-present at sf0.01)."""
+    d = load(spark, sf_dir, "documents")
+    return incremental_new_docs(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+    )
+
+
 def _minhash_oracle_sig() -> str:
     mins = ",\n               ".join(
         f"min(md5('s{i}|' || sh)) AS m{i}" for i in range(N_HASHES)
@@ -414,9 +441,21 @@ QUERIES = {
     "dedup-simhash": q_dedup_simhash,
     "dedup-connected-components": q_dedup_components,
     "decontaminate-ngram": q_decontaminate_ngram,
+    "dedup-incremental": q_dedup_incremental,
 }
 
 ORACLES = {
+    "dedup-incremental": f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+          FROM documents)
+        SELECT n.doc_id, n.fp
+        FROM fp n
+        WHERE n.doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM fp o
+                          WHERE o.doc_id % 5 <> 0 AND o.fp = n.fp)
+    """,
     "dedup-exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text

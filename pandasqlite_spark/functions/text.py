@@ -81,6 +81,21 @@ def repetition_ratio(col: str = "text") -> Column:
     )
 
 
+# PII patterns shared verbatim by the Spark query and the DuckDB oracle
+# (subset of regex syntax valid in both Java regex and RE2).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact_pii(col) -> Column:
+    """Mask emails then phone numbers with typed placeholders — the
+    standard pre-training scrub pass.  Two chained ``regexp_replace``
+    calls: row-local, JVM-side, no shuffle, linear over 100 TB."""
+    c = col if isinstance(col, Column) else F.col(col)
+    c = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(c, PHONE_RE, "[PHONE]")
+
+
 def fingerprint(col: str = "text") -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (the classic "fingerprint" dedup key)."""
@@ -123,6 +138,58 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.filter(F.size(tokens()) > 0).select(
         "doc_id", repetition_ratio().alias("rep_ratio")
+    )
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction correctness probe: the synthetic corpus contains no
+    PII, so the query first splices a deterministic email + phone
+    (derived from ``doc_id``) into each document, then runs the real
+    ``redact_pii`` operator over the spliced text.  Both engines build
+    the identical input, so the oracle checks the redaction itself."""
+    d = load(spark, sf_dir, "documents")
+    spliced = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select("doc_id", redact_pii(spliced).alias("redacted"))
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) token accounting — the first number any
+    pretraining run needs.  Single scan, row-local token counts, one
+    tiny groupBy (map-side partials carry one row per lang×source per
+    partition; the exchange moves a few hundred rows at any corpus
+    size)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count()).alias("total_tokens"),
+        F.sum(bpe_piece_count()).alias("total_pieces"),
+    )
+
+
+def length_quantiles(df: DataFrame, value_col: str, by: str, *, exact: bool = True) -> DataFrame:
+    """Per-group p50/p90/p99 of ``value_col``.  ``exact=True`` uses
+    interpolated ``percentile`` (per-group sort — fine when groups fit
+    an executor, as lang-level groups do); at 100 TB with huge groups
+    flip to ``exact=False`` → ``approx_percentile`` (t-digest sketch,
+    mergeable map-side partials, no per-group sort)."""
+    fn = "percentile" if exact else "approx_percentile"
+    return df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr(f"{fn}({value_col}, 0.5)"), 6).alias("p50"),
+        F.round(F.expr(f"{fn}({value_col}, 0.9)"), 6).alias("p90"),
+        F.round(F.expr(f"{fn}({value_col}, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_quantiles(
+        load(spark, sf_dir, "documents"), "n_chars", "lang", exact=True
     )
 
 
@@ -197,6 +264,9 @@ QUERIES = {
     "text-bigram-freq": q_text_bigram_freq,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
+    "text-pii-redact": q_text_pii_redact,
+    "corpus-token-budget": q_corpus_token_budget,
+    "corpus-length-quantiles": q_corpus_length_quantiles,
 }
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -206,7 +276,36 @@ _NORM = (
     " ' +', ' ', 'g'))"
 )
 
+_SPLICED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
 ORACLES = {
+    "text-pii-redact": f"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace({_SPLICED},
+                                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}',
+                                '[EMAIL]', 'g'),
+                 '\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g') AS redacted
+        FROM documents
+    """,
+    "corpus-token-budget": f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_pieces
+        FROM documents GROUP BY lang, source
+    """,
+    "corpus-length-quantiles": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+               ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+               ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+        FROM documents GROUP BY lang
+    """,
     "text-repetition": f"""
         SELECT doc_id,
                ROUND(1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)

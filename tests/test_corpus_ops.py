@@ -87,3 +87,49 @@ def test_split_assign_covers_all_docs_and_is_stable(spark, sf_dir):
     assert {(r.doc_id, r.split) for r in rows} == {
         (r.doc_id, r.split) for r in split_assign(d, "doc_id").collect()
     }
+
+
+def test_redact_pii_masks_email_and_phone(spark):
+    from pandasqlite_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail me at jo.doe+x@sub.example.org or call 212-555-0199 now",),
+         ("no pii here",)],
+        "text STRING",
+    )
+    got = [r.out for r in df.select(redact_pii("text").alias("out")).collect()]
+    assert got[0] == "mail me at [EMAIL] or call [PHONE] now"
+    assert got[1] == "no pii here"
+
+
+def test_incremental_dedup_drops_already_present_docs(spark):
+    from pandasqlite_spark.functions.dedup import incremental_new_docs
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(10, "gamma beta alpha"),   # same token set as doc 1 → dropped
+         (11, "zeta eta theta")],    # genuinely new → kept
+        "doc_id LONG, text STRING",
+    )
+    kept = [r.doc_id for r in incremental_new_docs(new, existing).collect()]
+    assert kept == [11]
+
+
+def test_length_quantiles_exact_and_approx_agree_on_small_groups(spark, sf_dir):
+    from pandasqlite_spark.functions.text import length_quantiles
+
+    d = load(spark, sf_dir, "documents")
+    exact = {r.lang: r for r in length_quantiles(d, "n_chars", "lang").collect()}
+    approx = {
+        r.lang: r
+        for r in length_quantiles(d, "n_chars", "lang", exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert e.n_docs == a.n_docs
+        # sketch must land within 10% of the exact interpolated value
+        assert math.isclose(a.p50, e.p50, rel_tol=0.10)
+        assert math.isclose(a.p90, e.p90, rel_tol=0.10)
