@@ -1,0 +1,137 @@
+"""Centroid operators over the embedding space (SURVEY.md §2.D scale
+extensions): per-label centroids and nearest-centroid assignment — the
+two primitives under corpus clustering, IVF index build, and
+semantic-bucket sampling.
+
+Exactness strategy (shared with :mod:`pandasqlite_spark.functions
+.similarity`): float → double → ``decimal(8,6)`` per element, decimal
+sums (order-independent), and a single decimal→double conversion at the
+surface, so the values are bit-identical to the DuckDB oracle.
+
+Cross-label distance comparison uses the *scaled* squared distance
+``Σ_dim (n·v − S)² = n²·Σ_dim (v − c)²`` where ``S`` is the exact
+per-dimension decimal sum and ``n`` the label count — all decimal
+arithmetic, no double fold — then divides by ``n²`` in double once.
+That keeps the argmin exact without materializing a rounded centroid.
+
+Scale shape: the centroid table is labels × dims rows (tiny at any
+corpus size) and always broadcasts; the vector side is one posexplode
+(row-local) and partial-aggregated groupBys, so the only exchanges
+carry ``labels`` skinny rows per vector, never raw vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+_DEC = "decimal(8,6)"
+
+
+def _exploded(emb: DataFrame, *cols: str) -> DataFrame:
+    """(…cols, dim, v): one row per vector element, element as exact
+    decimal (via the load-bearing double hop — see similarity.py)."""
+    return emb.select(
+        *cols, F.posexplode("embedding").alias("dim", "x")
+    ).select(*cols, "dim", F.col("x").cast("double").cast(_DEC).alias("v"))
+
+
+def label_centroid_sums(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """(label, dim, s, n): exact per-dimension decimal sum + count.
+    The centroid itself is ``s / n``; keeping (s, n) unreduced lets the
+    assignment below stay in exact decimal arithmetic."""
+    return (
+        _exploded(emb, label_col)
+        .groupBy(label_col, "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector in long (label, dim, centroid) form —
+    long form is itself the scale-safe layout (no giant array rows),
+    and the exact-decimal sum ÷ count division happens once, in
+    double."""
+    sums = label_centroid_sums(load(spark, sf_dir, "embeddings"))
+    return sums.select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / F.col("n")).alias("centroid"),
+    )
+
+
+def assign_nearest_centroid(emb: DataFrame, cent_sums: DataFrame) -> DataFrame:
+    """(vec_id, nearest_label, dist): each vector assigned to the label
+    whose centroid is nearest in squared L2, ties broken by label.
+
+    Plan: posexplode (row-local) → broadcast-join the (label, dim)
+    sums table → partial-agg groupBy (vec_id, label) → window argmin.
+    The exchanges move ``labels`` rows per vector (vec_id, label,
+    decimal accumulator) — never embeddings."""
+    ex = _exploded(emb, "vec_id")
+    # n·v − S fits (15,6) exactly: no rounding in either engine
+    term = F.expr("CAST(n * v - s AS DECIMAL(15,6))")
+    per_label = (
+        ex.join(F.broadcast(cent_sums), "dim")
+        .groupBy("vec_id", "label", "n")
+        .agg(F.sum(term * term).alias("sq"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("sq").cast("double") / (F.col("n") * F.col("n"))).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "label")
+    return (
+        per_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("nearest_label"), "dist")
+    )
+
+
+def q_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return assign_nearest_centroid(emb, label_centroid_sums(emb))
+
+
+QUERIES = {
+    "embedding-centroids": q_embedding_centroids,
+    "embedding-assign": q_embedding_assign,
+}
+
+_EX = """
+        SELECT vec_id, label, r.range AS dim,
+               CAST(CAST(embedding[r.range + 1] AS DOUBLE) AS DECIMAL(8,6)) AS v
+        FROM embeddings CROSS JOIN range(0, 64) r
+"""
+
+ORACLES = {
+    "embedding-centroids": f"""
+        WITH ex AS ({_EX})
+        SELECT label, dim,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid
+        FROM ex GROUP BY label, dim
+    """,
+    "embedding-assign": f"""
+        WITH ex AS ({_EX}),
+        cent AS (
+          SELECT label, dim, SUM(v) AS s, COUNT(*) AS n
+          FROM ex GROUP BY label, dim),
+        d AS (
+          SELECT e.vec_id, c.label,
+                 CAST(SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
+                          * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS DOUBLE)
+                   / (c.n * c.n) AS dist
+          FROM ex e JOIN cent c ON e.dim = c.dim
+          GROUP BY e.vec_id, c.label, c.n),
+        ranked AS (
+          SELECT vec_id, label, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, label) AS rn
+          FROM d)
+        SELECT vec_id, label AS nearest_label, dist
+        FROM ranked WHERE rn = 1
+    """,
+}

@@ -19,7 +19,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
-    from pandasqlite_spark.functions import dedup, multimodal, sampling, similarity, text, udfs
+    from pandasqlite_spark.functions import (
+        clustering,
+        dedup,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+        udfs,
+    )
     from pandasqlite_spark.streaming import events as streaming_events
 
     return (
@@ -33,6 +41,7 @@ def _modules():
         sampling,
         multimodal,
         similarity,
+        clustering,
         text,
         udfs,
         streaming_events,

@@ -1,0 +1,88 @@
+"""Centroid operators: value correctness on a hand-computable fixture
+plus the plan shapes the 100 TB design depends on (broadcast centroid
+join, no cartesian in the incremental-dedup anti join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.functions.clustering import (
+    assign_nearest_centroid,
+    label_centroid_sums,
+    q_embedding_assign,
+)
+from pandasqlite_spark.functions.dedup import q_dedup_incremental
+from pandasqlite_spark.operators.common import load
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+def test_centroid_sums_and_assignment_on_fixture(spark):
+    # label 0 centroid = (0.5, 0.5); label 1 centroid = (3, 4)
+    d = _emb(
+        spark,
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [1.0, 1.0], 0),
+            (3, [3.0, 4.0], 1),
+            (4, [2.5, 0.0], 0),  # nearer (0.5, 0.5) than (3, 4)
+        ],
+    )
+    sums = label_centroid_sums(d)
+    got = {(r.label, r.dim): (float(r.s), r.n) for r in sums.collect()}
+    assert got[(0, 0)] == (3.5, 3) and got[(0, 1)] == (1.0, 3)
+    assert got[(1, 0)] == (3.0, 1) and got[(1, 1)] == (4.0, 1)
+
+    assigned = {
+        r.vec_id: r.nearest_label
+        for r in assign_nearest_centroid(d, sums).collect()
+    }
+    assert assigned == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_assignment_tie_breaks_by_lowest_label(spark):
+    # two identical centroids: the tie must go to the smaller label
+    d = _emb(spark, [(1, [1.0, 1.0], 5), (2, [1.0, 1.0], 3)])
+    sums = label_centroid_sums(d)
+    rows = assign_nearest_centroid(d, sums).collect()
+    assert {r.nearest_label for r in rows} == {3}
+
+
+def test_assignment_plan_broadcasts_centroids(spark, sf_dir):
+    plan = (
+        q_embedding_assign(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_plan_is_anti_join_not_cartesian(spark, sf_dir):
+    plan = (
+        q_dedup_incremental(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_uses_partial_aggregation(spark, sf_dir):
+    from pandasqlite_spark.functions.text import q_corpus_token_budget
+
+    plan = (
+        q_corpus_token_budget(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # map-side partial + final agg around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
