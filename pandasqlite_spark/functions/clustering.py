@@ -96,9 +96,70 @@ def q_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_nearest_centroid(emb, label_centroid_sums(emb))
 
 
+def kmeans_lloyd(
+    emb: DataFrame, k: int = 8, iters: int = 2, *, checkpoint: bool = False
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame composition: deterministic
+    seeding (``vec_id % k``), then ``iters`` rounds of recompute-sums →
+    reassign.  Every round is exact decimal arithmetic, so the final
+    (vec_id, label, dist) is engine-reproducible — the DuckDB oracle
+    unrolls the same rounds as nested CTEs.
+
+    At scale, pass ``checkpoint=True``: each round re-reads the vector
+    table but the *assignment* lineage would otherwise deepen by one
+    join + two aggregations per round; localCheckpoint truncates it so
+    round N's plan doesn't replay rounds 1..N-1.  Empty clusters simply
+    drop out of the sums table (both engines agree)."""
+    assigned = emb.select("vec_id", (F.col("vec_id") % k).cast("int").alias("label"))
+    for _ in range(iters):
+        sums = label_centroid_sums(emb.drop("label").join(assigned, "vec_id"))
+        out = assign_nearest_centroid(emb, sums)
+        assigned = out.select("vec_id", F.col("nearest_label").alias("label"))
+        if checkpoint:
+            assigned = assigned.localCheckpoint(eager=False)
+    return out
+
+
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_lloyd(load(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd rounds as nested CTEs, mirroring kmeans_lloyd."""
+    parts = [
+        f"WITH ex AS ({_EX}),",
+        f"a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INT) AS label FROM embeddings)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"a{i - 1}"
+        parts.append(f""",
+        cent{i} AS (
+          SELECT p.label, e.dim, SUM(e.v) AS s, COUNT(*) AS n
+          FROM ex e JOIN {prev} p USING (vec_id)
+          GROUP BY p.label, e.dim),
+        d{i} AS (
+          SELECT e.vec_id, c.label,
+                 CAST(SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
+                          * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS DOUBLE)
+                   / (c.n * c.n) AS dist
+          FROM ex e JOIN cent{i} c ON e.dim = c.dim
+          GROUP BY e.vec_id, c.label, c.n),
+        a{i} AS (
+          SELECT vec_id, label, dist FROM (
+            SELECT vec_id, label, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, label) AS rn
+            FROM d{i}) WHERE rn = 1)""")
+    parts.append(
+        f"SELECT vec_id, label AS nearest_label, dist FROM a{iters}"
+    )
+    return "\n".join(parts)
+
+
 QUERIES = {
     "embedding-centroids": q_embedding_centroids,
     "embedding-assign": q_embedding_assign,
+    "cluster-kmeans": q_cluster_kmeans,
 }
 
 _EX = """
@@ -108,6 +169,7 @@ _EX = """
 """
 
 ORACLES = {
+    "cluster-kmeans": _kmeans_oracle(),
     "embedding-centroids": f"""
         WITH ex AS ({_EX})
         SELECT label, dim,

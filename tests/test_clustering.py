@@ -86,3 +86,32 @@ def test_token_budget_uses_partial_aggregation(spark, sf_dir):
     # map-side partial + final agg around a single exchange
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kmeans_converges_on_separable_fixture(spark):
+    from pandasqlite_spark.functions.clustering import kmeans_lloyd
+
+    # two tight blobs far apart; vec_id % 2 seeding scatters both blobs
+    # across both initial clusters, so convergence requires real updates
+    rows = [(i, [0.0 + i * 0.01, 0.0], 0) for i in range(4)] + [
+        (10 + i, [5.0, 5.0 + i * 0.01], 0) for i in range(4)
+    ]
+    d = _emb(spark, rows)
+    got = kmeans_lloyd(d, k=2, iters=3).collect()
+    by_blob = {
+        frozenset(r.vec_id for r in got if r.nearest_label == lbl)
+        for lbl in {r.nearest_label for r in got}
+    }
+    assert by_blob == {frozenset({0, 1, 2, 3}), frozenset({10, 11, 12, 13})}
+
+
+def test_kmeans_checkpoint_path_matches_plain(spark):
+    from pandasqlite_spark.functions.clustering import kmeans_lloyd
+
+    d = _emb(spark, [(i, [float(i % 5), float(i % 3)], 0) for i in range(30)])
+    plain = sorted((r.vec_id, r.nearest_label) for r in kmeans_lloyd(d, k=3).collect())
+    ckpt = sorted(
+        (r.vec_id, r.nearest_label)
+        for r in kmeans_lloyd(d, k=3, checkpoint=True).collect()
+    )
+    assert plain == ckpt
