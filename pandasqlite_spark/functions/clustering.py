@@ -124,8 +124,9 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(load(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
-    """Unrolled Lloyd rounds as nested CTEs, mirroring kmeans_lloyd."""
+def _kmeans_cte_body(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd rounds as nested CTEs (ends at ``a{iters}`` with
+    columns vec_id, label, dist), mirroring kmeans_lloyd."""
     parts = [
         f"WITH ex AS ({_EX}),",
         f"a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INT) AS label FROM embeddings)",
@@ -150,16 +151,66 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY dist, label) AS rn
             FROM d{i}) WHERE rn = 1)""")
-    parts.append(
-        f"SELECT vec_id, label AS nearest_label, dist FROM a{iters}"
-    )
     return "\n".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    return (
+        _kmeans_cte_body(k, iters)
+        + f"\nSELECT vec_id, label AS nearest_label, dist FROM a{iters}"
+    )
+
+
+def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over LEARNED cells: Lloyd's k-means builds the coarse
+    quantizer (vs the deterministic stand-in cells of `simsearch-ivf`),
+    then only the query's cell is reranked with the exact cosine.
+    Everything is deterministic, so the full index build + search is
+    value-checked against the unrolled-CTE oracle."""
+    from pandasqlite_spark.functions.similarity import cosine_topk_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(emb, k=8, iters=2).select(
+        "vec_id", F.col("nearest_label").alias("cell")
+    )
+    qcell = assign.filter(F.col("vec_id") == 0).select("cell")
+    cand_ids = (
+        assign.join(F.broadcast(qcell), "cell")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk_exact(emb.join(cand_ids, "vec_id"), query, k=5)
+
+
+def _ivf_kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    return (
+        _kmeans_cte_body(k, iters)
+        + f""",
+        qcell AS (SELECT label AS cell FROM a{iters} WHERE vec_id = 0),
+        cand AS (SELECT a.vec_id FROM a{iters} a, qcell
+                 WHERE a.label = qcell.cell AND a.vec_id <> 0),
+        q AS (SELECT dim, v AS qx FROM ex WHERE vec_id = 0),
+        nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+        per AS (
+          SELECT e.vec_id,
+                 CAST(SUM(e.v * q.qx) AS DOUBLE) AS dot,
+                 CAST(SUM(e.v * e.v) AS DOUBLE) AS ne
+          FROM ex e JOIN q ON e.dim = q.dim
+          WHERE e.vec_id IN (SELECT vec_id FROM cand)
+          GROUP BY e.vec_id)
+        SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+        FROM per, nq
+        ORDER BY cosine DESC, vec_id
+        LIMIT 5"""
+    )
 
 
 QUERIES = {
     "embedding-centroids": q_embedding_centroids,
     "embedding-assign": q_embedding_assign,
     "cluster-kmeans": q_cluster_kmeans,
+    "simsearch-ivf-kmeans": q_simsearch_ivf_kmeans,
 }
 
 _EX = """
@@ -170,6 +221,7 @@ _EX = """
 
 ORACLES = {
     "cluster-kmeans": _kmeans_oracle(),
+    "simsearch-ivf-kmeans": _ivf_kmeans_oracle(),
     "embedding-centroids": f"""
         WITH ex AS ({_EX})
         SELECT label, dim,
