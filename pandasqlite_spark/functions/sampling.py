@@ -83,9 +83,73 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(load(spark, sf_dir, "documents"), "doc_id")
 
 
+def pack_sequences(
+    df: DataFrame, seq_len: int = 512, n_buckets: int = 32
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: docs are laid out in a
+    deterministic stream (hash bucket, then doc_id) and the stream is
+    chunked every ``seq_len`` tokens; each doc gets its stream offset
+    and chunk id.  The hash pre-bucketing is the scale lever — one
+    shuffle keyed on bucket, then an independent running sum per
+    bucket, so packing 100 TB parallelizes across buckets instead of
+    one global sequential cumsum (pick n_buckets ≈ shards you intend
+    to write)."""
+    from pandasqlite_spark.functions.text import token_count
+    from pyspark.sql import Window as W
+
+    d = df.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        (uniform_hash16(F.col("doc_id")) % n_buckets).alias("bucket"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / seq_len).alias("chunk_id"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+def token_weighted_mixture(df: DataFrame) -> DataFrame:
+    """Equal-token data mixture: downsample every source to ≈ the
+    smallest source's TOKEN total (not doc count — long-doc sources
+    must shed more rows).  Same hash-threshold machinery as the
+    stratified sampler; the decision compare runs in decimal so the
+    integer products stay exact at 100 TB token counts."""
+    from pandasqlite_spark.functions.text import token_count
+
+    tok = df.select("doc_id", "source", token_count().alias("nt"))
+    totals = tok.groupBy("source").agg(F.sum("nt").alias("tot"))
+    tmin = totals.agg(F.min("tot").alias("t"))
+    h = uniform_hash16(F.col("doc_id")).cast("decimal(20,0)")
+    return (
+        tok.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(tmin))
+        .filter(h * F.col("tot") < F.lit(65536).cast("decimal(20,0)") * F.col("t"))
+        .select("doc_id", "source", "nt")
+    )
+
+
+def q_mixture_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_weighted_mixture(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "sample-stratified": q_sample_stratified,
     "split-assign": q_split_assign,
+    "pack-sequences": q_pack_sequences,
+    "mixture-token-weighted": q_mixture_token_weighted,
 }
 
 ORACLES = {
@@ -105,5 +169,38 @@ ORACLES = {
         FROM (SELECT doc_id,
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h
               FROM documents)
+    """,
+    "pack-sequences": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER)
+                   AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 32
+                   AS bucket
+          FROM documents)
+        SELECT doc_id, bucket, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                      PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_offset,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                      PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 512.0) AS BIGINT) AS chunk_id
+        FROM d
+    """,
+    "mixture-token-weighted": r"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER)
+                   AS nt
+          FROM documents),
+        totals AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tot
+                   FROM tok GROUP BY source),
+        tmin AS (SELECT MIN(tot) AS t FROM totals)
+        SELECT k.doc_id, k.source, k.nt
+        FROM tok k JOIN totals USING (source) CROSS JOIN tmin
+        WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                * totals.tot < 65536 * tmin.t
     """,
 }

@@ -133,3 +133,33 @@ def test_length_quantiles_exact_and_approx_agree_on_small_groups(spark, sf_dir):
         # sketch must land within 10% of the exact interpolated value
         assert math.isclose(a.p50, e.p50, rel_tol=0.10)
         assert math.isclose(a.p90, e.p90, rel_tol=0.10)
+
+
+def test_pack_sequences_offsets_are_contiguous_per_bucket(spark, sf_dir):
+    from pandasqlite_spark.functions.sampling import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    rows = pack_sequences(d, seq_len=512).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in bucket_rows:
+            assert r.start_offset == offset          # no gaps, no overlap
+            assert r.chunk_id == offset // 512
+            offset += r.n_tokens
+
+
+def test_token_weighted_mixture_equalizes_token_mass(spark, sf_dir):
+    from pandasqlite_spark.functions.sampling import token_weighted_mixture
+
+    d = load(spark, sf_dir, "documents")
+    kept = token_weighted_mixture(d).collect()
+    tokens_by_source = {}
+    for r in kept:
+        tokens_by_source[r.source] = tokens_by_source.get(r.source, 0) + r.nt
+    lo, hi = min(tokens_by_source.values()), max(tokens_by_source.values())
+    # every source lands within binomial jitter of the smallest's total
+    assert hi < 1.5 * lo
