@@ -30,6 +30,23 @@ def write_bucketed(
     )
 
 
+def write_range_sorted(
+    df: DataFrame, path: str, key: str, n_partitions: int = 8
+) -> None:
+    """Persist parquet range-partitioned and sorted by ``key`` — the
+    data-layout lever for scan-heavy workloads: every output file
+    covers a disjoint key range, so parquet row-group min/max stats
+    turn a key-range filter into file- and row-group-level skipping
+    (the batch analogue of a clustered index; at 100 TB this is the
+    difference between scanning one file and scanning them all)."""
+    (
+        df.repartitionByRange(n_partitions, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on
 ) -> DataFrame:

@@ -230,3 +230,27 @@ def test_partitioned_scan_prunes(spark, sf_dir):
 
     plan = _plan(q_scan_partitioned(spark, sf_dir))
     assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_range_sorted_layout_skips_files(spark, sf_dir, tmp_path):
+    from pandasqlite_spark.operators.scale import write_range_sorted
+
+    path = str(tmp_path / "orders_by_key")
+    write_range_sorted(load(spark, sf_dir, "orders"), path, "o_orderkey")
+    # disjoint per-file key ranges: a range predicate must keep its
+    # matches while parquet min/max stats let non-matching files skip
+    import glob
+    files = glob.glob(path + "/part-*.parquet")
+    assert len(files) > 1
+    lo_hi = []
+    for f in files:
+        one = spark.read.parquet(f).agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        lo_hi.append((one.lo, one.hi))
+    lo_hi.sort()
+    for (_, hi_prev), (lo_next, _) in zip(lo_hi, lo_hi[1:]):
+        assert hi_prev <= lo_next, "file key ranges must be disjoint"
+    # and the filtered read still returns exactly the right rows
+    expect = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100).count()
+    assert spark.read.parquet(path).filter(F.col("o_orderkey") < 100).count() == expect
