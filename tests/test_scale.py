@@ -254,3 +254,43 @@ def test_range_sorted_layout_skips_files(spark, sf_dir, tmp_path):
     # and the filtered read still returns exactly the right rows
     expect = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100).count()
     assert spark.read.parquet(path).filter(F.col("o_orderkey") < 100).count() == expect
+
+
+def test_tpch_q2_single_pair_scan_and_window_min(spark, sf_dir):
+    """Q2's correlated MIN subquery is decorrelated into a window MIN:
+    lineitem (the pair-relation source) must be scanned exactly once —
+    the oracle's correlated form scans it twice — and the plan must
+    contain exactly one Window."""
+    from pandasqlite_spark.operators.tpch import q_tpch_q2
+
+    plan = _plan(q_tpch_q2(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q17_single_fact_scan(spark, sf_dir):
+    """Q17's correlated per-part AVG is a window over l_partkey:
+    one lineitem scan, part filter broadcast-pruned before the window
+    shuffle."""
+    from pandasqlite_spark.operators.tpch import q_tpch_q17
+
+    plan = _plan(q_tpch_q17(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q11_reuses_aggregate_for_total(spark, sf_dir):
+    """Q11's HAVING-against-global-total must not pay a second lineitem
+    pass for the one-row total: after AQE finalizes the plan, the
+    total's l_partkey exchange is a ReusedExchange of the per-part
+    aggregate's."""
+    from pandasqlite_spark.operators.tpch import q_tpch_q11
+
+    # pinned to sf0.01: at sf0.001 the NATION_1 slice is empty and AQE
+    # collapses the whole plan to EmptyRelation (nothing to reuse)
+    df = q_tpch_q11(spark, "/root/testdata/sf0.01")
+    df.collect()  # AQE reuse shows in the FINAL plan only
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
