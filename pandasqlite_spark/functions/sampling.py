@@ -145,11 +145,35 @@ def q_mixture_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_weighted_mixture(load(spark, sf_dir, "documents"))
 
 
+N_SHUFFLE_SHARDS = 64
+
+
+def shuffle_assign(df: DataFrame, id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a seeded
+    pseudo-random ``sort_key = md5(seed:id)`` and a ``shard`` that is a
+    RANGE of the key space (``floor(h16·N/65536)``, so shard is
+    monotone in the key).  Writing ``partitionBy(shard)`` +
+    ``sortWithinPartitions(sort_key)`` then reproduces ONE global
+    pseudo-random order — (shard asc, key asc) ≡ key asc — without the
+    single-partition global sort / row_number a naive ORDER BY
+    rand() needs.  Reshuffling between epochs is a seed change, not a
+    data move; the order is identical on any cluster size."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    h16 = F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint")
+    shard = F.floor(h16 * N_SHUFFLE_SHARDS / F.lit(65536)).cast("int")
+    return df.select(id_col, shard.alias("shard"), key.alias("sort_key"))
+
+
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_assign(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "sample-stratified": q_sample_stratified,
     "split-assign": q_split_assign,
     "pack-sequences": q_pack_sequences,
     "mixture-token-weighted": q_mixture_token_weighted,
+    "shuffle-deterministic": q_shuffle_deterministic,
 }
 
 ORACLES = {
@@ -202,5 +226,12 @@ ORACLES = {
         FROM tok k JOIN totals USING (source) CROSS JOIN tmin
         WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::BIGINT
                 * totals.tot < 65536 * tmin.t
+    """,
+    "shuffle-deterministic": """
+        SELECT doc_id,
+               CAST(FLOOR(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                          * 64 / 65536) AS INTEGER) AS shard,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents
     """,
 }

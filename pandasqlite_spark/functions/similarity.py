@@ -314,13 +314,87 @@ def q_simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization: 4× smaller vectors, integer-exact coarse pass
+# ---------------------------------------------------------------------------
+
+SQ_SCALE = 127
+SQ_COARSE_K = 50
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 scalar quantization with a FIXED scale:
+    ``q = clamp(floor(x·127 + 0.5), -127, 127)``.
+
+    ``floor(x + 0.5)`` instead of ``round(x)`` because round's
+    half-up/half-even convention differs across engines while floor of
+    an IEEE double is bit-identical everywhere — the quantized codes
+    must agree exactly for the coarse scores to be comparable.
+
+    At 100 TB this is the storage/bandwidth lever for ANN: int8 codes
+    are 4× smaller than float32, the coarse dot product is exact
+    integer arithmetic (codegen'd long math, no FP accumulation
+    order issues), and only the top candidates ever touch the full
+    float vectors.  All per-row work — no shuffle."""
+    q = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.least(F.floor(x.cast("double") * SQ_SCALE + F.lit(0.5)), F.lit(127)),
+            F.lit(-127),
+        ).cast("int"),
+    )
+    return emb.select(id_col, q.alias("qvec"))
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (vec_id, pos, q) form so the cross-engine value check
+    covers every code."""
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).select(
+        "vec_id", F.posexplode("qvec").alias("pos", "q")
+    )
+
+
+def q_simsearch_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier ANN: integer coarse scoring over int8 codes selects
+    SQ_COARSE_K candidates (TakeOrderedAndProject — no global sort),
+    then the exact-decimal cosine reranks only those and keeps 10.
+    The coarse pass reads 1/4 the bytes of brute force and the exact
+    pass touches 50 rows instead of the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = quantize_embeddings(emb)
+    qq = qv.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qqv"))
+    qdot = F.aggregate(
+        F.zip_with("qvec", "qqv", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        qv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select("vec_id", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(SQ_COARSE_K)
+        .select("vec_id")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk_exact(emb.join(F.broadcast(cand), "vec_id"), query, k=10)
+
+
 QUERIES = {
     "simsearch-topk": q_simsearch_topk,
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
     "dedup-embedding-bucketed": q_dedup_embedding_bucketed,
     "simsearch-lsh-buckets": q_simsearch_lsh_buckets,  # rows-only (numpy path)
+    "embedding-quantize": q_embedding_quantize,
+    "simsearch-sq-rerank": q_simsearch_sq_rerank,
 }
+
+_QUANT_SQL = (
+    "CAST(GREATEST(LEAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 127 + 0.5), 127),"
+    " -127) AS INTEGER)"
+)
 
 # DuckDB arrays are 1-indexed; Spark's sign_bucket reads embedding[j]
 # 0-indexed — embedding[j+1] below is the SAME coordinate.
@@ -428,3 +502,41 @@ ORACLES = {
         LIMIT 10
     """,
 }
+
+ORACLES["embedding-quantize"] = f"""
+    SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos, {_QUANT_SQL} AS q
+    FROM embeddings, generate_series(1, 64) t(i)
+"""
+
+ORACLES["simsearch-sq-rerank"] = f"""
+    WITH qv AS (
+      SELECT vec_id, t.i AS pos, CAST({_QUANT_SQL} AS BIGINT) AS q
+      FROM embeddings, generate_series(1, 64) t(i)),
+    qq AS (SELECT pos, q AS qx FROM qv WHERE vec_id = 0),
+    coarse AS (
+      SELECT qv.vec_id, SUM(qv.q * qq.qx) AS qdot
+      FROM qv JOIN qq ON qv.pos = qq.pos
+      WHERE qv.vec_id <> 0 GROUP BY 1),
+    cand AS (SELECT vec_id FROM coarse ORDER BY qdot DESC, vec_id LIMIT 50),
+    e AS (
+      SELECT e.vec_id, t.i AS pos,
+             CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings e, generate_series(1, 64) t(i)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+    q AS (
+      SELECT t.i AS pos,
+             CAST(CAST(qv2.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS qx
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qv2,
+           generate_series(1, 64) t(i)),
+    nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+    per_vec AS (
+      SELECT e.vec_id,
+             CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+             CAST(SUM(e.x * e.x) AS DOUBLE) AS ne
+      FROM e JOIN q ON e.pos = q.pos
+      GROUP BY e.vec_id)
+    SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+    FROM per_vec, nq
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""

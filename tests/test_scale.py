@@ -294,3 +294,63 @@ def test_tpch_q11_reuses_aggregate_for_total(spark, sf_dir):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_sq_quantize_codes_bounded_and_4x_smaller(spark, sf_dir):
+    """int8 codes must stay in [-127, 127] and reconstruct each
+    coordinate to within half a quantization step (1/254)."""
+    from pandasqlite_spark.functions.similarity import quantize_embeddings
+
+    emb = load(spark, sf_dir, "embeddings")
+    joined = quantize_embeddings(emb).join(emb, "vec_id")
+    err = joined.select(
+        F.max(F.array_max(F.transform("qvec", lambda q: F.abs(q)))).alias("max_code"),
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "qvec",
+                    "embedding",
+                    lambda q, x: F.abs(q / 127.0 - x.cast("double")),
+                )
+            )
+        ).alias("max_err"),
+    ).collect()[0]
+    assert err.max_code <= 127
+    assert err.max_err <= 0.5 / 127 + 1e-12, err.max_err
+
+
+def test_sq_rerank_recall_vs_brute_force(spark, sf_dir):
+    """The quantized coarse pass (50 candidates from int8 codes) must
+    recover at least 8 of the true top-10 — and its coarse candidate
+    selection must plan as TakeOrderedAndProject, not a global sort."""
+    from pandasqlite_spark.functions.similarity import (
+        cosine_topk_exact,
+        q_simsearch_sq_rerank,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    truth = {
+        r.vec_id
+        for r in cosine_topk_exact(emb.filter(F.col("vec_id") != 0), query, k=10).collect()
+    }
+    df = q_simsearch_sq_rerank(spark, sf_dir)
+    got = {r.vec_id for r in df.collect()}
+    assert len(truth & got) >= 8, (truth, got)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_shuffle_assign_shard_is_key_prefix(spark, sf_dir):
+    """(shard asc, sort_key asc) must equal plain sort_key order —
+    the property that lets partitionBy(shard)+sortWithin reproduce a
+    global shuffle order without a single-partition sort — and seeds
+    must produce different orders."""
+    from pandasqlite_spark.functions.sampling import shuffle_assign
+
+    docs = load(spark, sf_dir, "documents")
+    rows = shuffle_assign(docs).collect()
+    by_key = sorted(rows, key=lambda r: r.sort_key)
+    by_shard_key = sorted(rows, key=lambda r: (r.shard, r.sort_key))
+    assert [r.doc_id for r in by_key] == [r.doc_id for r in by_shard_key]
+    other = shuffle_assign(docs, seed=7).collect()
+    assert sorted(r.sort_key for r in rows) != sorted(r.sort_key for r in other)
