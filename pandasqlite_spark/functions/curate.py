@@ -1,0 +1,174 @@
+"""End-to-end corpus curation pipelines (SURVEY.md §2.D).
+
+Two flagship compositions that chain the individually-oracle-checked
+operators the way a real pretraining-data build does — proving the
+pieces compose without driver-side materialization between stages
+(every step below is one lazy DataFrame graph; Catalyst sees the whole
+pipeline and prunes/pushes across stage boundaries):
+
+- :func:`q_corpus_curate_e2e` — quality-filter → normalized exact
+  dedup → benchmark decontamination → train/val/test split: the
+  text-side curation path.
+- :func:`q_dedup_semantic` — documents ⋈ embeddings → LSH-bucketed
+  cosine near-dup pairs → connected components → canonical doc per
+  cluster: the embedding-side (semantic) dedup path.
+
+Scale notes: the curation pipeline is scan → per-row exprs →
+one groupBy (normalized-hash dedup) → one broadcast anti-join
+(contamination; the benchmark shingle set is tiny) → per-row split
+hash.  Nothing materializes between stages and the only fact-table
+shuffle is the dedup groupBy.  The semantic path inherits the bucketed
+candidate join (never all-pairs) and the O(diameter) label-propagation
+rounds of its components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+QUALITY_CUT = 0.5
+
+
+def curate_corpus(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """quality ≥ QUALITY_CUT → keep lowest doc_id per normalized text →
+    drop docs sharing any 3-gram with the benchmark → assign splits.
+    Returns (doc_id, split, n_tokens, quality) for surviving docs."""
+    from pandasqlite_spark.functions.dedup import (
+        decontaminate_ngram,
+        normalize_text,
+    )
+    from pandasqlite_spark.functions.sampling import split_assign
+    from pandasqlite_spark.functions.text import quality_score, token_count
+
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_score().alias("quality"),
+        token_count().alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_CUT)
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(normalize_text())
+    kept = (
+        scored.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+
+    contaminated = decontaminate_ngram(kept, bench).select("doc_id")
+    clean = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    return (
+        clean.join(split_assign(clean, "doc_id"), "doc_id")
+        .select("doc_id", "split", "n_tokens", "quality")
+    )
+
+
+def q_corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stand-in benchmark: doc_id % 100 == 0 (as decontaminate-ngram)."""
+    d = load(spark, sf_dir, "documents")
+    return curate_corpus(
+        d.filter(F.col("doc_id") % 100 != 0),
+        d.filter(F.col("doc_id") % 100 == 0),
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup of the documents table: embedding near-dup pairs
+    (LSH-bucketed + exact rerank) → connected components → every doc in
+    a near-dup cluster mapped to its canonical (minimum) doc_id, with
+    the doc's language carried from the documents side."""
+    from pandasqlite_spark.functions.dedup import connected_components
+    from pandasqlite_spark.functions.similarity import embedding_near_dupes
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = embedding_near_dupes(emb).select(
+        F.col("va").alias("doc_a"), F.col("vb").alias("doc_b")
+    )
+    comp = connected_components(edges)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return comp.join(docs, "doc_id").select("doc_id", "rep_id", "lang")
+
+
+QUERIES = {
+    "corpus-curate-e2e": q_corpus_curate_e2e,
+    "dedup-semantic": q_dedup_semantic,
+}
+
+
+def _oracles() -> dict[str, str]:
+    from pandasqlite_spark.functions.similarity import ORACLES as SIM_ORACLES
+    from pandasqlite_spark.functions.text import _TOKS
+
+    bucketed_pairs = SIM_ORACLES["dedup-embedding-bucketed"]
+    quality = f"""
+        ROUND(0.4 * LEAST(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+            + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE))
+            + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                          AS DOUBLE) / length(text)), 9)
+    """
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    return {
+        "corpus-curate-e2e": f"""
+            WITH scored AS (
+              SELECT doc_id, text, {quality} AS quality,
+                     CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+              FROM documents
+              WHERE doc_id % 100 <> 0),
+            qf AS (SELECT * FROM scored WHERE quality >= 0.5),
+            kept AS (
+              SELECT * FROM (
+                SELECT qf.*, MIN(doc_id) OVER (PARTITION BY {norm}) AS _keep
+                FROM qf)
+              WHERE doc_id = _keep),
+            toks AS (SELECT doc_id, {_TOKS} AS t FROM kept),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                           for i in range(1, len(t) - 1)])) AS sh
+              FROM toks WHERE len(t) >= 3),
+            btoks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                      WHERE doc_id % 100 = 0),
+            bench AS (
+              SELECT DISTINCT unnest(
+                list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in range(1, len(t) - 1)])) AS sh
+              FROM btoks WHERE len(t) >= 3),
+            contaminated AS (SELECT DISTINCT s.doc_id
+                             FROM sh s JOIN bench b ON s.sh = b.sh)
+            SELECT doc_id,
+                   CASE WHEN h < 64225 THEN 'train'
+                        WHEN h < 64880 THEN 'val'
+                        ELSE 'test' END AS split,
+                   n_tokens, quality
+            FROM (SELECT k.*,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                           AS h
+                  FROM kept k)
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "dedup-semantic": f"""
+            WITH RECURSIVE pairs AS ({bucketed_pairs}),
+            edges AS (
+              SELECT va AS u, vb AS v FROM pairs
+              UNION ALL
+              SELECT vb AS u, va AS v FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+            SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id, d.lang
+            FROM reach JOIN documents d ON d.doc_id = u
+            GROUP BY u, d.lang
+        """,
+    }
+
+
+ORACLES = _oracles()

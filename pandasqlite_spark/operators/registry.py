@@ -21,6 +21,7 @@ def _modules():
     from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
     from pandasqlite_spark.functions import (
         clustering,
+        curate,
         dedup,
         multimodal,
         sampling,
@@ -42,6 +43,7 @@ def _modules():
         multimodal,
         similarity,
         clustering,
+        curate,
         text,
         udfs,
         streaming_events,

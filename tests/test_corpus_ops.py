@@ -163,3 +163,39 @@ def test_token_weighted_mixture_equalizes_token_mass(spark, sf_dir):
     lo, hi = min(tokens_by_source.values()), max(tokens_by_source.values())
     # every source lands within binomial jitter of the smallest's total
     assert hi < 1.5 * lo
+
+
+def test_curate_pipeline_is_single_lazy_graph(spark, sf_dir):
+    """The e2e curation result must reflect every stage: no surviving
+    doc may be contaminated, below the quality cut, or a non-canonical
+    duplicate; every survivor carries a split."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.functions.curate import QUALITY_CUT, q_corpus_curate_e2e
+    from pandasqlite_spark.functions.dedup import decontaminate_ngram
+    from pandasqlite_spark.operators.common import load
+
+    out = q_corpus_curate_e2e(spark, sf_dir).collect()
+    assert out, "curation must keep something"
+    assert all(r.quality >= QUALITY_CUT for r in out)
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    d = load(spark, sf_dir, "documents")
+    contaminated = {
+        r.doc_id
+        for r in decontaminate_ngram(
+            d.filter(F.col("doc_id") % 100 != 0), d.filter(F.col("doc_id") % 100 == 0)
+        ).collect()
+    }
+    assert not ({r.doc_id for r in out} & contaminated)
+
+
+def test_semantic_dedup_reps_are_cluster_minima(spark, sf_dir):
+    """Every rep_id must itself be in the cluster and be its minimum."""
+    from pandasqlite_spark.functions.curate import q_dedup_semantic
+
+    rows = q_dedup_semantic(spark, sf_dir).collect()
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r.rep_id, []).append(r.doc_id)
+    for rep, members in by_rep.items():
+        assert rep == min(members)
