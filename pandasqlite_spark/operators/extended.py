@@ -382,6 +382,13 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
+    "try-arith": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice / NULLIF(l_quantity - l_quantity, 0) AS div0,
+               TRY_CAST(l_returnflag AS BIGINT) AS bad_cast,
+               l_extendedprice / NULLIF(l_quantity, 0) AS unit_price
+        FROM lineitem
+    """,
     "unpivot-stack": """
         SELECT p_partkey, 'retailprice' AS metric,
                CAST(p_retailprice AS DOUBLE) AS val FROM part
@@ -513,8 +520,25 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-resilient arithmetic: ``try_divide``/``try_cast`` return
+    NULL where ANSI mode throws — the session-conf-INDEPENDENT way to
+    keep SQLite's forgiving semantics under the driver's ANSI-on
+    Spark 4 session (the round-1 ``cast-types`` failure generalized:
+    never rely on ``spark.sql.ansi.enabled=false``)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_extendedprice, l_quantity - l_quantity)").alias("div0"),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("bad_cast"),
+        F.expr("try_divide(l_extendedprice, l_quantity)").alias("unit_price"),
+    )
+
+
 QUERIES = {
     "agg-grouping-sets": q_agg_grouping_sets,
+    "try-arith": q_try_arith,
     "unpivot-stack": q_unpivot_stack,
     "higher-order-array": q_higher_order_array,
     "map-funcs": q_map_funcs,
