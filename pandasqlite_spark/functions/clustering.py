@@ -62,6 +62,31 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dec12_to_double(col: str) -> F.Column:
+    """Engine-portable decimal(·,12)→double: split into integer part +
+    ≤12-digit fraction and convert each EXACTLY before one IEEE add.
+
+    A direct cast diverges by 1 ulp between engines once the scaled
+    integer passes 2^53 (observed at sf0.1: Spark's BigDecimal cast is
+    correctly rounded in one step, DuckDB converts the scaled int64 to
+    double FIRST — inexact past 2^53 — then divides: double rounding).
+    Both pieces here stay under 2^53 (integer part while
+    n ≤ ~6·10⁶ rows/label; the scale-12 fraction is ≤ 10^12), so each
+    engine performs only exact conversions + correctly-rounded IEEE
+    ops — bit-identical results.
+
+    The narrowing cast to (28,12) first is load-bearing on the SPARK
+    side: subtracting floor() from the raw decimal(38,12) aggregate
+    would need precision 39, and Spark resolves that overflow by
+    silently REDUCING THE SCALE of the result (frac came back rounded
+    to 10 digits) — the narrower operand keeps the subtraction exact.
+    Exact while sq < 10^16 (≈2^53), i.e. n ≤ ~6·10⁶ rows per label."""
+    sq = F.col(col).cast("decimal(28,12)")
+    hi = F.floor(sq)
+    frac = (sq - hi).cast("decimal(14,12)")
+    return hi.cast("double") + frac.cast("double")
+
+
 def assign_nearest_centroid(emb: DataFrame, cent_sums: DataFrame) -> DataFrame:
     """(vec_id, nearest_label, dist): each vector assigned to the label
     whose centroid is nearest in squared L2, ties broken by label.
@@ -80,7 +105,7 @@ def assign_nearest_centroid(emb: DataFrame, cent_sums: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (F.col("sq").cast("double") / (F.col("n") * F.col("n"))).alias("dist"),
+            (_dec12_to_double("sq") / (F.col("n") * F.col("n"))).alias("dist"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "label")
@@ -138,13 +163,19 @@ def _kmeans_cte_body(k: int = 8, iters: int = 2) -> str:
           SELECT p.label, e.dim, SUM(e.v) AS s, COUNT(*) AS n
           FROM ex e JOIN {prev} p USING (vec_id)
           GROUP BY p.label, e.dim),
-        d{i} AS (
-          SELECT e.vec_id, c.label,
-                 CAST(SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
-                          * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS DOUBLE)
-                   / (c.n * c.n) AS dist
+        dsum{i} AS (
+          SELECT e.vec_id, c.label, c.n,
+                 SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
+                     * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS sq
           FROM ex e JOIN cent{i} c ON e.dim = c.dim
           GROUP BY e.vec_id, c.label, c.n),
+        d{i} AS (
+          -- split conversion: see _dec12_to_double (1-ulp cast parity)
+          SELECT vec_id, label,
+                 (CAST(FLOOR(sq) AS DOUBLE)
+                  + CAST(CAST(sq - FLOOR(sq) AS DECIMAL(14,12)) AS DOUBLE))
+                   / (n * n) AS dist
+          FROM dsum{i}),
         a{i} AS (
           SELECT vec_id, label, dist FROM (
             SELECT vec_id, label, dist,
@@ -233,13 +264,19 @@ ORACLES = {
         cent AS (
           SELECT label, dim, SUM(v) AS s, COUNT(*) AS n
           FROM ex GROUP BY label, dim),
-        d AS (
-          SELECT e.vec_id, c.label,
-                 CAST(SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
-                          * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS DOUBLE)
-                   / (c.n * c.n) AS dist
+        dsum AS (
+          SELECT e.vec_id, c.label, c.n,
+                 SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
+                     * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS sq
           FROM ex e JOIN cent c ON e.dim = c.dim
           GROUP BY e.vec_id, c.label, c.n),
+        d AS (
+          -- split conversion: see _dec12_to_double (1-ulp cast parity)
+          SELECT vec_id, label,
+                 (CAST(FLOOR(sq) AS DOUBLE)
+                  + CAST(CAST(sq - FLOOR(sq) AS DECIMAL(14,12)) AS DOUBLE))
+                   / (n * n) AS dist
+          FROM dsum),
         ranked AS (
           SELECT vec_id, label, dist,
                  ROW_NUMBER() OVER (PARTITION BY vec_id

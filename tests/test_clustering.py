@@ -115,3 +115,28 @@ def test_kmeans_checkpoint_path_matches_plain(spark):
         for r in kmeans_lloyd(d, k=3, checkpoint=True).collect()
     )
     assert plain == ckpt
+
+
+def test_dec12_to_double_matches_duckdb_past_2_53(spark):
+    """Direct decimal(38,12)->double casts diverge by 1 ulp between
+    engines once the scaled integer passes 2^53 (DuckDB double-rounds
+    via the scaled int64).  The split conversion must agree bit-for-bit
+    — this pins the exact magnitude that failed at sf0.1."""
+    import duckdb
+
+    from pandasqlite_spark.functions.clustering import _dec12_to_double
+
+    vals = ["38472.477093199578", "9007199.254740993123", "1.000000000001"]
+    for v in vals:
+        got = (
+            spark.sql(f"SELECT CAST('{v}' AS DECIMAL(38,12)) AS sq")
+            .select(_dec12_to_double("sq").alias("d"))
+            .collect()[0]
+            .d
+        )
+        want = duckdb.sql(
+            f"""SELECT CAST(FLOOR(sq) AS DOUBLE)
+                       + CAST(CAST(sq - FLOOR(sq) AS DECIMAL(14,12)) AS DOUBLE)
+                FROM (SELECT CAST('{v}' AS DECIMAL(38,12)) sq)"""
+        ).fetchone()[0]
+        assert got.hex() == want.hex(), (v, got.hex(), want.hex())
