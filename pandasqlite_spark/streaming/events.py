@@ -353,8 +353,31 @@ def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState operator driven to completion: final
+    per-user profile (event count, last-seen ms).  Update mode may emit
+    interim rows across micro-batches, so the final state per user is
+    the max — with the finite one-file source there is one batch, but
+    the reduction keeps the key deterministic under any batching.
+    ``total`` (a float accumulated in pandas, order-dependent) is
+    deliberately excluded from the checked columns."""
+    from pandasqlite_spark.streaming.stateful import user_profiles_stream
+
+    stream = user_profiles_stream(read_events_stream(spark, sf_dir))
+    name, _ = run_stream_to_memory(stream, mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ms").alias("last_ms"),
+        )
+    )
+
+
 QUERIES = {
     "events-multires-rollup": q_events_multires,
+    "events-stateful-profiles": q_events_stateful_profiles,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
@@ -426,3 +449,9 @@ ORACLES = {
 # identical semantics by construction — the two-phase form must match
 # the SAME oracle as the single-phase window
 ORACLES["events-session-two-phase"] = ORACLES["events-session-agg"]
+
+ORACLES["events-stateful-profiles"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           MAX(epoch_ms(ts)) AS last_ms
+    FROM events GROUP BY user_id
+"""
