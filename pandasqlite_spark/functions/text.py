@@ -141,6 +141,46 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FREQUENT_CUT = 5
+
+
+def rare_token_ratio(docs: DataFrame, cut: int = FREQUENT_CUT) -> DataFrame:
+    """Per-doc fraction of tokens that are corpus-RARE (frequency ≤
+    ``cut``) — a gibberish/OCR-noise quality gate (junk text is full of
+    tokens the corpus has never seen; fluent text reuses the head of
+    the Zipf curve).
+
+    Scale design: the join side is the FREQUENT token set (freq >
+    cut) — the small head of the Zipf distribution — which broadcasts;
+    rare count = total − frequent-matches, so the unbounded rare
+    vocabulary is never joined or collected.  The token-frequency
+    aggregate itself map-side-combines to ~|vocab| rows per partition.
+    The ratio divides exact longs in IEEE double — engine-identical."""
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    frequent = freq.filter(F.col("n") > cut).select("tok")
+    per_doc = toks.join(F.broadcast(frequent), "tok", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_frequent"))
+    totals = docs.select("doc_id", F.size(tokens()).cast("bigint").alias("n_tokens"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_frequent", F.lit(0))).alias("n_rare"),
+            (
+                (F.col("n_tokens") - F.coalesce("n_frequent", F.lit(0))).cast("double")
+                / F.col("n_tokens")
+            ).alias("rare_ratio"),
+        )
+    )
+
+
+def q_text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rare_token_ratio(load(spark, sf_dir, "documents"))
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redaction correctness probe: the synthetic corpus contains no
     PII, so the query first splices a deterministic email + phone
@@ -264,6 +304,7 @@ QUERIES = {
     "text-bigram-freq": q_text_bigram_freq,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
+    "text-rare-token-ratio": q_text_rare_token_ratio,
     "text-pii-redact": q_text_pii_redact,
     "corpus-token-budget": q_corpus_token_budget,
     "corpus-length-quantiles": q_corpus_length_quantiles,
@@ -311,6 +352,23 @@ ORACLES = {
                ROUND(1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
                      / len({_TOKS}), 9) AS rep_ratio
         FROM documents WHERE len({_TOKS}) > 0
+    """,
+    "text-rare-token-ratio": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        frequent AS (SELECT tok FROM freq WHERE n > 5),
+        per_doc AS (
+          SELECT t.doc_id, COUNT(*) AS n_frequent
+          FROM toks t JOIN frequent f ON t.tok = f.tok
+          GROUP BY t.doc_id),
+        totals AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                   FROM documents)
+        SELECT totals.doc_id, n_tokens,
+               n_tokens - COALESCE(n_frequent, 0) AS n_rare,
+               CAST(n_tokens - COALESCE(n_frequent, 0) AS DOUBLE) / n_tokens
+                 AS rare_ratio
+        FROM totals LEFT JOIN per_doc ON totals.doc_id = per_doc.doc_id
     """,
     "text-bigram-freq": f"""
         WITH t AS (SELECT {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 2),
