@@ -354,3 +354,19 @@ def test_shuffle_assign_shard_is_key_prefix(spark, sf_dir):
     assert [r.doc_id for r in by_key] == [r.doc_id for r in by_shard_key]
     other = shuffle_assign(docs, seed=7).collect()
     assert sorted(r.sort_key for r in rows) != sorted(r.sort_key for r in other)
+
+
+def test_plan_audit_passes():
+    """The committed plan audit must stay green: no undeclared
+    nested-loop joins and no row-at-a-time Python anywhere in the 155
+    batch plans."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/plan_audit.py"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:]
