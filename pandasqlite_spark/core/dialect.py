@@ -162,6 +162,33 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def _rewrite_julianday(sql: str) -> str:
+    """``julianday(x)`` → Julian Day number via ``datediff`` from the
+    epoch (JD 2440587.5 = 1970-01-01 00:00 UTC).  SQLite's LLM-facing
+    idiom ``julianday(a) - julianday(b)`` thereby collapses to a plain
+    day difference.  Paren-balanced so nested calls survive."""
+    out, i = [], 0
+    pat = re.compile(r"\bjulianday\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        arg = _rewrite_julianday(sql[m.end() : j - 1]).strip()
+        out.append(f"(datediff(to_date({arg}), DATE'1970-01-01') + 2440587.5)")
+        i = j
+    return "".join(out)
+
+
 def _rewrite_double_quoted_literals(sql: str, identifiers: set[str]) -> str:
     def repl(m: re.Match) -> str:
         inner = m.group(1)
@@ -199,6 +226,7 @@ def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> st
     masked = _rewrite_scalar_minmax(masked)
     masked = _rewrite_group_concat(masked)
     masked = re.sub(r"\brandom\s*\(\s*\)", "rand()", masked, flags=re.IGNORECASE)
+    masked = _rewrite_julianday(masked)
     masked = re.sub(
         r"(\x00\d+\x00|\)|\w+(?:\.\w+)?)(\s+NOT)?(\s+)LIKE\s+",
         r"\1\2\3ILIKE ",

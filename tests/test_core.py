@@ -75,6 +75,19 @@ def test_rewrite_table_placeholder_token_aware():
             "SELECT array_join(collect_list(x), ';') FROM t",
         ),
         ("SELECT random()", "SELECT rand()"),
+        (
+            "SELECT julianday(a) - julianday(b) FROM t",
+            "SELECT (datediff(to_date(a), DATE'1970-01-01') + 2440587.5)"
+            " - (datediff(to_date(b), DATE'1970-01-01') + 2440587.5) FROM t",
+        ),
+        (
+            "SELECT julianday(date(x)) FROM t",
+            "SELECT (datediff(to_date(date(x)), DATE'1970-01-01') + 2440587.5) FROM t",
+        ),
+        (
+            "SELECT 'julianday(a)' FROM t",
+            "SELECT 'julianday(a)' FROM t",
+        ),
         ("SELECT * FROM t WHERE a LIKE 'x%'", "SELECT * FROM t WHERE a ILIKE 'x%'"),
         ('SELECT * FROM t WHERE s = "1"', "SELECT * FROM t WHERE s = '1'"),
     ],
@@ -232,6 +245,7 @@ def test_rewriter_noop_on_spark_clean_sql(sql):
                 "SELECT max(a, 3) FROM t",
                 "SELECT GROUP_CONCAT(x, ';') FROM t GROUP BY k",
                 "SELECT random() AS r",
+                "SELECT julianday(d) FROM t",
                 'SELECT * FROM t WHERE s = "lit"',
                 "SELECT name FROM t WHERE name LIKE '%a%'",
             ]
