@@ -49,6 +49,16 @@ def _queries(sf_dir: str):
 
         return q_tpch_q5(spark, d)
 
+    def _tpch_q9(spark, d):
+        from pandasqlite_spark.operators.tpch import q_tpch_q9
+
+        return q_tpch_q9(spark, d)
+
+    def _tpch_q21(spark, d):
+        from pandasqlite_spark.operators.tpch import q_tpch_q21
+
+        return q_tpch_q21(spark, d)
+
     def text_pipeline(spark, d):
         docs = load(spark, d, "documents")
         return docs.select(
@@ -67,6 +77,11 @@ def _queries(sf_dir: str):
         "q9_text_quality": text_pipeline,
         "q10_rollup": R.q_agg_rollup,
         "q11_tpch_q5": _tpch_q5,
+        # q1-q11 are the stable r01 regression set; q12/q13 add the two
+        # heaviest TPC-H join patterns (multi-fact-join agg, 4-way
+        # exists/not-exists self-join) without disturbing comparability
+        "q12_tpch_q9": _tpch_q9,
+        "q13_tpch_q21": _tpch_q21,
     }
 
 

@@ -18,7 +18,7 @@ Two tiers:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandasqlite_spark.operators.common import load
@@ -381,8 +381,69 @@ def q_simsearch_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_exact(emb.join(F.broadcast(cand), "vec_id"), query, k=10)
 
 
+def knn_join_exact(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Batched k-NN join: every row of ``queries`` (``qid_col``, ``qv``)
+    gets its cosine top-k among ``emb`` rows — the many-query form of
+    :func:`cosine_topk_exact` (single lookup → batch retrieval).
+
+    Scale shape: the query side is the broadcast side (ANN batches are
+    thousands of rows; the corpus is the 100 TB side), dots reduce via
+    one ``groupBy(qid, vec_id)`` partial-aggregated shuffle, and the
+    per-query top-k is a rank-filter window — no all-pairs
+    materialization beyond the candidate dot products, and at scale the
+    candidate set would first be cut by ``bucketed_neighbors``.
+    Decimal(8,6) sums keep the double conversion bit-identical across
+    engines (same contract as :func:`cosine_topk_exact`).
+    """
+    e = emb.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
+        id_col, "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+    )
+    q = queries.select(qid_col, F.posexplode("qv").alias("pos", "qx")).select(
+        qid_col, "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
+    )
+    ne = e.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
+    nq = q.groupBy(qid_col).agg(
+        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
+    )
+    dots = (
+        e.join(F.broadcast(q), "pos")
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(ne, id_col)
+        .join(F.broadcast(nq), qid_col)
+        .select(
+            qid_col,
+            id_col,
+            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "cosine")
+    )
+
+
+def q_simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return knn_join_exact(emb.filter(F.col("vec_id") >= 8), queries, k=5)
+
+
 QUERIES = {
     "simsearch-topk": q_simsearch_topk,
+    "simsearch-knn-join": q_simsearch_knn_join,
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
     "dedup-embedding-bucketed": q_dedup_embedding_bucketed,
@@ -500,6 +561,34 @@ ORACLES = {
         FROM per_vec, nq
         ORDER BY cosine DESC, vec_id
         LIMIT 10
+    """,
+    "simsearch-knn-join": """
+        WITH q AS (
+          SELECT b.vec_id AS query_id, t.i AS pos,
+                 CAST(CAST(b.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS qx
+          FROM embeddings b, generate_series(1, 64) t(i)
+          WHERE b.vec_id < 8),
+        e AS (
+          SELECT e.vec_id, t.i AS pos,
+                 CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings e, generate_series(1, 64) t(i)
+          WHERE e.vec_id >= 8),
+        ne AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS ne FROM e GROUP BY 1),
+        nq AS (SELECT query_id, CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q GROUP BY 1),
+        d AS (
+          SELECT q.query_id, e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot
+          FROM e JOIN q ON e.pos = q.pos GROUP BY 1, 2),
+        s AS (
+          SELECT d.query_id, d.vec_id,
+                 d.dot / (sqrt(ne.ne) * sqrt(nq.nq)) AS cosine
+          FROM d JOIN ne ON ne.vec_id = d.vec_id
+                 JOIN nq ON nq.query_id = d.query_id),
+        r AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rn
+          FROM s)
+        SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
     """,
 }
 

@@ -283,6 +283,48 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance /
+    keyword-extraction signal for corpus triage.
+
+    Scale shape: two partial-aggregated shuffles (term counts per doc,
+    then document frequency per term) + one broadcast of the 1-row
+    corpus count; the per-doc top-k is a rank-filter window partitioned
+    by doc_id, so no skew (documents are the natural unit).  The idf is
+    kept as the rational ``(N+1)/(df+1)`` (no ``ln``): libm log is not
+    bit-identical across engines, but IEEE multiply/divide are, so the
+    scores hash-match the oracle exactly.
+    """
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).alias("tf_idf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tf_idf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf_idf")
+    )
+
+
 def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count histogram in buckets of 20 — the length-distribution
     data-quality probe; integer bucketing keeps it engine-exact."""
@@ -305,6 +347,7 @@ QUERIES = {
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
+    "text-tfidf": q_text_tfidf,
     "text-pii-redact": q_text_pii_redact,
     "corpus-token-budget": q_corpus_token_budget,
     "corpus-length-quantiles": q_corpus_length_quantiles,
@@ -369,6 +412,25 @@ ORACLES = {
                CAST(n_tokens - COALESCE(n_frequent, 0) AS DOUBLE) / n_tokens
                  AS rare_ratio
         FROM totals LEFT JOIN per_doc ON totals.doc_id = per_doc.doc_id
+    """,
+    "text-tfidf": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s AS (
+          SELECT tf.doc_id, tf.tok,
+                 CAST(tf.tf AS DOUBLE)
+                   * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE))
+                   AS tf_idf
+          FROM tf JOIN dfreq USING (tok), n),
+        r AS (
+          SELECT doc_id, tok, tf_idf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tf_idf DESC, tok) AS rn
+          FROM s)
+        SELECT doc_id, tok, tf_idf FROM r WHERE rn <= 3
     """,
     "text-bigram-freq": f"""
         WITH t AS (SELECT {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 2),

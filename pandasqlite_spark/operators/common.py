@@ -51,15 +51,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects outright.  Read nanos as long (legacy
-    conf) and convert to microsecond TimestampType with integer
-    division — exact, and the same truncation DuckDB applies when it
-    narrows ns → µs."""
+    """The events table stores TIMESTAMP(NANOS) parquet.  Spark ≤ 4.0
+    rejects it unless the legacy conf reads nanos as long; Spark 4.1
+    reads it natively as TIMESTAMP_NTZ (truncated to µs — the same
+    truncation DuckDB applies when it narrows ns → µs) and ignores the
+    conf.  Handle both: either way ``ts`` comes out as the µs-instant
+    TimestampType the downstream operators (``window``,
+    ``unix_millis``, ``date_trunc``) expect.  The NTZ→instant hop goes
+    through an epoch diff against TIMESTAMP_NTZ '1970-01-01', NOT a
+    cast, so it is session-timezone-independent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 

@@ -196,6 +196,49 @@ def q_events_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg_two_phase(load_events(spark, sf_dir))
 
 
+def funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user: the
+    earliest view, the earliest click at-or-after it, the earliest
+    purchase at-or-after that click.  Output times are epoch micros
+    (BIGINT) — engine- and timezone-unambiguous.
+
+    Scale shape: three per-user partial-aggregated groupBys chained by
+    equi-joins on ``user_id``; every stage keys on user_id, so the
+    exchanges line up (one co-partitioned chain, no broadcast of the
+    big side) and the stage inputs shrink monotonically (only users who
+    reached the previous step survive each join).
+    """
+    us = F.unix_micros(F.col("ts"))
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("view_us"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(us >= F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("click_us"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(us >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("purchase_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_us", "click_us", "purchase_us")
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(load_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # streaming twins
 # ---------------------------------------------------------------------------
@@ -203,11 +246,12 @@ def q_events_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (nanos handled the
-    same way as the batch reader).  Real deployments swap this for
-    Kafka; everything downstream is source-agnostic."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    same way as the batch reader: ns → µs truncation, then a
+    session-timezone-independent hop to a µs-instant TimestampType).
+    Real deployments swap this for Kafka; everything downstream is
+    source-agnostic."""
     schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
         " event_type string, value double, props string"
     )
     raw = (
@@ -215,7 +259,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def streaming_tumbling(
@@ -382,6 +433,7 @@ QUERIES = {
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
     "events-session-two-phase": q_events_session_two_phase,
+    "events-funnel": q_events_funnel,
     "events-streaming-tumbling": q_events_streaming_tumbling,
     "events-streaming-join": q_events_streaming_join,
     "events-streaming-dedup": q_events_streaming_dedup,
@@ -415,6 +467,26 @@ ORACLES = {
                                 AND epoch_us(a.ts) + 3600000000
     """,
     "events-streaming-dedup": "SELECT event_id, event_type FROM events",
+    # epoch_us on the DuckDB side matches Spark's unix_micros after the
+    # shared ns→µs truncation in load_events
+    "events-funnel": """
+        WITH v AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS view_us
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.view_us
+          GROUP BY 1),
+        p AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+          GROUP BY 1)
+        SELECT v.user_id, v.view_us, c.click_us, p.purchase_us
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id
+    """,
     "events-sliding-agg": """
         WITH shifted AS (
           SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
