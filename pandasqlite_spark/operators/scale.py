@@ -81,6 +81,83 @@ def salted_join(
     return out.drop("_salt")
 
 
+BLOOM_SEEDS = (41, 97, 193)
+
+
+def bloom_filter_words(dim: DataFrame, key: str, m_bits: int = 65536) -> DataFrame:
+    """Build a Bloom filter over ``dim[key]`` as a 1-row DataFrame with a
+    ``map<widx, word>`` of set 64-bit words — the build side of a
+    runtime join filter, computed entirely as DataFrame ops (no driver
+    collect)."""
+    positions = F.array(
+        *[F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits)) for s in BLOOM_SEEDS]
+    )
+    return (
+        dim.select(F.explode(positions).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / 64).alias("widx"),
+            # F.shiftleft takes a literal shift count; the dynamic-count
+            # form needs the SQL expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias("bloom"))
+    )
+
+
+def bloom_prefiltered_semi_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, m_bits: int = 65536
+) -> DataFrame:
+    """Semi join with a Bloom-filter prefilter — the explicit form of the
+    runtime row filter a 100 TB deployment needs when the dim-side
+    predicate is selective: the fact scan drops non-qualifying rows
+    against a broadcast ~8 KB bitmap BEFORE the join shuffle, so the
+    exchange moves only rows that can match.  Result-invariant: Bloom
+    filters have no false negatives, and the exact semi join afterwards
+    removes the false positives — the oracle is the plain semi join, so
+    the driver's value-hash proves invariance even though xxhash64 bit
+    patterns are engine-specific.  (Spark's AQE can inject such filters
+    itself for sort-merge joins; this operator is the portable,
+    plan-visible version.)"""
+    words = bloom_filter_words(dim, dim_key, m_bits)
+    pre = bloom_prefilter(fact, words, fact_key, m_bits)
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return pre.join(keys, fact_key, "left_semi")
+
+
+def bloom_prefilter(
+    fact: DataFrame, words: DataFrame, fact_key: str, m_bits: int = 65536
+) -> DataFrame:
+    """The probe stage alone: keep fact rows whose key hits every Bloom
+    bit (superset of the true matches — false positives included)."""
+    pre = fact.crossJoin(F.broadcast(words))
+    for s in BLOOM_SEEDS:
+        pre = pre.withColumn(
+            "_pos", F.pmod(F.xxhash64(F.col(fact_key), F.lit(s)), F.lit(m_bits))
+        )
+        # try_element_at: missing word ⇒ NULL ⇒ row filtered (ANSI-safe;
+        # plain element_at throws MAP_KEY_DOES_NOT_EXIST under ANSI)
+        word = F.try_element_at("bloom", F.floor(F.col("_pos") / 64))
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))")
+        pre = pre.filter(word.isNotNull() & (word.bitwiseAND(bit) != 0)).drop("_pos")
+    return pre.drop("bloom")
+
+
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem semi-joined to one nation's suppliers through the Bloom
+    prefilter, aggregated per return flag."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag", "l_quantity")
+    dim = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    joined = bloom_prefiltered_semi_join(li, dim, "l_suppkey", "s_suppkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
 def plan_has_exchange(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan
@@ -103,6 +180,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "join-skew-salted": q_join_skew_salted,
+    "join-bloom-prune": q_join_bloom_prune,
 }
 
 ORACLES = {
@@ -111,5 +189,15 @@ ORACLES = {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus
+    """,
+    # the Bloom prefilter is result-invariant (no false negatives; the
+    # exact semi join removes false positives) — oracle is the plain
+    # semi join
+    "join-bloom-prune": """
+        SELECT l_returnflag, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+        GROUP BY l_returnflag
     """,
 }

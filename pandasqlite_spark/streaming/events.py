@@ -239,6 +239,35 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(load_events(spark, sf_dir))
 
 
+def retention_matrix(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later active day as an offset from their cohort day — the
+    standard product-analytics triangle.
+
+    Scale shape: one distinct over (user, day) pairs (partial-agg
+    shuffle on a shrinking key set), one per-user min-agg, one
+    co-partitioned equi-join on user_id, one final small groupBy —
+    counts and date arithmetic only, so engine-exact.
+    """
+    day = F.to_date("ts")
+    first_seen = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = events.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            # ISO string, not DATE: pandas canonicalizes Spark dates and
+            # DuckDB dates differently, so the hash compare needs text
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_matrix(load_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # streaming twins
 # ---------------------------------------------------------------------------
@@ -434,6 +463,7 @@ QUERIES = {
     "events-session-agg": q_events_session,
     "events-session-two-phase": q_events_session_two_phase,
     "events-funnel": q_events_funnel,
+    "events-retention": q_events_retention,
     "events-streaming-tumbling": q_events_streaming_tumbling,
     "events-streaming-join": q_events_streaming_join,
     "events-streaming-dedup": q_events_streaming_dedup,
@@ -486,6 +516,19 @@ ORACLES = {
         SELECT v.user_id, v.view_us, c.click_us, p.purchase_us
         FROM v LEFT JOIN c ON c.user_id = v.user_id
                LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events-retention": """
+        WITH fs AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY 1),
+        act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        SELECT CAST(fs.cohort_day AS VARCHAR) AS cohort_day,
+               CAST(date_diff('day', fs.cohort_day, act.day) AS INTEGER)
+                 AS day_offset,
+               COUNT(*) AS n_active
+        FROM act JOIN fs USING (user_id)
+        GROUP BY 1, 2
     """,
     "events-sliding-agg": """
         WITH shifted AS (

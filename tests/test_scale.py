@@ -356,6 +356,36 @@ def test_shuffle_assign_shard_is_key_prefix(spark, sf_dir):
     assert sorted(r.sort_key for r in rows) != sorted(r.sort_key for r in other)
 
 
+def test_bloom_prefilter_prunes_and_is_invariant(spark, sf_dir):
+    """The Bloom probe stage must (a) drop most non-matching fact rows
+    BEFORE the semi join — the property the operator exists for — and
+    (b) never drop a true match (result equals the plain semi join)."""
+    from pandasqlite_spark.operators.scale import (
+        bloom_filter_words,
+        bloom_prefilter,
+        bloom_prefiltered_semi_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    dim = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+
+    plain = li.join(
+        dim.select(F.col("s_suppkey").alias("l_suppkey")).distinct(),
+        "l_suppkey",
+        "left_semi",
+    )
+    got = bloom_prefiltered_semi_join(li, dim, "l_suppkey", "s_suppkey")
+    n_plain, n_got = plain.count(), got.count()
+    assert n_got == n_plain
+
+    pre = bloom_prefilter(li, bloom_filter_words(dim, "s_suppkey"), "l_suppkey")
+    n_total, n_pre = li.count(), pre.count()
+    assert n_pre >= n_plain  # no false negatives
+    # with 3 hashes in a 64 Kib bitmap over a few-hundred-key dim, the
+    # probe should eliminate the vast majority of non-matching rows
+    assert (n_pre - n_plain) < 0.05 * n_total, (n_total, n_pre, n_plain)
+
+
 def test_plan_audit_passes():
     """The committed plan audit must stay green: no undeclared
     nested-loop joins and no row-at-a-time Python anywhere in the 155
