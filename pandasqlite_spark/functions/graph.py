@@ -1,0 +1,127 @@
+"""Graph analytics over relational edge lists (SURVEY.md §2.D).
+
+Companion to the connected-components labeler in
+:mod:`pandasqlite_spark.functions.dedup`: PageRank as an iterative
+DataFrame composition — the "iterative algorithm on a 100 TB edge
+list" pattern (per-iteration cost = one co-partitioned join + one
+partial-aggregated shuffle on the node key; no driver-side state
+beyond the loop counter).
+
+Determinism contract: ranks are **scaled integers** (BIGINT, scale
+10¹²) and every per-iteration step is integer arithmetic (`div`,
+`sum`, `*`) — bit-identical across engines, unlike float PageRank
+whose summation order is nondeterministic.  The DuckDB oracle unrolls
+the same iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+_ONE = 1_000_000_000_000  # rank scale: 1.0 == 10^12
+
+
+def pagerank_scaled(
+    edges: DataFrame, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over a directed ``(src, dst)`` edge list, returning
+    ``(node, rank_scaled)`` with ranks as scale-10¹² integers.
+
+    Each iteration: contribution = rank div out_degree per src, summed
+    per dst, then ``rank' = (100-d)%·(1/N) + d%·sum`` in integer math.
+    Nodes with no in-edges drop out (the caller's edge list decides the
+    node universe; a symmetrized list keeps every node).
+    """
+    edges = edges.select("src", "dst").distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    base_pct = 100 - damping_pct
+    # r0 = ONE div N, identical for every node
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr(f"{_ONE} div n").alias("r"),
+        "n",
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"), "n")
+        )
+        ranks = (
+            contrib.groupBy("dst", "n")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({base_pct} * ({_ONE} div n)) div 100"
+                    f" + ({damping_pct} * s) div 100"
+                ).alias("r"),
+                "n",
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (edge iff the customer ordered a line from the supplier); top-20
+    hubs by rank with node-id tiebreak."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        pagerank_scaled(sym, iterations=3)
+        .orderBy(F.col("rank_scaled").desc(), "node")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "graph-pagerank": q_graph_pagerank,
+}
+
+ORACLES = {
+    # same integer-scaled iterations unrolled as CTEs; // is integer
+    # division in DuckDB as div is in Spark (all operands positive)
+    "graph-pagerank": f"""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT deg.src AS node, {_ONE} // n.n AS r FROM deg, n),
+        s1 AS (SELECT e.dst AS node, SUM(r0.r // d.deg) AS s
+               FROM edges e JOIN r0 ON r0.node = e.src
+                            JOIN deg d ON d.src = e.src GROUP BY 1),
+        r1 AS (SELECT s1.node,
+                      (15 * ({_ONE} // n.n)) // 100 + (85 * s1.s) // 100 AS r
+               FROM s1, n),
+        s2 AS (SELECT e.dst AS node, SUM(r1.r // d.deg) AS s
+               FROM edges e JOIN r1 ON r1.node = e.src
+                            JOIN deg d ON d.src = e.src GROUP BY 1),
+        r2 AS (SELECT s2.node,
+                      (15 * ({_ONE} // n.n)) // 100 + (85 * s2.s) // 100 AS r
+               FROM s2, n),
+        s3 AS (SELECT e.dst AS node, SUM(r2.r // d.deg) AS s
+               FROM edges e JOIN r2 ON r2.node = e.src
+                            JOIN deg d ON d.src = e.src GROUP BY 1),
+        r3 AS (SELECT s3.node,
+                      (15 * ({_ONE} // n.n)) // 100 + (85 * s3.s) // 100 AS r
+               FROM s3, n)
+        SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
+        ORDER BY rank_scaled DESC, node LIMIT 20
+    """,
+}

@@ -23,6 +23,7 @@ def _modules():
         clustering,
         curate,
         dedup,
+        graph,
         multimodal,
         sampling,
         similarity,
@@ -44,6 +45,7 @@ def _modules():
         similarity,
         clustering,
         curate,
+        graph,
         text,
         udfs,
         streaming_events,
