@@ -268,6 +268,65 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_matrix(load_events(spark, sf_dir))
 
 
+def gapfill_hourly(events: DataFrame, day: str = "2024-01-15") -> DataFrame:
+    """Dense hourly grid per user for one day: event count (zero-filled)
+    and the last observed ``value`` carried forward across empty hours
+    — the standard time-series gap-fill (every bucket present, nulls
+    forward-filled), which plain groupBy can't produce because empty
+    buckets have no input rows.
+
+    Scale shape: the grid is users × 24 (tiny next to the event table)
+    built with ``sequence``+``explode``, the per-bucket agg is one
+    partial-aggregated shuffle, the fill is a 24-row-deep window per
+    user (bounded frame — no mega-partition risk).  The "last value in
+    bucket" lookup is a max(epoch)+max(event_id) double join, not a
+    nondeterministic ``last()``.
+    """
+    ev = events.filter(F.to_date("ts") == F.lit(day).cast("date")).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.hour("ts").alias("hr"),
+        F.unix_micros("ts").alias("us"),
+    )
+    hours = F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr")
+    grid = ev.select("user_id").distinct().select("user_id", hours)
+    per_hour = ev.groupBy("user_id", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("us").alias("last_us")
+    )
+    # deterministic last value: latest µs, then highest event_id at that µs
+    last_eid = (
+        ev.join(per_hour, ["user_id", "hr"])
+        .filter(F.col("us") == F.col("last_us"))
+        .groupBy("user_id", "hr")
+        .agg(F.max("event_id").alias("last_eid"))
+    )
+    last_val = (
+        ev.join(last_eid, ["user_id", "hr"])
+        .filter(F.col("event_id") == F.col("last_eid"))
+        .select("user_id", "hr", F.col("value").alias("hour_value"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(per_hour.select("user_id", "hr", "n_events"), ["user_id", "hr"], "left")
+        .join(last_val, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_hourly(load_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # streaming twins
 # ---------------------------------------------------------------------------
@@ -464,6 +523,7 @@ QUERIES = {
     "events-session-two-phase": q_events_session_two_phase,
     "events-funnel": q_events_funnel,
     "events-retention": q_events_retention,
+    "events-gapfill": q_events_gapfill,
     "events-streaming-tumbling": q_events_streaming_tumbling,
     "events-streaming-join": q_events_streaming_join,
     "events-streaming-dedup": q_events_streaming_dedup,
@@ -516,6 +576,40 @@ ORACLES = {
         SELECT v.user_id, v.view_us, c.click_us, p.purchase_us
         FROM v LEFT JOIN c ON c.user_id = v.user_id
                LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events-gapfill": """
+        WITH ev AS (
+          SELECT user_id, event_id, value,
+                 CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+                 epoch_us(ts) AS us
+          FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'),
+        grid AS (
+          SELECT u.user_id, g.hr
+          FROM (SELECT DISTINCT user_id FROM ev) u,
+               (SELECT CAST(unnest(generate_series(0, 23)) AS INTEGER) AS hr) g),
+        per_hour AS (
+          SELECT user_id, hr, COUNT(*) AS n_events, MAX(us) AS last_us
+          FROM ev GROUP BY 1, 2),
+        last_eid AS (
+          SELECT e.user_id, e.hr, MAX(e.event_id) AS last_eid
+          FROM ev e JOIN per_hour p
+            ON p.user_id = e.user_id AND p.hr = e.hr AND e.us = p.last_us
+          GROUP BY 1, 2),
+        last_val AS (
+          SELECT e.user_id, e.hr, e.value AS hour_value
+          FROM ev e JOIN last_eid l
+            ON l.user_id = e.user_id AND l.hr = e.hr
+           AND e.event_id = l.last_eid)
+        SELECT g.user_id, g.hr,
+               COALESCE(p.n_events, 0) AS n_events,
+               last_value(lv.hour_value IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS filled_value
+        FROM grid g LEFT JOIN per_hour p
+               ON p.user_id = g.user_id AND p.hr = g.hr
+             LEFT JOIN last_val lv
+               ON lv.user_id = g.user_id AND lv.hr = g.hr
     """,
     "events-retention": """
         WITH fs AS (
