@@ -1,0 +1,296 @@
+"""Behavioral / statistical analytics operators (SURVEY.md §2.D extensions).
+
+Operators a training-data or product-analytics pipeline reaches for
+beyond plain SQL aggregation: robust outlier detection, Markov-style
+transition counts, fixed-width histograms, per-group mode, blocked
+fuzzy matching, and rank-distribution windows.
+
+Reference parity note: the reference (IBM/pandasqlite) delegates every
+analytical query to SQLite (`pandasqlite/pandasqlite.py:231-266` runs
+arbitrary generated SQL); these keys extend the delegated surface with
+the analytics its users would ask the LLM for, re-expressed as
+Catalyst-friendly Spark plans.
+
+Cross-engine determinism (driver value-hash contract):
+
+- **Median-based stats, not mean/stddev.**  A mean/stddev over doubles
+  is summation-order-dependent (last-ulp drift between engines — we
+  were bitten once, see SWEEP_r03).  Median/MAD are *selection +
+  a single interpolation* on identical double bits: both engines
+  compute ``lower + frac * (upper - lower)`` on the same two values,
+  so results are bit-identical — and MAD is the better outlier
+  statistic anyway (mean/stddev are themselves skewed by the outliers
+  they are meant to find).
+- **Histogram buckets via floor()**, not width_bucket (identical IEEE
+  semantics in both engines; no float aggregation at all).
+- **Integer edit distances**; **rational-exact** percent_rank/cume_dist
+  (``(rank-1)/(n-1)`` over identical ints).
+
+Scale notes (100 TB):
+
+- anomaly-mad: two co-partitioned groupBys + joins on ``user_id`` —
+  AQE handles moderate skew; per-user state is O(1) rows.
+- transition-matrix: one window (partitioned on user_id) + one
+  partial-aggregated groupBy over a 5×5 key space — the final shuffle
+  moves ≤ |types|² rows per partition thanks to map-side combine.
+- fuzzy-join: equi-join on the blocking key, Levenshtein only *within*
+  blocks — candidate pairs are Σ C(block,2), not C(n,2).  Block keys
+  with bounded cardinality per key keep the largest block in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load, load_events
+
+
+# ---------------------------------------------------------------- anomaly
+
+def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
+    """Rows whose |value − per-user median| exceeds ``k`` × the per-user
+    median absolute deviation (robust z-score, selection-only stats)."""
+    ev = events.select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "user_id").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter(F.col("dev") > k * F.col("mad"))
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(load_events(spark, sf_dir))
+
+
+# ----------------------------------------------------- transition matrix
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """Markov transition counts: (previous event_type → event_type)
+    frequencies over each user's time-ordered stream."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_counts(load_events(spark, sf_dir))
+
+
+# ------------------------------------------------------------- histogram
+
+def value_histogram(events: DataFrame, width: int = 50, nbins: int = 10) -> DataFrame:
+    """Fixed-width histogram of ``value``: count plus exact min/max per
+    bucket (selection-only — no float summation)."""
+    bucket = F.least(F.floor(F.col("value") / width).cast("bigint"), F.lit(nbins - 1))
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(load_events(spark, sf_dir))
+
+
+# ------------------------------------------------------------------ mode
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent market segment per nation (count-desc, then
+    segment-asc tiebreak — a total order, so the winner is unique)."""
+    cust = load(spark, sf_dir, "customer")
+    cnt = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_customers").desc(), "c_mktsegment"
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            "n_customers",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ------------------------------------------------------------ fuzzy join
+
+def fuzzy_pairs(
+    parts: DataFrame, block_cols: tuple[str, str] = ("p_brand", "p_size"), max_dist: int = 10
+) -> DataFrame:
+    """Blocked fuzzy self-join: Levenshtein only within equi-join blocks
+    (brand × size), so candidates are Σ C(|block|, 2) not C(n, 2)."""
+    a = parts.select(
+        F.col("p_partkey").alias("pa"),
+        F.col("p_name").alias("name_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("pb"),
+        F.col("p_name").alias("name_b"),
+        *[F.col(c) for c in block_cols],
+    )
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("pa") < F.col("pb"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("pa", "pb", "dist")
+        .orderBy("pa", "pb")
+    )
+
+
+def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_pairs(load(spark, sf_dir, "part"))
+
+
+# -------------------------------------------------- rank distributions
+
+def q_window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of account balance within each nation —
+    tie-aware rank statistics (rational-exact doubles: (rank−1)/(n−1)
+    over identical integers is bit-identical across engines)."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# -------------------------------------------------- embedding norm top-k
+
+_NORM_SCALE = 1_000_000  # component scale: 1.0 == 10^6
+
+
+def q_embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vectors by squared L2 norm in scaled-integer arithmetic.
+
+    Each float component is quantized to a 10⁶-scaled BIGINT, then the
+    squares are folded in array order with ``aggregate`` — integer math,
+    so the result is exact and order-independent across engines (a
+    float dot-product fold would drift in the last ulp).  Norm filters
+    gate embedding quality upstream of ANN indexing."""
+    emb = load(spark, sf_dir, "embeddings")
+    # promote float → double BEFORE scaling: a float-precision multiply
+    # rounds differently between engines (caught by the sf0.1 sweep)
+    q = F.expr(
+        f"aggregate(transform(embedding,"
+        f" x -> cast(round(cast(x as double) * {_NORM_SCALE}) as bigint)),"
+        " cast(0 as bigint), (acc, v) -> acc + v * v)"
+    )
+    return (
+        emb.select("vec_id", q.alias("norm2_scaled"))
+        .orderBy(F.col("norm2_scaled").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "events-anomaly-mad": q_events_anomaly_mad,
+    "events-transition-matrix": q_events_transition_matrix,
+    "events-value-histogram": q_events_value_histogram,
+    "agg-mode": q_agg_mode,
+    "fuzzy-join-levenshtein": q_fuzzy_join_levenshtein,
+    "window-percent-cume": q_window_percent_cume,
+    "embedding-norm-topk": q_embedding_norm_topk,
+}
+
+ORACLES = {
+    # DuckDB reads the ns-parquet as µs TIMESTAMP — the same truncation
+    # load_events applies — so ts orders/compares identically.
+    "events-anomaly-mad": """
+        WITH med AS (
+          SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+        dev AS (
+          SELECT e.user_id, e.event_id, e.value,
+                 abs(e.value - m.med) AS dev
+          FROM events e JOIN med m USING (user_id)),
+        mad AS (
+          SELECT user_id, median(dev) AS mad FROM dev GROUP BY 1)
+        SELECT d.user_id, d.event_id, d.value
+        FROM dev d JOIN mad m USING (user_id)
+        WHERE d.dev > 3 * m.mad
+        ORDER BY d.user_id, d.event_id
+    """,
+    "events-transition-matrix": """
+        WITH seq AS (
+          SELECT event_type AS to_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+          FROM events)
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events-value-histogram": """
+        SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bucket,
+               COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "agg-mode": """
+        WITH cnt AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_customers
+          FROM customer GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_nationkey
+            ORDER BY n_customers DESC, c_mktsegment) AS rn
+          FROM cnt)
+        SELECT c_nationkey, c_mktsegment AS mode_segment, n_customers
+        FROM ranked WHERE rn = 1 ORDER BY c_nationkey
+    """,
+    "fuzzy-join-levenshtein": """
+        SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 10
+        ORDER BY pa, pb
+    """,
+    "window-percent-cume": """
+        SELECT c_custkey, c_nationkey,
+               ROUND(PERCENT_RANK() OVER (
+                 PARTITION BY c_nationkey ORDER BY c_acctbal), 9) AS pct_rank,
+               ROUND(CUME_DIST() OVER (
+                 PARTITION BY c_nationkey ORDER BY c_acctbal), 9) AS cume
+        FROM customer ORDER BY c_custkey
+    """,
+    "embedding-norm-topk": f"""
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * {_NORM_SCALE}) AS BIGINT)
+                      * CAST(ROUND(CAST(x AS DOUBLE) * {_NORM_SCALE}) AS BIGINT)))
+                 AS BIGINT) AS norm2_scaled
+        FROM embeddings
+        ORDER BY norm2_scaled DESC, vec_id LIMIT 20
+    """,
+}

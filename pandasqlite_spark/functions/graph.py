@@ -88,8 +88,53 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected edge list given as
+    ``(src, dst)`` with ``src < dst`` (each edge once).
+
+    Classic two-join enumeration with the ``a < b < c`` orientation so
+    every triangle is produced exactly once: wedges a–b–c from
+    e(a,b)⋈e(b,c), closed by probing e(a,c).  All three joins shuffle
+    on node keys only; cost is Σ deg², which the caller bounds by
+    feeding a *sparse* edge list (dense co-occurrence graphs must be
+    thinned before counting — see q_graph_triangles' quantity filter).
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    closed = wedges.join(e3, ["a", "c"])
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the high-quantity co-supply graph: suppliers are
+    connected when they both ship a >45-quantity line in the same
+    order.  The quantity filter (pushed to the parquet scan) keeps the
+    graph sparse — the unfiltered co-occurrence graph is near-complete
+    and would make Σ deg² quadratic."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 QUERIES = {
     "graph-pagerank": q_graph_pagerank,
+    "graph-triangles": q_graph_triangles,
 }
 
 ORACLES = {
@@ -123,5 +168,18 @@ ORACLES = {
                FROM s3, n)
         SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
         ORDER BY rank_scaled DESC, node LIMIT 20
+    """,
+    "graph-triangles": """
+        WITH hi AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem WHERE l_quantity > 45),
+        edges AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM hi a JOIN hi b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
     """,
 }

@@ -20,6 +20,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
     from pandasqlite_spark.functions import (
+        analytics,
         clustering,
         curate,
         dedup,
@@ -46,6 +47,7 @@ def _modules():
         clustering,
         curate,
         graph,
+        analytics,
         text,
         udfs,
         streaming_events,

@@ -3,7 +3,7 @@
 DuckDB oracle with full value comparison, in one fresh session — the
 same check the external driver performs at sf0.01, runnable at any SF:
 
-    python scripts/driver_sweep.py [sf_dir] [--vanilla]
+    python scripts/driver_sweep.py [sf_dir] [--vanilla] [--keys k1,k2,...]
 
 Exits non-zero on any mismatch.  (This is how the approx-distinct rsd
 bug was caught: pytest defaults to sf0.001 where the sketch happened to
@@ -45,14 +45,26 @@ def vanilla_spark():
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    vanilla = "--vanilla" in sys.argv
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--keys" in argv:
+        i = argv.index("--keys")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    vanilla = "--vanilla" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = vanilla_spark() if vanilla else get_spark("driver_sweep")
     if vanilla:
         print(f"vanilla session: ansi={spark.conf.get('spark.sql.ansi.enabled')}")
     con = duckdb_connection(sf_dir)
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown keys: {sorted(unknown)}")
+            return 2
+        queries = {k: v for k, v in queries.items() if k in only}
     t0 = time.perf_counter()
     failures: list[tuple[str, object]] = []
     for key in sorted(queries):
