@@ -213,8 +213,101 @@ def q_embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- SCD2 state history
+
+def scd2_history(events: DataFrame, tier_width: int = 100) -> DataFrame:
+    """Type-2 slowly-changing-dimension build via gaps-and-islands:
+    collapse each user's consecutive same-state events into validity
+    intervals ``[valid_from_us, valid_to_us)`` (NULL valid_to = current).
+
+    State = value tier (``floor(value / tier_width)``).  Island ids are
+    a running sum of change flags — one window pass over the user
+    partitioning, then one groupBy on (user, island): both stages hash
+    on ``user_id``, so the Exchange is reused and per-user history never
+    leaves one task's stream (bounded by events-per-user, not table
+    size)."""
+    tier = F.floor(F.col("value") / tier_width).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("tier").over(w)
+    flagged = (
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), tier.alias("tier")
+        )
+        .withColumn(
+            "chg",
+            F.when(prev.isNull() | (prev != F.col("tier")), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = flagged.groupBy("user_id", "island").agg(
+        F.min("tier").alias("tier"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return (
+        spans.withColumn("valid_to_us", F.lead("valid_from_us").over(wi))
+        .select(
+            "user_id",
+            "tier",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+def q_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_history(load_events(spark, sf_dir))
+
+
+# ------------------------------------------------- table fingerprinting
+
+def table_checksum(df: DataFrame, cols: list[str], group_col: str) -> DataFrame:
+    """Order-independent content fingerprint: per-row md5 of a canonical
+    ``|``-joined projection, folded with an exact DECIMAL(38,0) sum —
+    commutative, so partition order and parallelism never change the
+    result.  The 100 TB reconciliation primitive: run on source and
+    target, compare one tiny row set instead of 100 TB of rows."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    rowhash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # surface as STRING: a DECIMAL(38,0) would round-trip through
+            # pandas as float on the DuckDB side and lose exactness
+            F.sum(rowhash.cast("decimal(38,0)")).cast("string").alias("checksum"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "l_qty_int", F.col("l_quantity").cast("bigint")
+    )
+    return table_checksum(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_qty_int", "l_returnflag", "l_linestatus"],
+        "l_returnflag",
+    )
+
+
 QUERIES = {
     "events-anomaly-mad": q_events_anomaly_mad,
+    "history-scd2": q_history_scd2,
+    "table-checksum": q_table_checksum,
     "events-transition-matrix": q_events_transition_matrix,
     "events-value-histogram": q_events_value_histogram,
     "agg-mode": q_agg_mode,
@@ -226,6 +319,47 @@ QUERIES = {
 ORACLES = {
     # DuckDB reads the ns-parquet as µs TIMESTAMP — the same truncation
     # load_events applies — so ts orders/compares identically.
+    "history-scd2": """
+        WITH flagged AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(FLOOR(value / 100) AS BIGINT) AS tier,
+                 CASE WHEN LAG(CAST(FLOOR(value / 100) AS BIGINT)) OVER w IS NULL
+                        OR LAG(CAST(FLOOR(value / 100) AS BIGINT)) OVER w
+                           <> CAST(FLOOR(value / 100) AS BIGINT)
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        islands AS (
+          SELECT *, SUM(chg) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM flagged),
+        spans AS (
+          SELECT user_id, island, MIN(tier) AS tier,
+                 MIN(us) AS valid_from_us, COUNT(*) AS n_events
+          FROM islands GROUP BY 1, 2)
+        SELECT user_id, tier, valid_from_us,
+               LEAD(valid_from_us) OVER (
+                 PARTITION BY user_id ORDER BY island) AS valid_to_us,
+               n_events,
+               (LEAD(valid_from_us) OVER (
+                 PARTITION BY user_id ORDER BY island) IS NULL) AS is_current
+        FROM spans ORDER BY user_id, valid_from_us
+    """,
+    "table-checksum": """
+        WITH canon AS (
+          SELECT l_returnflag,
+                 concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                   CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+                   CAST(l_linenumber AS VARCHAR),
+                   CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+                   l_returnflag, l_linestatus) AS s
+          FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(CAST(SUM(('0x' || substr(md5(s), 1, 15))::BIGINT)
+                 AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        FROM canon GROUP BY 1 ORDER BY 1
+    """,
     "events-anomaly-mad": """
         WITH med AS (
           SELECT user_id, median(value) AS med FROM events GROUP BY 1),

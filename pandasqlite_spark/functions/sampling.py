@@ -145,6 +145,46 @@ def q_mixture_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_weighted_mixture(load(spark, sf_dir, "documents"))
 
 
+def sqrt_temperature_mixture(df: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixture weights (τ = 0.5 ⇒ weight ∝
+    √tokens) — the standard multilingual/multi-source rebalancing rule:
+    big sources are damped, small sources up-weighted, without the
+    winner-take-all of proportional sampling.
+
+    Determinism: √ is IEEE-correctly-rounded in both engines (unlike
+    `pow`, whose libm differs), the √ is rounded to a DECIMAL(18,6)
+    weight so the normalizing sum is exact and order-independent, and
+    the final share divides two bit-identical doubles.  One groupBy on
+    `source` + one broadcast of the one-row normalizing sum — nothing here scales with corpus size."""
+    from pandasqlite_spark.functions.text import token_count
+
+    totals = (
+        df.select("source", token_count().alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("total_tokens"))
+    )
+    w = F.round(F.sqrt(F.col("total_tokens").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    weighted = totals.withColumn("w", w)
+    denom = weighted.agg(F.sum("w").alias("denom"))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "total_tokens",
+            F.round(
+                F.col("w").cast("double") / F.col("denom").cast("double"), 9
+            ).alias("share"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mixture_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sqrt_temperature_mixture(load(spark, sf_dir, "documents"))
+
+
 N_SHUFFLE_SHARDS = 64
 
 
@@ -173,6 +213,7 @@ QUERIES = {
     "split-assign": q_split_assign,
     "pack-sequences": q_pack_sequences,
     "mixture-token-weighted": q_mixture_token_weighted,
+    "mixture-sqrt-temperature": q_mixture_sqrt_temperature,
     "shuffle-deterministic": q_shuffle_deterministic,
 }
 
@@ -226,6 +267,22 @@ ORACLES = {
         FROM tok k JOIN totals USING (source) CROSS JOIN tmin
         WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::BIGINT
                 * totals.tot < 65536 * tmin.t
+    """,
+    "mixture-sqrt-temperature": r"""
+        WITH totals AS (
+          SELECT source,
+                 CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+')))
+                   AS BIGINT) AS total_tokens
+          FROM documents GROUP BY source),
+        weighted AS (
+          SELECT source, total_tokens,
+                 CAST(ROUND(sqrt(CAST(total_tokens AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS w
+          FROM totals)
+        SELECT source, total_tokens,
+               ROUND(CAST(w AS DOUBLE)
+                     / CAST(SUM(w) OVER () AS DOUBLE), 9) AS share
+        FROM weighted ORDER BY source
     """,
     "shuffle-deterministic": """
         SELECT doc_id,

@@ -337,8 +337,49 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # chunk start spacing (CHUNK_SIZE - CHUNK_STRIDE overlap)
+
+
+def chunk_documents(
+    df: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding prep pass:
+    each doc explodes into overlapping ``size``-token windows whose
+    starts are ``stride`` apart (tail chunks may be shorter).
+
+    Pure built-in array ops (`split` → `sequence` → `explode` →
+    `slice`), so chunking is row-local and codegen'd: no shuffle, no
+    Python, and output size is (n_tokens / stride)× input — the fan-out
+    is data-parallel and never concentrates on one task."""
+    toks = tokens()
+    d = df.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("nt")
+    ).filter(F.col("nt") > 0)
+    nchunks = F.expr(f"cast(ceil(nt / {stride}.0) as int)")
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), nchunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(size), F.col("nt") - F.col("chunk_idx") * stride
+            ).alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "pipeline-compose": q_pipeline_compose,
+    "text-chunk-overlap": q_text_chunk_overlap,
     "text-tokenize": q_text_tokenize,
     "text-langid": q_text_langid,
     "text-quality-score": q_text_quality,
@@ -367,6 +408,21 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-chunk-overlap": f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS nt
+          FROM documents),
+        x AS (
+          SELECT doc_id, toks, nt,
+                 unnest(range(0, CAST(ceil(nt / 48.0) AS INTEGER))) AS chunk_idx
+          FROM d WHERE nt > 0)
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               array_to_string(
+                 list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                 ' ') AS chunk_text,
+               CAST(LEAST(64, nt - chunk_idx * 48) AS INTEGER) AS n_chunk_tokens
+        FROM x ORDER BY doc_id, chunk_idx
+    """,
     "text-pii-redact": f"""
         SELECT doc_id,
                regexp_replace(
