@@ -59,6 +59,11 @@ def _queries(sf_dir: str):
 
         return q_tpch_q21(spark, d)
 
+    def _checksum(spark, d):
+        from pandasqlite_spark.functions.analytics import q_table_checksum
+
+        return q_table_checksum(spark, d)
+
     def text_pipeline(spark, d):
         docs = load(spark, d, "documents")
         return docs.select(
@@ -82,6 +87,9 @@ def _queries(sf_dir: str):
         # exists/not-exists self-join) without disturbing comparability
         "q12_tpch_q9": _tpch_q9,
         "q13_tpch_q21": _tpch_q21,
+        # full-table scan + row-local md5 fold + 3-group partial agg:
+        # the pure scan/hash-throughput probe (reconciliation primitive)
+        "q14_table_checksum": _checksum,
     }
 
 

@@ -304,10 +304,86 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- table profile
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile: rows / nulls / exact distinct counts per
+    column — the automated version of the reference's per-column
+    enrichment snapshot (`/root/reference/pandasqlite/pandasqlite.py:283-307`
+    samples values per column for the LLM; this profiles them).
+
+    A single agg computes every stat (Catalyst plans multi-distinct via
+    one Expand: cols× the scan rows shuffled, each partially
+    aggregated — one pass over the table, not one pass per column),
+    then a `stack` unpivots the 1-row result driver-side."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    row = df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return (
+        row.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_notnull, n_distinct)",
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_notnull")).alias("n_null"),
+            "n_distinct",
+        )
+        .orderBy("col_name")
+    )
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+
+# ------------------------------------------------------ z-order layout
+
+_Z_BITS = 8
+
+
+def _zorder_sql(x: str, y: str, div: str) -> str:
+    """Bit-interleave two ``_Z_BITS``-bit keys into a z-value using only
+    div/mod/multiply — identical semantics in Spark SQL (``div``) and
+    DuckDB (``//``), no engine-specific bit operators."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (custkey, orderkey) low
+    bits — the multi-dimensional sort key used to cluster 100 TB tables
+    so range predicates on EITHER dimension prune row groups
+    (Delta/Iceberg `OPTIMIZE ZORDER BY` does exactly this before a
+    repartitionByRange + sortWithinPartitions write).  Row-local integer
+    arithmetic; the ordering itself would be the range-partitioned
+    write's job."""
+    o = load(spark, sf_dir, "orders")
+    z = F.expr(_zorder_sql(f"(o_custkey % {1 << _Z_BITS})",
+                           f"(o_orderkey % {1 << _Z_BITS})", "div"))
+    return (
+        o.select("o_orderkey", "o_custkey", z.cast("int").alias("zval"))
+        .orderBy("zval", "o_orderkey")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "events-anomaly-mad": q_events_anomaly_mad,
     "history-scd2": q_history_scd2,
     "table-checksum": q_table_checksum,
+    "profile-table": q_profile_table,
+    "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
     "events-value-histogram": q_events_value_histogram,
     "agg-mode": q_agg_mode,
@@ -319,6 +395,32 @@ QUERIES = {
 ORACLES = {
     # DuckDB reads the ns-parquet as µs TIMESTAMP — the same truncation
     # load_events applies — so ts orders/compares identically.
+    "profile-table": """
+        WITH s AS (
+          SELECT COUNT(*) AS n_rows,
+                 COUNT(o_custkey) AS nn_cust, COUNT(DISTINCT o_custkey) AS nd_cust,
+                 COUNT(o_orderpriority) AS nn_pri, COUNT(DISTINCT o_orderpriority) AS nd_pri,
+                 COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
+                 COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT o_totalprice) AS nd_tp
+          FROM orders)
+        SELECT col_name, n_rows, n_rows - n_notnull AS n_null, n_distinct
+        FROM (
+          SELECT 'o_custkey' AS col_name, n_rows, nn_cust AS n_notnull, nd_cust AS n_distinct FROM s
+          UNION ALL
+          SELECT 'o_orderpriority', n_rows, nn_pri, nd_pri FROM s
+          UNION ALL
+          SELECT 'o_orderstatus', n_rows, nn_st, nd_st FROM s
+          UNION ALL
+          SELECT 'o_totalprice', n_rows, nn_tp, nd_tp FROM s)
+        ORDER BY col_name
+    """,
+    "layout-zorder": f"""
+        SELECT o_orderkey, o_custkey,
+               CAST({_zorder_sql(f"(o_custkey % {1 << _Z_BITS})", f"(o_orderkey % {1 << _Z_BITS})", "//")}
+                 AS INTEGER) AS zval
+        FROM orders
+        ORDER BY zval, o_orderkey LIMIT 200
+    """,
     "history-scd2": """
         WITH flagged AS (
           SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -389,6 +389,28 @@ def streaming_session_window(
     )
 
 
+def q_events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the NATIVE ``session_window`` operator (same
+    dynamic-merge machinery Structured Streaming uses) — complements the
+    lag/running-sum form in :func:`sessionize`.  Boundary semantics
+    differ by one instant: ``session_window`` starts a new session when
+    the gap is ``>= gap`` (windows ``[t, t+gap)`` must *overlap* to
+    merge), while :func:`sessionize` splits strictly on ``> gap`` — the
+    oracle encodes the native rule."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("start_ms"),
+            F.unix_millis("w.end").alias("end_ms"),
+            "n_events",
+            "total",
+        )
+    )
+
+
 _MEMSINK_SEQ = [0]
 
 
@@ -520,6 +542,7 @@ QUERIES = {
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
+    "events-session-window-native": q_events_session_window_native,
     "events-session-two-phase": q_events_session_two_phase,
     "events-funnel": q_events_funnel,
     "events-retention": q_events_retention,
@@ -653,6 +676,29 @@ ORACLES = {
         FROM sessions GROUP BY user_id, session_id
     """,
     "events-streaming-tumbling": _TUMBLING_ORACLE,
+    # native session_window semantics: split on gap >= 30min (not >),
+    # window end = last event + gap
+    "events-session-window-native": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, value, ts,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                           >= {SESSION_GAP_MS} * 1000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        sessions AS (
+          SELECT user_id, value, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(epoch_ms(ts)) AS start_ms,
+               MAX(epoch_ms(ts)) + {SESSION_GAP_MS} AS end_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM sessions GROUP BY user_id, sid
+    """,
 }
 
 # identical semantics by construction — the two-phase form must match

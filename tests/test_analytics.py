@@ -8,7 +8,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from pandasqlite_spark.functions.analytics import (
+    _zorder_sql,
     mad_outliers,
+    profile_table,
     scd2_history,
     table_checksum,
     transition_counts,
@@ -134,6 +136,26 @@ def test_chunking_boundaries_and_overlap(spark):
     # whitespace-only doc: split('\s+') of '' yields [''] (1 "token"),
     # matching the DuckDB oracle's identical convention
     assert 3 in by_doc
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x bigint, y string"
+    )
+    out = {r.col_name: r for r in profile_table(df, ["x", "y"]).collect()}
+    assert out["x"].n_rows == 4 and out["x"].n_null == 1 and out["x"].n_distinct == 3
+    assert out["y"].n_null == 1 and out["y"].n_distinct == 2
+
+
+def test_zorder_interleaves_bits(spark):
+    # x=3 (bits 11), y=1 (bit 1) → z = 1·1 + 1·4 (x bits 0,1) + 1·2 (y bit 0) = 7
+    df = spark.createDataFrame([(3, 1)], "x bigint, y bigint")
+    z = df.selectExpr(f"({_zorder_sql('x', 'y', 'div')}) AS z").collect()[0].z
+    assert z == 7
+    # locality: close (x,y) pairs → close z; distant x → distant z
+    df2 = spark.createDataFrame([(0, 0), (1, 0), (128, 0)], "x bigint, y bigint")
+    zs = [r.z for r in df2.selectExpr(f"({_zorder_sql('x', 'y', 'div')}) AS z").collect()]
+    assert zs[1] - zs[0] < zs[2] - zs[0]
 
 
 def test_sqrt_mixture_shares_sum_to_one_and_damp_large_sources(spark):
