@@ -213,6 +213,46 @@ def rewrite_table_placeholder(sql: str, table_name: str) -> str:
     return _unmask(masked, spans)
 
 
+def _rewrite_misc_sqlite(sql: str, spans: list[str]) -> str:
+    """Small token-level SQLite-isms (applied on the masked string, so
+    literals are never touched):
+
+    - ``iif(c, a, b)`` → ``if(c, a, b)``
+    - ``CAST(x AS TEXT/REAL)`` → Spark type names STRING/DOUBLE
+    - ``date('now')`` / ``datetime('now')`` → current_date/timestamp
+      (plain 'now', no modifiers — modifier forms fail loudly at
+      analysis rather than silently shifting time)
+    - ``LIMIT off, cnt`` (SQLite/MySQL offset-first form) →
+      ``LIMIT cnt OFFSET off``
+    - ``total(x)`` → ``coalesce(sum(x), 0.0d)`` (SQLite's
+      never-NULL sum)
+    """
+    sql = re.sub(r"\biif\s*\(", "if(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bAS\s+TEXT\b", "AS STRING", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bAS\s+REAL\b", "AS DOUBLE", sql, flags=re.IGNORECASE)
+
+    def _now(m: re.Match) -> str:
+        idx = int(m.group(2))
+        if spans[idx].lower() == "'now'":
+            return "current_date()" if m.group(1).lower() == "date" else "current_timestamp()"
+        return m.group(0)
+
+    sql = re.sub(r"\b(date|datetime)\s*\(\s*\x00(\d+)\x00\s*\)", _now, sql, flags=re.IGNORECASE)
+    sql = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        r"LIMIT \2 OFFSET \1",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\btotal\s*\(([^()]*)\)",
+        r"coalesce(sum(\1), 0.0d)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
 def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> str:
     """Apply all residual-SQLite-ism rewrites to a SQL string.
 
@@ -227,6 +267,7 @@ def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> st
     masked = _rewrite_group_concat(masked)
     masked = re.sub(r"\brandom\s*\(\s*\)", "rand()", masked, flags=re.IGNORECASE)
     masked = _rewrite_julianday(masked)
+    masked = _rewrite_misc_sqlite(masked, spans)
     masked = re.sub(
         r"(\x00\d+\x00|\)|\w+(?:\.\w+)?)(\s+NOT)?(\s+)LIKE\s+",
         r"\1\2\3ILIKE ",

@@ -90,6 +90,17 @@ def test_rewrite_table_placeholder_token_aware():
         ),
         ("SELECT * FROM t WHERE a LIKE 'x%'", "SELECT * FROM t WHERE a ILIKE 'x%'"),
         ('SELECT * FROM t WHERE s = "1"', "SELECT * FROM t WHERE s = '1'"),
+        ("SELECT iif(a > 1, 'y', 'n') FROM t", "SELECT if(a > 1, 'y', 'n') FROM t"),
+        ("SELECT CAST(a AS TEXT) FROM t", "SELECT CAST(a AS STRING) FROM t"),
+        ("SELECT CAST(a AS REAL) FROM t", "SELECT CAST(a AS DOUBLE) FROM t"),
+        ("SELECT date('now')", "SELECT current_date()"),
+        ("SELECT datetime('NOW')", "SELECT current_timestamp()"),
+        ("SELECT date('2024-01-01')", "SELECT date('2024-01-01')"),
+        ("SELECT date(d) FROM t", "SELECT date(d) FROM t"),
+        ("SELECT * FROM t LIMIT 5, 10", "SELECT * FROM t LIMIT 10 OFFSET 5"),
+        ("SELECT * FROM t LIMIT 10 OFFSET 5", "SELECT * FROM t LIMIT 10 OFFSET 5"),
+        ("SELECT total(a) FROM t", "SELECT coalesce(sum(a), 0.0d) FROM t"),
+        ("SELECT 'iif(a, b, c)' FROM t", "SELECT 'iif(a, b, c)' FROM t"),
     ],
 )
 def test_dialect_rules(src, expected):
