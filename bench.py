@@ -60,9 +60,18 @@ def _queries(sf_dir: str):
         return q_tpch_q21(spark, d)
 
     def _checksum(spark, d):
-        from pandasqlite_spark.functions.analytics import q_table_checksum
+        from pandasqlite_spark.functions.analytics import table_checksum
 
-        return q_table_checksum(spark, d)
+        li = load(spark, d, "lineitem").withColumn(
+            "l_qty_int", F.col("l_quantity").cast("bigint")
+        )
+        return table_checksum(
+            li,
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_qty_int", "l_returnflag", "l_linestatus"],
+            "l_returnflag",
+            algo="xxhash64",
+        )
 
     def text_pipeline(spark, d):
         docs = load(spark, d, "documents")

@@ -103,6 +103,17 @@ def test_checksum_is_partition_order_independent(spark, sf_dir):
     assert a == b
 
 
+def test_checksum_xxhash_path_is_order_independent_and_sensitive(spark):
+    df = spark.createDataFrame([(i, "g") for i in range(100)], "id bigint, g string")
+    a = table_checksum(df, ["id"], "g", algo="xxhash64").collect()
+    b = table_checksum(df.repartition(9), ["id"], "g", algo="xxhash64").collect()
+    assert a == b
+    mut = spark.createDataFrame(
+        [(i if i != 50 else -50, "g") for i in range(100)], "id bigint, g string"
+    )
+    assert table_checksum(mut, ["id"], "g", algo="xxhash64").collect() != a
+
+
 def test_checksum_detects_single_value_change(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, g string")
     mutated = spark.createDataFrame([(1, "a"), (3, "b")], "id bigint, g string")
