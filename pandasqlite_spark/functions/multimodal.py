@@ -134,9 +134,59 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs))
 
 
+WINDOW_SCHEMA = "doc_id bigint, win_idx int, offset int, n_win_bytes int, win_hex string"
+
+
+def window_audio(
+    with_payload: DataFrame, win_bytes: int = 6, stride_bytes: int = 4
+) -> DataFrame:
+    """Overlapping-window segmentation over a binary payload — the
+    audio analog of document chunking (PCM frame windows for feature
+    extraction).  Same ``mapInPandas`` fan-out shape as
+    :func:`sample_frames` but with stride < window (overlap), and the
+    tail window is short, never dropped — exactly the contract an
+    STFT/MFCC front end needs.  Only the per-window transform (here:
+    hex passthrough) would change with a real audio lib."""
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(with_payload.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, hexes = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, w = len(payload), 0
+                for start in range(0, n, stride_bytes):
+                    chunk = payload[start : start + win_bytes]
+                    ids.append(doc_id)
+                    idxs.append(w)
+                    offs.append(start)
+                    lens.append(len(chunk))
+                    hexes.append(chunk.hex())
+                    w += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int32"),
+                    "n_win_bytes": pd.Series(lens, dtype="int32"),
+                    "win_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(op, WINDOW_SCHEMA)
+
+
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return window_audio(attach_payload(docs))
+
+
 QUERIES = {
-    "multimodal-features": q_multimodal_features,  # rows-only (binary/UDF path)
+    "multimodal-features": q_multimodal_features,
     "multimodal-frames": q_multimodal_frames,
+    "multimodal-audio-windows": q_multimodal_audio_windows,
 }
 
 # the fake payload is unhex(md5(text)), so each 4-byte frame is an
@@ -147,5 +197,28 @@ ORACLES: dict = {
         SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
                substr(md5(text), i * 8 + 1, 8) AS frame_hex
         FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
+    """,
+    # reconstruct the 16 digest bytes from the md5 hex and aggregate:
+    # the mapInPandas byte-stat extractor gets a full value oracle
+    # (sum-of-16-ints / 16.0 is exact in float64, so byte_mean is
+    # bit-identical to pandas' mean over the same ints)
+    "multimodal-features": """
+        WITH b AS (
+          SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::INT AS v
+          FROM documents, (SELECT unnest(range(0, 16)) AS i))
+        SELECT doc_id, CAST(16 AS INTEGER) AS n_bytes,
+               CAST(SUM(v) AS DOUBLE) / 16 AS byte_mean,
+               CAST(MIN(v) AS INTEGER) AS byte_min,
+               CAST(MAX(v) AS INTEGER) AS byte_max
+        FROM b GROUP BY doc_id
+    """,
+    # windows of 6 bytes every 4 bytes over the 16-byte digest:
+    # starts 0,4,8,12 — the tail window is 4 bytes
+    "multimodal-audio-windows": """
+        SELECT doc_id, CAST(w AS INTEGER) AS win_idx,
+               CAST(w * 4 AS INTEGER) AS offset,
+               CAST(LEAST(6, 16 - w * 4) AS INTEGER) AS n_win_bytes,
+               substr(md5(text), w * 8 + 1, LEAST(6, 16 - w * 4) * 2) AS win_hex
+        FROM documents, (SELECT unnest(generate_series(0, 3)) AS w)
     """,
 }
