@@ -456,6 +456,30 @@ def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events-session-window-native``: the SAME
+    ``session_window`` aggregation run as a Structured Streaming query
+    (dynamic windows merged as micro-batches arrive, state bounded by
+    the watermark) — drained with availableNow so the finite stream
+    emits every closed session.  Oracle = the batch form's oracle with
+    the value column projected the same way."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("start_ms"),
+            F.unix_millis("w.end").alias("end_ms"),
+            "n_events",
+            "total",
+        )
+    )
+    name, q = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)
+
+
 def streaming_view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view joined to purchases by the
     same user within ``horizon`` after it.  Watermarks on BOTH sides
@@ -548,6 +572,7 @@ QUERIES = {
     "events-retention": q_events_retention,
     "events-gapfill": q_events_gapfill,
     "events-streaming-tumbling": q_events_streaming_tumbling,
+    "events-streaming-session": q_events_streaming_session,
     "events-streaming-join": q_events_streaming_join,
     "events-streaming-dedup": q_events_streaming_dedup,
 }
@@ -704,6 +729,8 @@ ORACLES = {
 # identical semantics by construction — the two-phase form must match
 # the SAME oracle as the single-phase window
 ORACLES["events-session-two-phase"] = ORACLES["events-session-agg"]
+# the streaming session_window drain must equal the batch session_window
+ORACLES["events-streaming-session"] = ORACLES["events-session-window-native"]
 
 ORACLES["events-stateful-profiles"] = """
     SELECT user_id, COUNT(*) AS n_events,
