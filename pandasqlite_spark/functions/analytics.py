@@ -315,6 +315,56 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ regression / correlation
+
+def linreg_exact(
+    df: DataFrame, x, y, group_col: str
+) -> DataFrame:
+    """Per-group OLS slope/intercept and Pearson correlation from
+    EXACT moment sums.
+
+    ``corr()``/``covar_pop()`` aggregate doubles, so their results are
+    summation-order-dependent — nondeterministic across engines and
+    even across partitionings of the same engine.  Here the five moment
+    sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL (the inputs are
+    integer-valued measures scaled to exact decimals), so the sums are
+    exact and order-independent; the closed-form combination then runs
+    once per *group* in double precision — identical operations on
+    identical bits in every engine.  Partial aggregation applies to all
+    five sums, so the shuffle carries 5 decimals per group.
+    """
+    xd = x.cast("decimal(18,2)")
+    yd = y.cast("decimal(18,2)")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return g.select(
+        group_col,
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias("intercept"),
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 9).alias("corr"),
+    ).orderBy(group_col)
+
+
+def q_agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity→price regression per return flag over lineitem (both
+    measures are integer-valued in cents/units, so the decimal moments
+    are exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    return linreg_exact(
+        li, F.col("l_quantity"), F.col("l_extendedprice"), "l_returnflag"
+    )
+
+
 # -------------------------------------------------------- table profile
 
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -394,6 +444,7 @@ QUERIES = {
     "history-scd2": q_history_scd2,
     "table-checksum": q_table_checksum,
     "profile-table": q_profile_table,
+    "agg-linreg-exact": q_agg_linreg_exact,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
     "events-value-histogram": q_events_value_histogram,
@@ -406,6 +457,30 @@ QUERIES = {
 ORACLES = {
     # DuckDB reads the ns-parquet as µs TIMESTAMP — the same truncation
     # load_events applies — so ts orders/compares identically.
+    "agg-linreg-exact": """
+        WITH g AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                   AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                   AS DOUBLE) AS syy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+                 AS intercept,
+               ROUND((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
+        FROM g ORDER BY l_returnflag
+    """,
     "profile-table": """
         WITH s AS (
           SELECT COUNT(*) AS n_rows,
