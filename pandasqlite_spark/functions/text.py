@@ -342,7 +342,7 @@ CHUNK_STRIDE = 48  # chunk start spacing (CHUNK_SIZE - CHUNK_STRIDE overlap)
 
 
 def chunk_documents(
-    df: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+    df: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE, sort: bool = True
 ) -> DataFrame:
     """Sliding-window document chunking — the RAG/embedding prep pass:
     each doc explodes into overlapping ``size``-token windows whose
@@ -357,7 +357,7 @@ def chunk_documents(
         "doc_id", toks.alias("toks"), F.size(toks).alias("nt")
     ).filter(F.col("nt") > 0)
     nchunks = F.expr(f"cast(ceil(nt / {stride}.0) as int)")
-    return (
+    out = (
         d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), nchunks - 1)))
         .select(
             "doc_id",
@@ -369,8 +369,10 @@ def chunk_documents(
                 F.lit(size), F.col("nt") - F.col("chunk_idx") * stride
             ).alias("n_chunk_tokens"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
+    # the sort is presentation-only (oracle row order); the operator
+    # itself is shuffle-free — asserted in tests/test_analytics.py
+    return out.orderBy("doc_id", "chunk_idx") if sort else out
 
 
 def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

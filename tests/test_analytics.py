@@ -169,6 +169,36 @@ def test_zorder_interleaves_bits(spark):
     assert zs[1] - zs[0] < zs[2] - zs[0]
 
 
+def test_chunking_plan_has_no_exchange(spark, sf_dir):
+    from pandasqlite_spark.operators.common import load
+
+    # the chunk fan-out itself is row-local: split→sequence→explode→slice
+    # all inside the scan stage (sort=True adds only a presentation-order
+    # range exchange for the oracle compare)
+    docs = load(spark, sf_dir, "documents")
+    plan = chunk_documents(docs, sort=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    sorted_plan = chunk_documents(docs, sort=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in sorted_plan  # presentation sort only
+
+
+def test_checksum_plan_partial_aggregates(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = table_checksum(li, ["l_orderkey"], "l_returnflag", algo="xxhash64")._jdf.queryExecution().executedPlan().toString()
+    # two HashAggregates (partial + final) around exactly one hash
+    # exchange: the shuffle carries one decimal per (partition, group),
+    # not rows (the trailing range exchange is the presentation sort)
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_linreg_plan_partial_aggregates(spark, sf_dir):
+    from pandasqlite_spark.functions.analytics import q_agg_linreg_exact
+
+    plan = q_agg_linreg_exact(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 2  # moment sums combine map-side
+
+
 def test_sqrt_mixture_shares_sum_to_one_and_damp_large_sources(spark):
     docs = spark.createDataFrame(
         [(i, "x " * (10 if i % 10 else 1000), "big" if i % 10 == 0 else "small")
