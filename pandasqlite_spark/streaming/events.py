@@ -426,7 +426,26 @@ def run_stream_to_memory(agg: DataFrame, mode: str = "complete") -> tuple:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # Drain-and-stop, robust to PROCESSING-TIME timers: an availableNow
+    # query with armed timers (applyInPandasWithState eviction) never
+    # self-terminates — the engine schedules empty batch after empty
+    # batch hoping to fire them — and processAllAvailable never latches
+    # either.  The old awaitTermination(120) therefore burned its full
+    # cap every run (the 120s SLOW flag in SWEEP_r05) and returned a
+    # racy "probably complete" table.  Instead: poll progress until a
+    # completed batch consumed 0 input rows (the source is drained and
+    # committed — only timer no-ops remain), then stop explicitly.
+    # Timer-free queries simply self-terminate and exit the loop.
+    import time as _time
+
+    deadline = _time.time() + 300
+    while _time.time() < deadline and q.isActive:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] == 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
     return name, q
 
 
@@ -548,7 +567,9 @@ def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately excluded from the checked columns."""
     from pandasqlite_spark.streaming.stateful import user_profiles_stream
 
-    stream = user_profiles_stream(read_events_stream(spark, sf_dir))
+    # evict=False: finite drain — processing-time timers would keep the
+    # availableNow query alive forever (see user_profiles_stream)
+    stream = user_profiles_stream(read_events_stream(spark, sf_dir), evict=False)
     name, _ = run_stream_to_memory(stream, mode="update")
     return (
         spark.table(name)

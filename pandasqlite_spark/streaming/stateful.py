@@ -37,14 +37,28 @@ def _update_profile(
         total += float(pdf["value"].sum())
         last_ms = max(last_ms, int(pdf["ms"].max()))
     state.update((n, total, last_ms))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+    try:
+        state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+    except Exception:
+        # NoTimeout runs (finite drains) reject timer registration —
+        # eviction is a production-stream concern only
+        pass
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "total": [total], "last_ms": [last_ms]}
     )
 
 
-def user_profiles_stream(events: DataFrame) -> DataFrame:
-    """events (streaming, with ts) → per-user running profile rows."""
+def user_profiles_stream(events: DataFrame, evict: bool = True) -> DataFrame:
+    """events (streaming, with ts) → per-user running profile rows.
+
+    ``evict=True`` (production) registers a 1h-idle processing-time
+    timeout so stale users leave the state store.  Pass ``evict=False``
+    for FINITE drains: with processing-time timers armed, an
+    availableNow query never self-terminates (the engine schedules
+    empty batch after empty batch hoping to fire the timers — observed
+    as the 120s-per-run cap-out in SWEEP_r05) and even
+    ``processAllAvailable`` doesn't latch; with NoTimeout the drain
+    completes in one data batch."""
     from pyspark.sql import functions as F
 
     from pandasqlite_spark.operators.common import ensure_package_on_workers
@@ -58,6 +72,8 @@ def user_profiles_stream(events: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout,
         )
     )
