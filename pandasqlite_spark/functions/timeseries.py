@@ -1,0 +1,198 @@
+"""Time-series downsampling and interpolation over the events table
+(SURVEY.md §2.D extensions).
+
+Two operators every metrics / sensor / training-telemetry pipeline
+needs but plain groupBy can't express:
+
+- **OHLC bars** (`events-ohlc`): per-user hourly open/high/low/close
+  downsampling.  Open/close need *positional* selection (first/last
+  event in the bucket), done with a single min/max over a
+  ``struct(us, event_id, value)`` — the (us, event_id) prefix is a
+  unique total order, so the struct extreme IS the first/last row,
+  deterministically, in ONE partial-aggregated groupBy (no window, no
+  second shuffle, no nondeterministic ``first()``).
+- **Linear interpolation** (`events-interpolate-linear`): dense hourly
+  grid per user for one day where missing hours get the straight-line
+  value between the neighbouring observed hours — the standard gap
+  repair before feeding a model.  Builds on the same grid technique as
+  :func:`pandasqlite_spark.streaming.events.gapfill_hourly` but
+  replaces carry-forward with two-sided interpolation.
+
+Reference parity: the reference (IBM/pandasqlite) delegates all SQL to
+SQLite (`pandasqlite/pandasqlite.py:231-266`); neither op is
+expressible in its delegated surface without window functions, which
+its LLM does emit — these keys give that surface a native, scale-safe
+implementation.
+
+Cross-engine determinism (driver value-hash contract):
+
+- OHLC selects *existing* double bits (no float arithmetic at all):
+  min/max/first/last of stored values are bit-identical across engines.
+- Interpolation computes ``prev + (next - prev) * (hr - prev_hr) /
+  (next_hr - prev_hr)`` on identical doubles in the same order in both
+  engines, then rounds to 6 dp to absorb any last-ulp division drift.
+- Knot value per hour is MAX(value) — order-independent selection, not
+  an order-dependent AVG over doubles.
+
+Scale notes (100 TB):
+
+- events-ohlc: one shuffle on (user_id, hour-bucket); map-side combine
+  reduces each bucket to a single struct before the exchange, so the
+  shuffle moves O(|buckets|), not O(|events|).  Skewed users are
+  still split across *buckets* (the key includes the hour), which is
+  what caps per-reducer state.
+- events-interpolate-linear: grid is |users|×24 (tiny next to the
+  event table); the two windows per user are 24 rows deep — bounded
+  frames, no mega-partition risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pandasqlite_spark.operators.common import load_events
+
+
+def ohlc_hourly(events: DataFrame) -> DataFrame:
+    """Per-user hourly OHLC bars over the full table.
+
+    ``hr_bucket`` is the integer hour index ``floor(unix_micros /
+    3_600_000_000)`` — an epoch-based integer, immune to session
+    time-zone configuration on either engine.
+    """
+    us_per_hour = 3_600_000_000
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    ).withColumn("hr_bucket", (F.col("us") / us_per_hour).cast("bigint"))
+    # (us, event_id) is a unique total order within a bucket, so the
+    # struct min/max pick the first/last event deterministically.
+    first_s = F.min(F.struct("us", "event_id", "value"))
+    last_s = F.max(F.struct("us", "event_id", "value"))
+    return (
+        ev.groupBy("user_id", "hr_bucket")
+        .agg(
+            first_s.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s.getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "hr_bucket")
+    )
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_hourly(load_events(spark, sf_dir))
+
+
+def interpolate_hourly(events: DataFrame, day: str = "2024-01-15") -> DataFrame:
+    """Dense hourly grid per user for one day; missing hours get the
+    linear interpolation between the neighbouring observed hours.
+
+    The per-hour knot is MAX(value) (order-independent selection —
+    see module docstring).  Hours before the first / after the last
+    knot carry the nearest knot (no extrapolation).
+    """
+    ev = events.filter(F.to_date("ts") == F.lit(day).cast("date")).select(
+        "user_id", F.hour("ts").alias("hr"), "value"
+    )
+    knots = ev.groupBy("user_id", "hr").agg(F.max("value").alias("knot"))
+    hours = F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr")
+    grid = knots.select("user_id").distinct().select("user_id", hours)
+    g = grid.join(knots, ["user_id", "hr"], "left")
+    fwd = W.partitionBy("user_id").orderBy("hr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bwd = W.partitionBy("user_id").orderBy("hr").rowsBetween(W.currentRow, W.unboundedFollowing)
+    known_hr = F.when(F.col("knot").isNotNull(), F.col("hr"))
+    g = g.select(
+        "user_id",
+        "hr",
+        "knot",
+        F.last("knot", ignorenulls=True).over(fwd).alias("pv"),
+        F.last(known_hr, ignorenulls=True).over(fwd).alias("ph"),
+        F.first("knot", ignorenulls=True).over(bwd).alias("nv"),
+        F.first(known_hr, ignorenulls=True).over(bwd).alias("nh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("hr") - F.col("ph")) / (F.col("nh") - F.col("ph"))
+    )
+    filled = (
+        F.when(F.col("knot").isNotNull(), F.col("knot"))
+        .when(F.col("ph").isNull(), F.col("nv"))
+        .when(F.col("nh").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return grid.join(
+        g.select("user_id", "hr", F.round(filled, 6).alias("filled_value")),
+        ["user_id", "hr"],
+    ).orderBy("user_id", "hr")
+
+
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interpolate_hourly(load_events(spark, sf_dir))
+
+
+QUERIES = {
+    "events-ohlc": q_events_ohlc,
+    "events-interpolate-linear": q_events_interpolate,
+}
+
+ORACLES = {
+    "events-ohlc": """
+        WITH ev AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                 CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket
+          FROM events),
+        w AS (
+          SELECT user_id, hr_bucket, value,
+                 FIRST_VALUE(value) OVER (
+                   PARTITION BY user_id, hr_bucket ORDER BY us, event_id) AS open,
+                 LAST_VALUE(value) OVER (
+                   PARTITION BY user_id, hr_bucket ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+          FROM ev)
+        SELECT user_id, hr_bucket,
+               MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+               MIN(close) AS close, COUNT(*) AS n_events
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events-interpolate-linear": """
+        WITH ev AS (
+          SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, value
+          FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'),
+        knots AS (
+          SELECT user_id, hr, MAX(value) AS knot FROM ev GROUP BY 1, 2),
+        grid AS (
+          SELECT u.user_id, g.hr
+          FROM (SELECT DISTINCT user_id FROM knots) u,
+               (SELECT CAST(unnest(generate_series(0, 23)) AS INTEGER) AS hr) g),
+        j AS (
+          SELECT g.user_id, g.hr, k.knot,
+                 LAST_VALUE(k.knot IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 LAST_VALUE(CASE WHEN k.knot IS NOT NULL THEN g.hr END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                 FIRST_VALUE(k.knot IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 FIRST_VALUE(CASE WHEN k.knot IS NOT NULL THEN g.hr END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+          FROM grid g LEFT JOIN knots k
+            ON k.user_id = g.user_id AND k.hr = g.hr)
+        SELECT user_id, hr,
+               ROUND(CASE
+                 WHEN knot IS NOT NULL THEN knot
+                 WHEN ph IS NULL THEN nv
+                 WHEN nh IS NULL THEN pv
+                 ELSE pv + (nv - pv) * (hr - ph) / (nh - ph)
+               END, 6) AS filled_value
+        FROM j ORDER BY user_id, hr
+    """,
+}

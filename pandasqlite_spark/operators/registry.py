@@ -29,6 +29,7 @@ def _modules():
         sampling,
         similarity,
         text,
+        timeseries,
         udfs,
     )
     from pandasqlite_spark.streaming import events as streaming_events
@@ -49,6 +50,7 @@ def _modules():
         graph,
         analytics,
         text,
+        timeseries,
         udfs,
         streaming_events,
     )

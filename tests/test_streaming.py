@@ -57,8 +57,6 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     old window.  Append-mode aggregation must emit the closed window
     WITHOUT the late row — the state-bounding contract that makes a
     100 TB stream's memory finite."""
-    import time
-
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -98,21 +96,15 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .start()
     )
     try:
-        # wait for batch 1 to commit, then drop a LATE row into the
-        # already-closed 00:00 window
-        for _ in range(60):
-            if any(p["numInputRows"] == 3 for p in q.recentProgress):
-                break
-            time.sleep(0.5)
+        # barrier: batch 1 fully processed and its watermark committed
+        # BEFORE the late file exists (sleep-polling here was flaky
+        # under CPU contention — the late row could land in batch 1's
+        # watermark-0 micro-batch and get merged instead of dropped)
+        q.processAllAvailable()
         write_batch("b2.parquet", {"k": ["a"], "ts": [t0 + pd.Timedelta("1 min")]})
-        for _ in range(60):
-            done = sum(p["numInputRows"] for p in q.recentProgress) >= 4
-            emitted = {
-                (r["start"], r["k"]): r["n"] for r in spark.table("late_test").collect()
-            }
-            if done and (t0.to_pydatetime(), "a") in emitted:
-                break
-            time.sleep(0.5)
+        q.processAllAvailable()
+        # one more empty pass so append mode emits any window the
+        # batch-2 watermark closed
         q.processAllAvailable()
     finally:
         q.stop()
