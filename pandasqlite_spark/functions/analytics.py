@@ -439,7 +439,45 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: key count,
+    total rows, max/median/p90/p99 rows-per-key (exact, selected by
+    row_number — integer arithmetic end to end) and ``skew_x100`` =
+    ``max * 100 / median`` (integer division).  This is the check you
+    run BEFORE picking a join/groupBy key at 100 TB: skew_x100 in the
+    thousands means the hottest key holds 10×+ the median reducer's
+    rows and needs salting (`join-skew-salted`) or AQE skew splitting.
+
+    Scale shape: one partial-aggregated groupBy over the key, then
+    window + aggregation over |keys| rows (tiny next to the table).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", key)
+    ranked = counts.select(
+        "n", F.row_number().over(w).alias("rn"), F.count(F.lit(1)).over(Window.partitionBy()).alias("n_keys")
+    )
+    pick = lambda q: F.max(  # noqa: E731 — value at the exact q-quantile position
+        F.when(F.col("rn") == F.ceil(F.col("n_keys") * q).cast("int"), F.col("n"))
+    )
+    return ranked.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_n"),
+        pick(0.5).alias("p50_n"),
+        pick(0.9).alias("p90_n"),
+        pick(0.99).alias("p99_n"),
+    ).select(
+        "*",
+        F.floor(F.col("max_n") * 100 / F.col("p50_n")).cast("bigint").alias("skew_x100"),
+    )
+
+
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_profile(load_events(spark, sf_dir), "user_id")
+
+
 QUERIES = {
+    "profile-key-skew": q_profile_key_skew,
     "events-anomaly-mad": q_events_anomaly_mad,
     "history-scd2": q_history_scd2,
     "table-checksum": q_table_checksum,
@@ -455,6 +493,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile-key-skew": """
+        WITH counts AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        ranked AS (
+          SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rn,
+                 COUNT(*) OVER () AS n_keys
+          FROM counts),
+        summary AS (
+          SELECT MAX(n_keys) AS n_keys, CAST(SUM(n) AS BIGINT) AS total_rows,
+                 MAX(n) AS max_n,
+                 MAX(CASE WHEN rn = CAST(CEIL(n_keys * 0.5) AS INT) THEN n END) AS p50_n,
+                 MAX(CASE WHEN rn = CAST(CEIL(n_keys * 0.9) AS INT) THEN n END) AS p90_n,
+                 MAX(CASE WHEN rn = CAST(CEIL(n_keys * 0.99) AS INT) THEN n END) AS p99_n
+          FROM ranked)
+        SELECT *, CAST(FLOOR(max_n * 100.0 / p50_n) AS BIGINT) AS skew_x100
+        FROM summary
+    """,
     # DuckDB reads the ns-parquet as µs TIMESTAMP — the same truncation
     # load_events applies — so ts orders/compares identically.
     "agg-linreg-exact": """

@@ -205,6 +205,45 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return j.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
+def containment_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact 3-gram *containment* for candidate pairs:
+    ``|A ∩ B| / min(|A|, |B|)`` — the asymmetric companion to Jaccard.
+    A short document fully embedded in a long one scores containment
+    ≈ 1 while its Jaccard stays low (the union is dominated by the long
+    doc), so threshold-on-Jaccard dedup misses exactly the
+    quote/boilerplate/subset duplicates a training corpus cares about.
+
+    Same scale shape as :func:`jaccard_verify`: one groupBy for sizes,
+    one shingle-equi-join restricted to LSH candidate pairs — never the
+    all-pairs product.  The ratio divides identical ints in both
+    engines (single IEEE division, no aggregation of doubles)."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    )
+    contain = F.col("n_inter").cast("double") / F.least("n_a", "n_b")
+    return j.select("doc_a", "doc_b", "n_inter", contain.alias("containment"))
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
+    return containment_verify(d, pairs)
+
+
 def q_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
@@ -434,6 +473,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup-exact": q_dedup_exact,
     "dedup-jaccard-verify": q_dedup_jaccard_verify,
+    "dedup-containment": q_dedup_containment,
     "dedup-normalized": q_dedup_normalized,
     "dedup-minhash-signature": q_dedup_minhash_signature,
     "dedup-minhash-pairs": q_dedup_minhash_pairs,
@@ -481,6 +521,22 @@ ORACLES = {
         SELECT p.doc_a, p.doc_b,
                CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
                  / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) AS jaccard
+        FROM pairs p
+        JOIN shl a ON a.doc_id = p.doc_a
+        JOIN shl b ON b.doc_id = p.doc_b
+    """,
+    "dedup-containment": f"""
+        WITH pairs AS ({_minhash_oracle_pairs()}),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS l
+          FROM toks WHERE len(t) >= 3)
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(a.l, b.l)) AS BIGINT) AS n_inter,
+               CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                 / LEAST(len(a.l), len(b.l)) AS containment
         FROM pairs p
         JOIN shl a ON a.doc_id = p.doc_a
         JOIN shl b ON b.doc_id = p.doc_b

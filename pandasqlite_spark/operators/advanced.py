@@ -44,6 +44,43 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingestion path for multimodal blobs
+    (images/audio/video land as whole-file rows with path + length +
+    content).  Spark parallelizes over files and never decodes content
+    JVM-side, so a 100 TB media corpus scans at I/O speed; downstream
+    decode is `functions/multimodal.py`'s mapInPandas seam.
+
+    Fixture: the 16 smallest documents written once as .bin files
+    (driver-side, idempotent); the query reads them back and proves
+    content fidelity via md5 against the table the bytes came from.
+    """
+    out = Path(_tmp(sf_dir, "docs_bin"))
+    marker = out / "_SUCCESS"
+    if not marker.exists():
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 16)
+            .select("doc_id", "text")
+            .collect()
+        )
+        out.mkdir(parents=True, exist_ok=True)
+        for r in rows:
+            (out / f"doc_{r['doc_id']}.bin").write_bytes(r["text"].encode("utf-8"))
+        marker.touch()
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(out))
+        .select(
+            F.regexp_extract(F.col("path"), r"(doc_\d+\.bin)$", 1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("fname")
+    )
+
+
 def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned write + partition-pruned read: the year filter
     never touches non-1997 files (PartitionFilters in the scan, the
@@ -193,6 +230,7 @@ QUERIES = {
     "scan-json": q_scan_json,
     "scan-orc": q_scan_orc,
     "scan-partitioned": q_scan_partitioned,
+    "scan-binaryfile": q_scan_binaryfile,
     "cte-recursive": q_cte_recursive,
     "asof-join": q_asof_join,
     "range-join": q_range_join,
@@ -205,6 +243,12 @@ ORACLES = {
     "scan-partitioned": """
         SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS yr
         FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    "scan-binaryfile": """
+        SELECT 'doc_' || doc_id || '.bin' AS fname,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id < 16 ORDER BY fname
     """,
     "cte-recursive": """
         WITH RECURSIVE seq(n) AS (
