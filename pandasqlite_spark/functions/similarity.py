@@ -441,8 +441,108 @@ def q_simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_exact(emb.filter(F.col("vec_id") >= 8), queries, k=5)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (PQ_M * PQ_DSUB = 64)
+PQ_K = 16  # codebook entries per subspace
+PQ_SCALE = 1000  # fixed-point scale: exact integer arithmetic end to end
+PQ_QUERY_ID = 42
+PQ_CAND = 32
+PQ_TOPK = 10
+
+
+def _pq_scaled(emb: DataFrame) -> DataFrame:
+    """Fixed-point copy of the embedding: ``floor(x·1000 + 0.5)`` per
+    component (same engine-portable rounding as ``quantize_embeddings``)
+    so every PQ distance below is exact BIGINT arithmetic."""
+    s = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast("bigint"),
+    )
+    return emb.select("vec_id", s.alias("arr"))
+
+
+def _pq_sub_dist(a: str, b: str, m: int):
+    """Squared L2 over the m-th PQ_DSUB-wide slice — a codegen'd fold
+    over an 8-element zip, no explode."""
+    lo = m * PQ_DSUB + 1
+    sq = F.zip_with(
+        F.slice(a, lo, PQ_DSUB), F.slice(b, lo, PQ_DSUB), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(sq, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def pq_topk(emb: DataFrame) -> DataFrame:
+    """PQ/ADC approximate nearest neighbours with exact rerank.
+
+    Encode: each vector's m-th subvector maps to its nearest of PQ_K
+    codebook centroids (deterministic stand-in codebook: the vectors
+    with ``vec_id < PQ_K``, same contract as the IVF key's centroids —
+    production would train it with k-means, see `cluster-kmeans`).
+    ADC: the query→centroid distance table replaces the full vector in
+    the scan, so candidate scoring reads PQ_M codes (8 bytes) instead
+    of 64 floats — the 32× memory-bandwidth lever that makes
+    billion-vector ANN feasible.  Both the encode argmin and the ADC
+    sum happen in ONE groupBy over a broadcast 16-row crossJoin: the
+    per-(vector, centroid) row carries ``struct(dv·16+cid, dq)`` per
+    subspace and ``min(struct)`` picks the code AND its query-side
+    distance together (the combined BIGINT key makes the argmin
+    total-order deterministic).  Exact integer rerank touches only
+    PQ_CAND candidates.
+
+    Scale shape: one broadcast crossJoin (16 rows), one
+    partial-aggregated groupBy on vec_id, TakeOrderedAndProject for
+    both top-k steps — no shuffle ever moves more than |candidates|.
+    """
+    scaled = _pq_scaled(emb)
+    codebook = scaled.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("arr").alias("carr")
+    )
+    qrow = scaled.filter(F.col("vec_id") == PQ_QUERY_ID).select(F.col("arr").alias("qarr"))
+    joined = scaled.crossJoin(F.broadcast(codebook)).crossJoin(F.broadcast(qrow))
+    per_m = joined.select(
+        "vec_id",
+        *[
+            F.struct(
+                (_pq_sub_dist("arr", "carr", m) * PQ_K + F.col("cid")).alias("k"),
+                _pq_sub_dist("qarr", "carr", m).alias("dq"),
+            ).alias(f"s{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    enc = per_m.groupBy("vec_id").agg(
+        *[F.min(f"s{m}").getField("dq").alias(f"t{m}") for m in range(PQ_M)]
+    )
+    adc = F.col("t0")
+    for m in range(1, PQ_M):
+        adc = adc + F.col(f"t{m}")
+    cand = enc.select("vec_id", adc.alias("adc_dist")).orderBy("adc_dist", "vec_id").limit(PQ_CAND)
+    exact = (
+        scaled.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.aggregate(
+                F.zip_with("arr", "qarr", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("exact_dist"),
+        )
+    )
+    return exact.orderBy("exact_dist", "vec_id").limit(PQ_TOPK)
+
+
+def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_topk(load(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "simsearch-topk": q_simsearch_topk,
+    "simsearch-pq-adc": q_simsearch_pq,
     "simsearch-knn-join": q_simsearch_knn_join,
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
@@ -629,3 +729,50 @@ ORACLES["simsearch-sq-rerank"] = f"""
     ORDER BY cosine DESC, vec_id
     LIMIT 10
 """
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of :func:`pq_topk` — list comprehensions for the
+    slice distances, ``arg_min`` on the same combined ``dv·16+cid``
+    BIGINT key for the code assignment."""
+
+    def sub(m: int, a: str, b: str) -> str:
+        lo, hi = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB + 1
+        return (
+            f"list_sum([({a}[i]-{b}[i])*({a}[i]-{b}[i])"
+            f" for i in range({lo},{hi})])"
+        )
+
+    dists = ",\n               ".join(
+        f"{sub(m, 's.arr', 'cb.carr')} AS dv{m},"
+        f" {sub(m, 'q.qarr', 'cb.carr')} AS dq{m}"
+        for m in range(PQ_M)
+    )
+    enc = ", ".join(
+        f"arg_min(dq{m}, dv{m}*{PQ_K} + cid) AS t{m}" for m in range(PQ_M)
+    )
+    adc = " + ".join(f"t{m}" for m in range(PQ_M))
+    return f"""
+        WITH s AS (
+          SELECT vec_id,
+                 [CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*{PQ_SCALE} + 0.5) AS BIGINT)
+                  for i in range(1,65)] AS arr
+          FROM embeddings),
+        cb AS (SELECT vec_id AS cid, arr AS carr FROM s WHERE vec_id < {PQ_K}),
+        q AS (SELECT arr AS qarr FROM s WHERE vec_id = {PQ_QUERY_ID}),
+        j AS (SELECT s.vec_id, cb.cid,
+               {dists}
+              FROM s, cb, q),
+        enc AS (SELECT vec_id, {enc} FROM j GROUP BY vec_id),
+        cand AS (SELECT vec_id, CAST({adc} AS BIGINT) AS adc_dist
+                 FROM enc ORDER BY adc_dist, vec_id LIMIT {PQ_CAND}),
+        ex AS (
+          SELECT c.vec_id, c.adc_dist,
+                 CAST(list_sum([(s.arr[i]-q.qarr[i])*(s.arr[i]-q.qarr[i])
+                                for i in range(1,65)]) AS BIGINT) AS exact_dist
+          FROM cand c JOIN s ON s.vec_id = c.vec_id, q)
+        SELECT * FROM ex ORDER BY exact_dist, vec_id LIMIT {PQ_TOPK}
+    """
+
+
+ORACLES["simsearch-pq-adc"] = _pq_oracle()
