@@ -400,3 +400,62 @@ def test_plan_audit_passes():
         timeout=900,
     )
     assert r.returncode == 0, r.stdout[-2000:]
+
+
+def test_ohlc_single_aggregation_exchange(spark, sf_dir):
+    """OHLC must be ONE partial-aggregated groupBy — a single
+    hash-partitioning Exchange, no Window operator (the struct min/max
+    replaces the first/last-value window a naive plan would use)."""
+    import re
+
+    from pandasqlite_spark.functions.timeseries import ohlc_hourly
+    from pandasqlite_spark.operators.common import load_events
+
+    plan = _plan(ohlc_hourly(load_events(spark, sf_dir)))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Window" not in plan
+    # struct extremes plan as SortAggregate; the partial_ markers prove
+    # map-side combine still halves the shuffle
+    assert "partial_min(struct" in plan and "partial_max(struct" in plan
+
+
+def test_interpolate_no_cartesian(spark, sf_dir):
+    """The interpolation grid build and knot join are equi-joins —
+    no cartesian/nested-loop product anywhere."""
+    from pandasqlite_spark.functions.timeseries import interpolate_hourly
+    from pandasqlite_spark.operators.common import load_events
+
+    plan = _plan(interpolate_hourly(load_events(spark, sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_plan_shape(spark, sf_dir):
+    """PQ/ADC: the only nested-loop joins are the 16-row codebook and
+    1-row query broadcasts; encode+ADC is one partial-aggregated
+    groupBy; both top-k steps are TakeOrderedAndProject, never a
+    global sort."""
+    from pandasqlite_spark.functions.similarity import pq_topk
+    from pandasqlite_spark.operators.common import load
+
+    plan = _plan(pq_topk(load(spark, sf_dir, "embeddings")))
+    assert "CartesianProduct" not in plan  # broadcast NLJ only
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_min(s0" in plan  # encode argmin partial-aggregates
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """Containment scoring is bounded by LSH candidate pairs — all
+    equi-joins, no all-pairs product."""
+    from pandasqlite_spark.functions.dedup import (
+        candidate_pairs,
+        containment_verify,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from pandasqlite_spark.operators.common import load
+
+    d = load(spark, sf_dir, "documents")
+    plan = _plan(containment_verify(d, candidate_pairs(lsh_bands(minhash_signatures(d)))))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
