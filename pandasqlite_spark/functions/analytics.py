@@ -476,8 +476,65 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(load_events(spark, sf_dir), "user_id")
 
 
+def table_diff(a: DataFrame, b: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Row-level diff of two snapshots keyed by ``key``: one row per
+    key that differs, with ``change_type`` 'D' (in A only), 'I' (in B
+    only) or 'U' (present in both, compared columns differ), plus the
+    old/new values of the first compared column.
+
+    `table-checksum` answers WHETHER two 100 TB snapshots differ for
+    the cost of two scans; this answers WHAT changed for the cost of
+    one co-partitioned full-outer equi-join on the key — both sides
+    shuffle once on ``key``, the comparison is row-local, and the
+    output is only the changed keys (≪ table for typical drift).
+    Unchanged rows never leave the join stage.
+    """
+    pa = a.select(F.col(key).alias("ka"), *[F.col(c).alias(f"a_{c}") for c in cols])
+    pb = b.select(F.col(key).alias("kb"), *[F.col(c).alias(f"b_{c}") for c in cols])
+    j = pa.join(pb, pa["ka"] == pb["kb"], "full_outer")
+    changed = None
+    for c in cols:
+        ne = ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    ctype = (
+        F.when(F.col("kb").isNull(), F.lit("D"))
+        .when(F.col("ka").isNull(), F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    lead = cols[0]
+    return (
+        j.filter(F.col("ka").isNull() | F.col("kb").isNull() | changed)
+        .select(
+            F.coalesce("ka", "kb").alias(key),
+            ctype.alias("change_type"),
+            F.col(f"a_{lead}").alias(f"old_{lead}"),
+            F.col(f"b_{lead}").alias(f"new_{lead}"),
+        )
+        .orderBy(key)
+    )
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: snapshot B is orders with every 101st key deleted,
+    every 97th price bumped by 1, and every 103rd re-inserted under a
+    negated key — a deterministic drift model covering all three
+    change types."""
+    a = load(spark, sf_dir, "orders")
+    b = a.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = a.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    )
+    return table_diff(a, b.unionByName(ins), "o_orderkey", ["o_totalprice"])
+
+
 QUERIES = {
     "profile-key-skew": q_profile_key_skew,
+    "table-diff": q_table_diff,
     "events-anomaly-mad": q_events_anomaly_mad,
     "history-scd2": q_history_scd2,
     "table-checksum": q_table_checksum,
@@ -493,6 +550,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "table-diff": """
+        WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+        b AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 101 <> 0
+          UNION ALL
+          SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 103 = 0)
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'D'
+                    WHEN a.o_orderkey IS NULL THEN 'I'
+                    ELSE 'U' END AS change_type,
+               a.o_totalprice AS old_o_totalprice,
+               b.o_totalprice AS new_o_totalprice
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        ORDER BY o_orderkey
+    """,
     "profile-key-skew": """
         WITH counts AS (
           SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),

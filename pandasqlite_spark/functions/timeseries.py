@@ -136,12 +136,60 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate_hourly(load_events(spark, sf_dir))
 
 
+def rate_limit_first(events: DataFrame, window_s: int = 60) -> DataFrame:
+    """Throttle to the first event per (user, type, window): the kept
+    event's id plus how many were suppressed — the dedup/sampling
+    primitive for alert streams and telemetry downsampling.
+
+    Same deterministic-positional-pick trick as :func:`ohlc_hourly`:
+    ``min(struct(us, event_id))`` inside the one partial-aggregated
+    groupBy selects the earliest event (total order, no window, no
+    nondeterministic ``first()``).  The shuffle moves one struct per
+    bucket; a hot user splits across time buckets.
+    """
+    us_per_win = window_s * 1_000_000
+    ev = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    ).withColumn("win_bucket", (F.col("us") / us_per_win).cast("bigint"))
+    return (
+        ev.groupBy("user_id", "event_type", "win_bucket")
+        .agg(
+            F.min(F.struct("us", "event_id")).getField("event_id").alias("kept_event_id"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .orderBy("user_id", "event_type", "win_bucket")
+    )
+
+
+def q_events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rate_limit_first(load_events(spark, sf_dir))
+
+
 QUERIES = {
     "events-ohlc": q_events_ohlc,
     "events-interpolate-linear": q_events_interpolate,
+    "events-rate-limit": q_events_rate_limit,
 }
 
 ORACLES = {
+    "events-rate-limit": """
+        WITH ev AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                 CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT) AS win_bucket
+          FROM events),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type, win_bucket
+            ORDER BY us, event_id) AS rn
+          FROM ev)
+        SELECT user_id, event_type, win_bucket,
+               MIN(CASE WHEN rn = 1 THEN event_id END) AS kept_event_id,
+               COUNT(*) - 1 AS n_suppressed
+        FROM ranked GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
     "events-ohlc": """
         WITH ev AS (
           SELECT user_id, event_id, value, epoch_us(ts) AS us,
