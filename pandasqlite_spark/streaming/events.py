@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from pandasqlite_spark.functions import timeseries as _timeseries
 from pandasqlite_spark.operators.common import dsum, load_events
 
 SESSION_GAP_MS = 30 * 60 * 1000
@@ -475,6 +476,44 @@ def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events-ohlc``: the same struct-extreme
+    open/high/low/close aggregation as a Structured Streaming query —
+    positional first/last picks work unchanged in streaming state
+    because min/max over ``struct(us, event_id, value)`` is an ordinary
+    orderable aggregate (no ordering-sensitive ``first()``, which
+    streaming would make nondeterministic across micro-batches).
+    Hour windows align to the epoch, so ``unix_micros(w.start)/3.6e9``
+    reproduces the batch form's integer ``hr_bucket`` and the key
+    shares the batch oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    ev = stream.withColumn("us", F.unix_micros("ts"))
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.min(F.struct("us", "event_id", "value")).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("us", "event_id", "value")).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("w.start")) / 3_600_000_000).cast("bigint").alias("hr_bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    name, q = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name).select(
+        "user_id", "hr_bucket", "open", "high", "low", "close", "n_events"
+    )
+
+
 def q_events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``events-session-window-native``: the SAME
     ``session_window`` aggregation run as a Structured Streaming query
@@ -593,6 +632,7 @@ QUERIES = {
     "events-retention": q_events_retention,
     "events-gapfill": q_events_gapfill,
     "events-streaming-tumbling": q_events_streaming_tumbling,
+    "events-streaming-ohlc": q_events_streaming_ohlc,
     "events-streaming-session": q_events_streaming_session,
     "events-streaming-join": q_events_streaming_join,
     "events-streaming-dedup": q_events_streaming_dedup,
@@ -722,6 +762,9 @@ ORACLES = {
         FROM sessions GROUP BY user_id, session_id
     """,
     "events-streaming-tumbling": _TUMBLING_ORACLE,
+    # shares the batch OHLC oracle: hour windows align to the epoch,
+    # so unix_micros(w.start)/3.6e9 == floor(epoch_us/3.6e9)
+    "events-streaming-ohlc": _timeseries.ORACLES["events-ohlc"],
     # native session_window semantics: split on gap >= 30min (not >),
     # window end = last event + gap
     "events-session-window-native": f"""
