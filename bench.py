@@ -73,6 +73,11 @@ def _queries(sf_dir: str):
             algo="xxhash64",
         )
 
+    def _pq(spark, d):
+        from pandasqlite_spark.functions.similarity import pq_topk
+
+        return pq_topk(load(spark, d, "embeddings"))
+
     def text_pipeline(spark, d):
         docs = load(spark, d, "documents")
         return docs.select(
@@ -99,6 +104,9 @@ def _queries(sf_dir: str):
         # full-table scan + row-local md5 fold + 3-group partial agg:
         # the pure scan/hash-throughput probe (reconciliation primitive)
         "q14_table_checksum": _checksum,
+        # PQ/ADC ANN: broadcast-crossJoin encode + integer rerank — the
+        # array-expression throughput probe over the embeddings table
+        "q15_simsearch_pq": _pq,
     }
 
 

@@ -476,6 +476,81 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(load_events(spark, sf_dir), "user_id")
 
 
+def percentile_bands(events: DataFrame) -> DataFrame:
+    """Hourly p50/p95 bands of ``value`` per event type — the
+    latency-percentile chart every observability pipeline draws.
+    EXACT percentiles by row_number selection over the (value,
+    event_id) total order (no interpolation, no t-digest drift): both
+    engines pick the identical stored double.
+
+    Scale shape: one shuffle on (event_type, hour) shared by the rank
+    window and the final groupBy (same partitioning ⇒ one Exchange);
+    per-group state is bounded because the hour bucket is in the key.
+    At extreme per-group cardinality swap the exact selection for
+    ``approx_percentile`` — same output columns, t-digest error bound.
+    """
+    ev = events.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hr_bucket"),
+    )
+    w = Window.partitionBy("event_type", "hr_bucket").orderBy("value", "event_id")
+    cnt = F.count(F.lit(1)).over(
+        Window.partitionBy("event_type", "hr_bucket")
+    )
+    ranked = ev.select(
+        "event_type",
+        "hr_bucket",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        cnt.alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731 — value at the exact quantile position
+        F.when(F.col("rn") == F.ceil(F.col("n") * q).cast("int"), F.col("value"))
+    )
+    return (
+        ranked.groupBy("event_type", "hr_bucket")
+        .agg(F.max("n").alias("n"), pick(0.5).alias("p50"), pick(0.95).alias("p95"))
+        .orderBy("event_type", "hr_bucket")
+    )
+
+
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return percentile_bands(load_events(spark, sf_dir))
+
+
+def equi_depth_histogram(df: DataFrame, part_col: str, val_col: str, key: str, n_tiles: int = 4) -> DataFrame:
+    """Equi-depth (equal-count) histogram per partition column: NTILE
+    over the (value, key) total order gives each tile ±1 rows; min/max
+    per tile are the bucket boundaries — the NDV-robust histogram a
+    cost model or data-skew report wants (equi-WIDTH starves on skewed
+    values; equi-depth never does).
+
+    One shuffle on ``part_col`` shared by the NTILE window and the
+    groupBy.  The window partitions on a real key (never a global
+    NTILE, which would serialize the table through one task); at scale
+    the per-key row count bounds task size.
+    """
+    w = Window.partitionBy(part_col).orderBy(val_col, key)
+    return (
+        df.select(part_col, val_col, F.ntile(n_tiles).over(w).alias("tile"))
+        .groupBy(part_col, "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(val_col).alias("lo"),
+            F.max(val_col).alias("hi"),
+        )
+        .orderBy(part_col, "tile")
+    )
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return equi_depth_histogram(
+        load(spark, sf_dir, "customer"), "c_nationkey", "c_acctbal", "c_custkey"
+    )
+
+
 def table_diff(a: DataFrame, b: DataFrame, key: str, cols: list[str]) -> DataFrame:
     """Row-level diff of two snapshots keyed by ``key``: one row per
     key that differs, with ``change_type`` 'D' (in A only), 'I' (in B
@@ -535,6 +610,8 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "profile-key-skew": q_profile_key_skew,
     "table-diff": q_table_diff,
+    "events-percentile-bands": q_percentile_bands,
+    "histogram-equi-depth": q_equi_depth_histogram,
     "events-anomaly-mad": q_events_anomaly_mad,
     "history-scd2": q_history_scd2,
     "table-checksum": q_table_checksum,
@@ -550,6 +627,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-percentile-bands": """
+        WITH ev AS (
+          SELECT event_type, value, event_id,
+                 CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket
+          FROM events),
+        ranked AS (
+          SELECT event_type, hr_bucket, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type, hr_bucket
+                   ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type, hr_bucket) AS n
+          FROM ev)
+        SELECT event_type, hr_bucket, MAX(n) AS n,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS INT) THEN value END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS INT) THEN value END) AS p95
+        FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "histogram-equi-depth": """
+        WITH t AS (
+          SELECT c_nationkey, c_acctbal,
+                 NTILE(4) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal, c_custkey) AS tile
+          FROM customer)
+        SELECT c_nationkey, tile, COUNT(*) AS n,
+               MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "table-diff": """
         WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
         b AS (

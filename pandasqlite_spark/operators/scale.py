@@ -178,12 +178,40 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_sort_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fact⋈fact join forced to SortMergeJoin via the MERGE
+    hint — the physical-strategy override you reach for when both
+    sides are huge and broadcast/shuffled-hash would OOM an executor,
+    or when both sides are already bucket-sorted on the key (bucketed
+    tables make SMJ exchange-AND-sort-free).  Result-invariant: the
+    oracle is the plain join; `tests/test_scale.py` asserts the plan
+    actually contains SortMergeJoin."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = li.join(
+        orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"]
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
 QUERIES = {
     "join-skew-salted": q_join_skew_salted,
     "join-bloom-prune": q_join_bloom_prune,
+    "join-sort-merge-hint": q_join_sort_merge_hint,
 }
 
 ORACLES = {
+    # the MERGE hint changes only the physical strategy — oracle is the
+    # plain join (identical to join-skew-salted's, same invariance idea)
+    "join-sort-merge-hint": """
+        SELECT o_orderstatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
     "join-skew-salted": """
         SELECT o_orderstatus, COUNT(*) AS cnt,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

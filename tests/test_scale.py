@@ -459,3 +459,13 @@ def test_containment_no_cartesian(spark, sf_dir):
     plan = _plan(containment_verify(d, candidate_pairs(lsh_bands(minhash_signatures(d)))))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sort_merge_hint_plans_smj(spark, sf_dir):
+    """The MERGE hint must actually produce a SortMergeJoin (the
+    default here would broadcast the smaller side)."""
+    from pandasqlite_spark.operators.scale import q_join_sort_merge_hint
+
+    plan = _plan(q_join_sort_merge_hint(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
