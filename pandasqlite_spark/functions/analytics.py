@@ -551,6 +551,156 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_dau(events: DataFrame) -> DataFrame:
+    """Daily active users + cumulative distinct users over time.  The
+    naive running COUNT(DISTINCT) re-scans history per day; instead
+    each user contributes once at their FIRST-seen day (one groupBy on
+    user_id), daily tallies aggregate that tiny table, and the running
+    sum is a window over |days| rows — bounded by the calendar, not
+    the data.  DAU itself is a per-(day) distinct over the events.
+    """
+    by_day = events.select(F.to_date("ts").alias("day"), "user_id")
+    dau = by_day.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    first_seen = by_day.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dau.join(new_users, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "new_users",
+            "cum_users",
+        )
+        .orderBy("day")
+    )
+
+
+def q_cumulative_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cumulative_dau(load_events(spark, sf_dir))
+
+
+def basket_pair_lift(lineitem: DataFrame, min_support: int = 20, top_n: int = 50) -> DataFrame:
+    """Market-basket co-occurrence: for part pairs appearing together
+    in ≥ ``min_support`` orders, support count and lift×10⁶ (integer —
+    ``lift = n_ab·N / (n_a·n_b)`` computed as exact integer division
+    after scaling, no float aggregation).  Top pairs by (support desc,
+    pair) — a total order, so the cut is deterministic.
+
+    Scale shape: the pair generation self-joins the basket table on
+    l_orderkey — candidates are Σ C(items-per-order, 2), bounded by
+    basket size (~4 distinct brands here), never C(n, 2) over the
+    catalog.  Everything downstream runs over pair counts (≪ input).
+    A mega-basket would quadratically blow its task → cap basket size
+    upstream (standard practice).  ``items`` must carry (l_orderkey,
+    item) with ``item`` aliased ``l_partkey``.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = part_n.select(F.col("l_partkey").alias("pa"), F.col("n_part").alias("n_a"))
+    nb = part_n.select(F.col("l_partkey").alias("pb"), F.col("n_part").alias("n_b"))
+    lift = F.floor(
+        F.col("n_ab") * F.lit(n_orders).cast("bigint") * 1_000_000
+        / (F.col("n_a") * F.col("n_b"))
+    ).cast("bigint")
+    return (
+        pairs.join(na, "pa")
+        .join(nb, "pb")
+        .select("pa", "pb", "n_ab", lift.alias("lift_x1m"))
+        .orderBy(F.col("n_ab").desc(), "pa", "pb")
+        .limit(top_n)
+    )
+
+
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level baskets (part ids are too sparse for support at
+    small SF; brands give a dense, SF-stable co-occurrence matrix —
+    and a broadcast dim join is the realistic catalog-rollup anyway)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", F.col("p_brand").alias("l_partkey"))
+    )
+    return basket_pair_lift(baskets)
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of each nation within its region — the ratio-to-
+    report BI staple.  Both numerator and denominator are exact decimal
+    sums (order-independent, partial-aggregatable); the single division
+    happens once per output row on identical decimals, rounded to 9 dp.
+    One shuffle for the per-nation agg; the region totals reuse those
+    partials through a window over ≤ |nations| rows."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    per_nation = (
+        cust.groupBy("c_nationkey")
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_regionkey", "n_name", "bal")
+    )
+    w = Window.partitionBy("n_regionkey")
+    # both sums are exact decimals; cast each to double BEFORE the one
+    # division so both engines divide identical bits (decimal division
+    # would round at an engine-chosen scale)
+    return per_nation.select(
+        "n_regionkey",
+        "n_name",
+        F.col("bal").cast("double").alias("nation_bal"),
+        F.round(
+            F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"), 9
+        ).alias("share"),
+    ).orderBy("n_regionkey", "n_name")
+
+
+def weighted_median(df: DataFrame, group: str, val: str, weight, key: str) -> DataFrame:
+    """Weighted median by cumulative-weight selection: first value (in
+    the (value, key) total order) whose running weight reaches half the
+    group total — exact integer threshold (2·cum ≥ total), no
+    interpolation, engine-portable.  One shuffle on the group shared by
+    both windows and the final agg."""
+    wsum = Window.partitionBy(group).orderBy(val, key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy(group)
+    ranked = df.select(
+        group,
+        F.col(val).alias("v"),
+        F.sum(weight).over(wsum).alias("cum_w"),
+        F.sum(weight).over(wtot).alias("tot_w"),
+    ).filter(2 * F.col("cum_w") >= F.col("tot_w"))
+    return (
+        ranked.groupBy(group)
+        .agg(F.min("v").alias("weighted_median"))
+        .orderBy(group)
+    )
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag."""
+    li = load(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", F.col("l_quantity").cast("decimal(18,2)"), "l_orderkey"
+    )
+
+
 def table_diff(a: DataFrame, b: DataFrame, key: str, cols: list[str]) -> DataFrame:
     """Row-level diff of two snapshots keyed by ``key``: one row per
     key that differs, with ``change_type`` 'D' (in A only), 'I' (in B
@@ -611,6 +761,10 @@ QUERIES = {
     "profile-key-skew": q_profile_key_skew,
     "table-diff": q_table_diff,
     "events-percentile-bands": q_percentile_bands,
+    "events-dau-cumulative": q_cumulative_dau,
+    "basket-pair-lift": q_basket_pair_lift,
+    "share-of-total": q_share_of_total,
+    "agg-weighted-median": q_weighted_median,
     "histogram-equi-depth": q_equi_depth_histogram,
     "events-anomaly-mad": q_events_anomaly_mad,
     "history-scd2": q_history_scd2,
@@ -627,6 +781,69 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-dau-cumulative": """
+        WITH by_day AS (
+          SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        dau AS (
+          SELECT day, COUNT(DISTINCT user_id) AS dau FROM by_day GROUP BY 1),
+        first_seen AS (
+          SELECT user_id, MIN(day) AS day FROM by_day GROUP BY 1),
+        new_users AS (
+          SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY 1)
+        SELECT CAST(d.day AS VARCHAR) AS day, d.dau,
+               COALESCE(n.new_users, 0) AS new_users,
+               CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+                 ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_users
+        FROM dau d LEFT JOIN new_users n ON n.day = d.day
+        ORDER BY d.day
+    """,
+    "basket-pair-lift": """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, p_brand AS item
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+        part_n AS (SELECT item, COUNT(*) AS n_part FROM items GROUP BY 1),
+        pairs AS (
+          SELECT a.item AS pa, b.item AS pb, COUNT(*) AS n_ab
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        SELECT pa, pb, n_ab,
+               CAST(FLOOR(n_ab * n.n * 1000000.0 / (na.n_part * nb.n_part))
+                 AS BIGINT) AS lift_x1m
+        FROM pairs, n_orders n
+        JOIN part_n na ON na.item = pa
+        JOIN part_n nb ON nb.item = pb
+        ORDER BY n_ab DESC, pa, pb LIMIT 50
+    """,
+    "share-of-total": """
+        WITH per_nation AS (
+          SELECT n_regionkey, n_name,
+                 SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT n_regionkey, n_name,
+               CAST(bal AS DOUBLE) AS nation_bal,
+               ROUND(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (
+                 PARTITION BY n_regionkey) AS DOUBLE), 9) AS share
+        FROM per_nation ORDER BY n_regionkey, n_name
+    """,
+    "agg-weighted-median": """
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag) AS tot_w
+          FROM lineitem)
+        SELECT l_returnflag, MIN(v) AS weighted_median
+        FROM ranked WHERE 2 * cum_w >= tot_w
+        GROUP BY 1 ORDER BY 1
+    """,
     "events-percentile-bands": """
         WITH ev AS (
           SELECT event_type, value, event_id,
