@@ -208,6 +208,44 @@ def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_assign(load(spark, sf_dir, "documents"))
 
 
+def reservoir_per_group(
+    df: DataFrame, grp_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Exactly-k-per-group deterministic "reservoir" sample: rank rows
+    within each group by ``md5(id)`` (id tie-break) and keep rank ≤ k.
+
+    This is the fixed-size complement to the *rate*-based
+    ``stratified_balanced_sample``: eval sets, human-review batches,
+    and per-source "show me 5 examples" all want exactly k rows per
+    group no matter how large the group is.  Classic reservoir sampling is
+    a sequential algorithm; hashing replaces the RNG stream so the
+    result is a pure function of the data — reproducible across runs,
+    engines, cluster sizes, and re-partitioning.
+
+    Scale: one hash-partitioned rank window per group.  A mega-group
+    makes a hot window partition, but the window needs only a per-task
+    top-k heap-equivalent sort; if a group is truly pathological,
+    pre-filter with ``h16 < threshold`` (keep-probability ≫ k/n_group)
+    to cut rows before the window — the same two-phase move as
+    ``salted_join``."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(grp_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.select(grp_col, id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reservoir_per_group(
+        load(spark, sf_dir, "documents"), "lang", "doc_id", k=3
+    )
+
+
 QUERIES = {
     "sample-stratified": q_sample_stratified,
     "split-assign": q_split_assign,
@@ -215,6 +253,7 @@ QUERIES = {
     "mixture-token-weighted": q_mixture_token_weighted,
     "mixture-sqrt-temperature": q_mixture_sqrt_temperature,
     "shuffle-deterministic": q_shuffle_deterministic,
+    "sample-reservoir-group": q_sample_reservoir_group,
 }
 
 ORACLES = {
@@ -290,5 +329,14 @@ ORACLES = {
                           * 64 / 65536) AS INTEGER) AS shard,
                md5('42:' || CAST(doc_id AS VARCHAR)) AS sort_key
         FROM documents
+    """,
+    "sample-reservoir-group": """
+        SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 3
     """,
 }

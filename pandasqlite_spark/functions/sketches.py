@@ -1,0 +1,135 @@
+"""Mergeable-sketch aggregates — the 100 TB pre-aggregation primitive.
+
+``approx-distinct-ok`` (operators/extended.py) already checks the
+*direct* HyperLogLog estimate.  The keys here check the property that
+actually matters at warehouse scale: HLL sketches are **mergeable**, so
+a 100 TB table can keep tiny per-partition / per-day sketch partials in
+a rollup cube and answer "distinct users over any date range" by
+unioning kilobyte-sized sketches — no re-scan, no count-distinct
+shuffle over raw rows.  Spark exposes the Apache DataSketches HLL
+family natively (``hll_sketch_agg`` / ``hll_union`` /
+``hll_union_agg`` / ``hll_sketch_estimate``), all JVM-side partial
+aggregates.
+
+Sketch *bytes* are engine-specific, so (as with ``approx-distinct-ok``)
+the portable contract is the assertion, not the estimate: the query
+emits booleans proving (a) the merged-partials estimate agrees with the
+direct whole-table estimate and (b) both land within tolerance of the
+exact count, alongside the exact count itself which the DuckDB oracle
+reproduces.
+
+Reference parity note: the reference delegates COUNT(DISTINCT) to
+SQLite (`/root/reference/pandasqlite/pandasqlite.py:115` stores, SQLite
+computes); sketches are part of the §2.D scale extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load
+
+# 2^14 registers ≈ 0.8% relative standard error — comfortably inside
+# the 5% assertion band while staying a ~16 KB sketch.
+_LG_K = 14
+
+
+def hll_partials(df: DataFrame, key: str, seg) -> DataFrame:
+    """Per-segment HLL sketch partials — the thing a 100 TB pipeline
+    materializes once per day/partition and unions forever after."""
+    return df.groupBy(seg.alias("seg")).agg(
+        F.hll_sketch_agg(key, _LG_K).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers by merged monthly sketch partials vs the
+    direct sketch vs the exact count.
+
+    Two shuffles total, both tiny: the partials groupBy moves
+    fixed-size sketch buffers (map-side partial aggregation applies —
+    ``hll_sketch_agg`` is an ImperativeAggregate), and the final union
+    reduces #months sketches on the driver-side single group.  The
+    exact count-distinct is computed once here to *grade* the sketch;
+    production would never run it."""
+    o = load(spark, sf_dir, "orders")
+    parts = hll_partials(o, "o_custkey", F.date_trunc("month", F.col("o_orderdate")))
+    merged = parts.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", _LG_K)).alias("direct_est"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    return merged.crossJoin(direct).select(
+        # merged partials must agree with the one-shot sketch: same
+        # registers observed, only insertion order differs — allow
+        # 0.5% for HLL union promotion effects.
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= 0.005 * F.col("direct_est")
+        ).alias("merge_consistent"),
+        (
+            F.abs(F.col("merged_est") - F.col("exact_custs"))
+            <= 0.05 * F.col("exact_custs")
+        ).alias("within_tol"),
+        F.col("exact_custs"),
+    )
+
+
+def q_sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-segment audience overlap by inclusion–exclusion over two
+    HLL sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B).
+
+    This is the sketch-native answer to "how many customers ordered in
+    BOTH 1995 and 1996" — at 100 TB each yearly sketch is a few KB
+    from the rollup cube and the union is `hll_union`, a row-local
+    binary op; no join between the two years' raw rows ever happens.
+    The assertion grades the estimate against the exact overlap
+    (±5% + 2 absolute, covering small-count integer jitter)."""
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    sk = o.agg(
+        F.hll_sketch_agg(F.when(yr == 1995, F.col("o_custkey")), _LG_K).alias("sk_a"),
+        F.hll_sketch_agg(F.when(yr == 1996, F.col("o_custkey")), _LG_K).alias("sk_b"),
+    ).select(
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_u"),
+    )
+    exact = (
+        o.filter(yr == 1995)
+        .select("o_custkey")
+        .intersect(o.filter(yr == 1996).select("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return sk.crossJoin(exact).select(
+        (
+            F.abs(F.col("est_a") + F.col("est_b") - F.col("est_u") - F.col("exact_overlap"))
+            <= 0.05 * F.col("exact_overlap") + 2
+        ).alias("overlap_ok"),
+        F.col("exact_overlap"),
+    )
+
+
+QUERIES = {
+    "sketch-hll-merge": q_sketch_hll_merge,
+    "sketch-hll-overlap": q_sketch_hll_overlap,
+}
+
+ORACLES = {
+    "sketch-hll-merge": """
+        SELECT TRUE AS merge_consistent, TRUE AS within_tol,
+               count(DISTINCT o_custkey) AS exact_custs
+        FROM orders
+    """,
+    "sketch-hll-overlap": """
+        SELECT TRUE AS overlap_ok, COUNT(*) AS exact_overlap FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        )
+    """,
+}

@@ -233,6 +233,56 @@ def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_SIZE = 512
+
+
+def vocab_encode(df: DataFrame, vocab_size: int = _VOCAB_SIZE) -> DataFrame:
+    """Dictionary-encode each document's token stream against a
+    frequency-ranked vocabulary (id 1 = most frequent token; ties break
+    lexicographically; out-of-vocabulary → 0) — the id-mapping step
+    every tokenizer pipeline runs between text and training tensors.
+
+    Scale shape: one posexplode (row-local fan-out), one groupBy for
+    the term histogram (map-side combined: #distinct-tokens rows, not
+    #token occurrences), a rank window over that *small* histogram, a
+    **broadcast** join of the ≤vocab_size dictionary against the token
+    stream (no shuffle of the 100 TB side), and one groupBy(doc_id) to
+    re-assemble sequences — co-partitioned with nothing, so exactly one
+    big shuffle keyed on doc_id.  `collect_list` order is made
+    deterministic by sorting (pos, id) structs, not by trusting arrival
+    order."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), "tok"))
+            .alias("tid"),
+        )
+        .filter(F.col("tid") <= vocab_size)
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .withColumn("tid", F.coalesce("tid", F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.transform("ps", lambda s: s.tid).alias("token_ids"),
+        )
+    )
+
+
+def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_encode(load(spark, sf_dir, "documents"))
+
+
 def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A composed training-data curation pipeline — the operators above
     chained the way a 100 TB corpus job would run them: language filter
@@ -391,6 +441,7 @@ QUERIES = {
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
     "text-tfidf": q_text_tfidf,
+    "text-vocab-encode": q_text_vocab_encode,
     "text-pii-redact": q_text_pii_redact,
     "corpus-token-budget": q_corpus_token_budget,
     "corpus-length-quantiles": q_corpus_length_quantiles,
@@ -410,6 +461,23 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-vocab-encode": f"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.pos
+          FROM documents,
+               LATERAL (SELECT unnest({_TOKS}) AS tok,
+                               generate_subscripts({_TOKS}, 1) AS pos) u
+          WHERE u.tok <> ''),
+        vocab AS (
+          SELECT tok,
+                 row_number() OVER (ORDER BY count(*) DESC, tok) AS tid
+          FROM toks GROUP BY tok QUALIFY tid <= 512)
+        SELECT t.doc_id,
+               list(CAST(COALESCE(v.tid, 0) AS INTEGER) ORDER BY t.pos)
+                 AS token_ids
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
+    """,
     "text-chunk-overlap": f"""
         WITH d AS (
           SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS nt

@@ -172,6 +172,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "click_id", "click_value")
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``merge_asof(tolerance=...)`` semantics: the latest click
+    at-or-before each error STILL wins, but if it is older than 10
+    minutes the match is nulled out (no fallback to an even older
+    row).  Same single-shuffle window composition as ``asof-join`` —
+    the tolerance is a row-local mask applied after the positional
+    pick, so it adds zero exchanges.  (pandas ``merge_asof`` and every
+    tick-data store call this a tolerance/staleness bound; it keeps a
+    quote from matching a trade hours later.)"""
+    e = load_events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"), F.col("value").alias("click_value"),
+    )
+    out = asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="c_ts",
+                    payload=["c_ts", "click_id", "click_value"])
+    fresh = F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")
+    return out.select(
+        "event_id", "user_id",
+        F.when(fresh, F.col("click_id")).alias("click_id"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range join (bucketed equi-join, not a nested loop)
 # ---------------------------------------------------------------------------
@@ -233,6 +258,7 @@ QUERIES = {
     "scan-binaryfile": q_scan_binaryfile,
     "cte-recursive": q_cte_recursive,
     "asof-join": q_asof_join,
+    "asof-join-tolerance": q_asof_join_tolerance,
     "range-join": q_range_join,
     "pivot-conditional-agg": q_pivot_status,
 }
@@ -260,6 +286,17 @@ ORACLES = {
     """,
     "asof-join": """
         SELECT e.event_id, e.user_id, c.click_id, c.click_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                        FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    "asof-join-tolerance": """
+        SELECT e.event_id, e.user_id,
+               CASE WHEN c.ts >= e.ts - INTERVAL 10 MINUTE
+                    THEN c.click_id END AS click_id,
+               CASE WHEN c.ts >= e.ts - INTERVAL 10 MINUTE
+                    THEN c.click_value END AS click_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
                         FROM events WHERE event_type = 'click') c

@@ -28,6 +28,7 @@ def _modules():
         multimodal,
         sampling,
         similarity,
+        sketches,
         text,
         timeseries,
         udfs,
@@ -45,6 +46,7 @@ def _modules():
         sampling,
         multimodal,
         similarity,
+        sketches,
         clustering,
         curate,
         graph,

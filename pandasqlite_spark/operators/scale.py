@@ -197,10 +197,66 @@ def q_join_sort_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_files(
+    spark: SparkSession, src_dir: str, dst_dir: str, target_files: int
+) -> tuple[int, int]:
+    """Small-file compaction — the OPTIMIZE / rewrite-data-files
+    maintenance job every lakehouse table needs: streaming ingest and
+    over-parallel writes leave thousands of KB-sized parquet files, and
+    at 100 TB the NameNode/object-store listing and per-file open cost
+    dominates scans long before the bytes do.
+
+    Rewrite = one read + `coalesce(target)` + write.  `coalesce` (not
+    `repartition`) merges partitions WITHOUT a shuffle — each output
+    task concatenates a set of input files; rows never move between
+    executors.  Returns (files_before, files_after) counted on disk."""
+    import glob
+
+    n_before = len(glob.glob(f"{src_dir}/part-*"))
+    spark.read.parquet(src_dir).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(dst_dir)
+    n_after = len(glob.glob(f"{dst_dir}/part-*"))
+    return n_before, n_after
+
+
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment lineitem into 64 small files, compact to 4, and prove
+    content invariance: the compacted table must carry the same row
+    count and exact-decimal revenue checksum as the source table, and
+    strictly fewer files.  The checksum aggregates in DECIMAL so the
+    compare is order-independent — file layout changes row order."""
+    import os
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = tempfile.mkdtemp(prefix="pqs_compact_")
+    frag, compacted = os.path.join(base, "frag"), os.path.join(base, "opt")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before, n_after = compact_files(spark, frag, compacted, target_files=4)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.lit(n_after < n_before).alias("compacted"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("revenue_checksum"),
+    )
+
+
 QUERIES = {
     "join-skew-salted": q_join_skew_salted,
     "join-bloom-prune": q_join_bloom_prune,
     "join-sort-merge-hint": q_join_sort_merge_hint,
+    "layout-compaction": q_layout_compaction,
 }
 
 ORACLES = {
@@ -221,6 +277,16 @@ ORACLES = {
     # the Bloom prefilter is result-invariant (no false negatives; the
     # exact semi join removes false positives) — oracle is the plain
     # semi join
+    # compaction is a pure layout rewrite — oracle is the source table's
+    # own count + exact-decimal revenue checksum
+    "layout-compaction": """
+        SELECT TRUE AS compacted, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue_checksum
+        FROM lineitem
+    """,
     "join-bloom-prune": """
         SELECT l_returnflag, COUNT(*) AS cnt,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -199,3 +199,72 @@ def test_semantic_dedup_reps_are_cluster_minima(spark, sf_dir):
         by_rep.setdefault(r.rep_id, []).append(r.doc_id)
     for rep, members in by_rep.items():
         assert rep == min(members)
+
+
+def test_reservoir_exactly_k_per_group_not_heads(spark, sf_dir):
+    """Every language gets exactly min(k, group size) docs, and the
+    picks are hash-spread, not the lowest doc_ids."""
+    from pandasqlite_spark.functions.sampling import reservoir_per_group
+    from pandasqlite_spark.operators.common import load
+
+    d = load(spark, sf_dir, "documents")
+    out = reservoir_per_group(d, "lang", "doc_id", k=3).collect()
+    sizes = {r.lang: [] for r in out}
+    for r in out:
+        sizes[r.lang].append(r.doc_id)
+    counts = d.groupBy("lang").count().collect()
+    for row in counts:
+        assert len(sizes[row.lang]) == min(3, row["count"])
+    # hash order, not head order: at least one group's sample is not
+    # its 3 smallest ids
+    mins = {
+        r.lang: r.ids
+        for r in d.groupBy("lang")
+        .agg(__import__("pyspark.sql.functions", fromlist=["f"]).expr(
+            "slice(array_sort(collect_list(doc_id)), 1, 3)").alias("ids"))
+        .collect()
+    }
+    assert any(sorted(sizes[lang]) != list(mins[lang]) for lang in sizes)
+
+
+def test_vocab_encode_ids_bounded_and_order_preserved(spark, sf_dir):
+    """Token ids stay within [0, vocab_size]; sequence length equals
+    the doc's token count; most-frequent token gets id 1."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.functions.text import token_count, tokens, vocab_encode
+    from pandasqlite_spark.operators.common import load
+
+    d = load(spark, sf_dir, "documents")
+    enc = vocab_encode(d, vocab_size=64)
+    bad = enc.filter(
+        F.exists("token_ids", lambda t: (t < 0) | (t > 64))
+    ).count()
+    assert bad == 0
+    joined = enc.join(d.select("doc_id", token_count().alias("nt")), "doc_id")
+    assert joined.filter(F.size("token_ids") != F.col("nt")).count() == 0
+    # the globally most frequent token encodes to 1 wherever it appears
+    top = (
+        d.select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok").count()
+        .orderBy(F.desc("count"), "tok").first().tok
+    )
+    one_doc = d.filter(F.array_contains(tokens(), top)).select("doc_id").first()
+    row = enc.filter(F.col("doc_id") == one_doc.doc_id).first()
+    toks_row = d.filter(F.col("doc_id") == one_doc.doc_id).select(tokens().alias("t")).first().t
+    assert any(tid == 1 and toks_row[i] == top for i, tid in enumerate(row.token_ids))
+
+
+def test_asof_tolerance_masks_stale_matches(spark, sf_dir):
+    """The tolerance variant must null out matches the plain as-of
+    join keeps when the matched click is older than the bound."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.operators.advanced import q_asof_join, q_asof_join_tolerance
+
+    plain = q_asof_join(spark, sf_dir)
+    tol = q_asof_join_tolerance(spark, sf_dir)
+    n_plain_null = plain.filter(F.col("click_id").isNull()).count()
+    n_tol_null = tol.filter(F.col("click_id").isNull()).count()
+    assert tol.count() == plain.count()  # still one row per error
+    assert n_tol_null > n_plain_null  # some matches were stale

@@ -469,3 +469,37 @@ def test_sort_merge_hint_plans_smj(spark, sf_dir):
     plan = _plan(q_join_sort_merge_hint(spark, sf_dir))
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_compaction_reduces_files_without_shuffle(spark, sf_dir, tmp_path):
+    """compact_files must (a) actually cut the file count to the
+    target and (b) do it with coalesce — no Exchange in the rewrite
+    plan, rows never cross executors."""
+    import glob
+
+    from pandasqlite_spark.operators.common import load
+    from pandasqlite_spark.operators.scale import compact_files
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    frag = str(tmp_path / "frag")
+    li.repartition(16).write.mode("overwrite").parquet(frag)
+    n_before, n_after = compact_files(spark, frag, str(tmp_path / "opt"), 2)
+    assert n_before == 16
+    assert n_after == 2
+    rewrite = spark.read.parquet(frag).coalesce(2)
+    assert "Exchange" not in _plan(rewrite)
+    # content invariance
+    assert spark.read.parquet(str(tmp_path / "opt")).count() == li.count()
+
+
+def test_hll_partials_partial_aggregate(spark, sf_dir):
+    """The sketch partials groupBy must partial-aggregate map-side
+    (shuffle carries sketch buffers, not raw rows)."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.functions.sketches import hll_partials
+    from pandasqlite_spark.operators.common import load
+
+    o = load(spark, sf_dir, "orders")
+    plan = _plan(hll_partials(o, "o_custkey", F.date_trunc("month", F.col("o_orderdate"))))
+    assert "partial_hll_sketch_agg" in plan
