@@ -405,6 +405,57 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def validate_expectations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Declarative data-quality gate (dbt tests / Great Expectations /
+    Delta CHECK constraints): evaluate a suite of expectations and emit
+    one row per check — ``(check_name, n_violations, passed)`` — so a
+    pipeline can assert ``bool_and(passed)`` before publishing a table.
+
+    Scale shape: the four row-level checks (not-null, uniqueness,
+    range, domain) compute in ONE aggregate pass over orders
+    (conditional sums + one count-distinct Expand), then ``stack``
+    unpivots the 1-row result; the referential-integrity check is a
+    LEFT ANTI join of lineitem's order keys against orders —
+    shuffle-on-key with AQE, or a broadcast of the dim at real fact/dim
+    ratios.  Nothing scans the fact table twice."""
+    row = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "v_notnull"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_unique"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("v_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("v_domain"),
+    )
+    checks = row.selectExpr(
+        "stack(4,"
+        " 'o_orderkey_not_null', v_notnull,"
+        " 'o_orderkey_unique',   v_unique,"
+        " 'o_totalprice_nonneg', v_range,"
+        " 'o_orderstatus_domain', v_domain"
+        ") AS (check_name, n_violations)"
+    )
+    orphans = (
+        lineitem.join(orders.select("o_orderkey"),
+                      lineitem.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("l_orderkey_refs_orders").alias("check_name"), "n_violations")
+    )
+    return (
+        checks.unionByName(orphans)
+        .select("check_name", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+        .orderBy("check_name")
+    )
+
+
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate_expectations(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
 # ------------------------------------------------------ z-order layout
 
 _Z_BITS = 8
@@ -770,6 +821,7 @@ QUERIES = {
     "history-scd2": q_history_scd2,
     "table-checksum": q_table_checksum,
     "profile-table": q_profile_table,
+    "validate-expectations": q_validate_expectations,
     "agg-linreg-exact": q_agg_linreg_exact,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
@@ -934,6 +986,31 @@ ORACLES = {
                ROUND((n * sxy - sx * sy)
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
         FROM g ORDER BY l_returnflag
+    """,
+    "validate-expectations": """
+        WITH agg AS (
+          SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique,
+                 CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                 CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_domain
+          FROM orders),
+        checks AS (
+          SELECT 'o_orderkey_not_null' AS check_name, v_notnull AS n_violations FROM agg
+          UNION ALL
+          SELECT 'o_orderkey_unique', v_unique FROM agg
+          UNION ALL
+          SELECT 'o_totalprice_nonneg', v_range FROM agg
+          UNION ALL
+          SELECT 'o_orderstatus_domain', v_domain FROM agg
+          UNION ALL
+          SELECT 'l_orderkey_refs_orders',
+                 (SELECT COUNT(*) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        )
+        SELECT check_name, n_violations, n_violations = 0 AS passed
+        FROM checks ORDER BY check_name
     """,
     "profile-table": """
         WITH s AS (

@@ -168,13 +168,90 @@ def q_events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_limit_first(load_events(spark, sf_dir))
 
 
+def ewma_hourly(events: DataFrame, half_life_hours: int = 1, span: int = 8) -> DataFrame:
+    """Exponentially-weighted moving average of hourly volume per user
+    — the trend/smoothing primitive (pandas ``ewm``, monitoring
+    dashboards, anomaly baselines).
+
+    True EWMA is a sequential recurrence (state_t = α·x_t +
+    (1-α)·state_{t-1}) — hostile to distributed evaluation.  With
+    half-life decay the weights are powers of two, so truncating the
+    tail at ``span`` hours makes the whole thing a *bounded windowed
+    fold*: weight ``2^(span - Δhours)`` per observed hour, numerator
+    and denominator both **exact integers/decimals** (a power-of-two
+    weight times a DECIMAL is exact; the sum is order-independent), one
+    double division at the end.  No recurrence, no sequential scan —
+    each output row folds ≤ span window rows, and the only shuffle is
+    the per-user hour aggregation (same Exchange the OHLC bars use).
+    Rows more than ``span`` hours back carry weight < 2⁰ of the 2⁸
+    current-hour weight — below the truncation error a float EWMA
+    accumulates anyway.
+    """
+    us_per_hour = 3_600_000_000
+    hourly = (
+        events.select(
+            "user_id",
+            (F.unix_micros("ts") / us_per_hour).cast("bigint").alias("hb"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("user_id", "hb")
+        .agg(F.sum("v").alias("v"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hb")
+        .rangeBetween(-(span - 1), 0)
+    )
+    arr = F.collect_list(F.struct("hb", "v")).over(w)
+    # 2^(span - Δ), Δ ∈ [0, span-1] — pow(2, k) is IEEE-exact for
+    # small integer k, so the bigint weight is deterministic
+    weight = lambda s: F.pow(  # noqa: E731
+        F.lit(2.0), (F.lit(span) - (F.col("hb") - s.hb)).cast("double")
+    ).cast("bigint")
+    num = F.aggregate(
+        arr,
+        F.lit(0).cast("decimal(30,4)"),
+        lambda acc, s: (acc + s.v * weight(s)).cast("decimal(30,4)"),
+    )
+    den = F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda acc, s: acc + weight(s)
+    )
+    return hourly.select(
+        "user_id",
+        F.col("hb").alias("hr_bucket"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_hourly(load_events(spark, sf_dir))
+
+
 QUERIES = {
     "events-ohlc": q_events_ohlc,
     "events-interpolate-linear": q_events_interpolate,
     "events-rate-limit": q_events_rate_limit,
+    "events-ewma": q_events_ewma,
 }
 
 ORACLES = {
+    # the bounded-window fold is a plain range self-join in SQL: every
+    # (user, hour) pulls its ≤8 trailing hours; power-of-two weights
+    # keep both sums exact, one double division at the end
+    "events-ewma": """
+        WITH hourly AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hb,
+                 SUM(CAST(value AS DECIMAL(18,4))) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT a.user_id, a.hb AS hr_bucket,
+               CAST(CAST(SUM(b.v * (CAST(1 AS BIGINT) << CAST(8 - (a.hb - b.hb) AS INTEGER))) AS DOUBLE)
+                    / CAST(SUM(CAST(1 AS BIGINT) << CAST(8 - (a.hb - b.hb) AS INTEGER)) AS DOUBLE)
+                    AS DOUBLE) AS ewma
+        FROM hourly a JOIN hourly b
+          ON a.user_id = b.user_id AND b.hb BETWEEN a.hb - 7 AND a.hb
+        GROUP BY a.user_id, a.hb
+    """,
     "events-rate-limit": """
         WITH ev AS (
           SELECT user_id, event_type, event_id, epoch_us(ts) AS us,

@@ -163,6 +163,31 @@ def q_write_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old batch written without
+    ``c_mktsegment`` and a new batch written with it are unioned by
+    ``mergeSchema`` into one widened schema (missing column → NULL) —
+    how a 100 TB lakehouse table absorbs additive schema changes
+    without rewriting history.  ``mergeSchema`` reconciles footers at
+    planning time (one footer read per file — cheap next to the scan);
+    steady-state readers would pin the merged schema in the catalog
+    instead of re-merging per query."""
+    c = load(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="pqs_evolve_")
+    old_b, new_b = os.path.join(base, "b1"), os.path.join(base, "b2")
+    c.filter(F.col("c_nationkey") <= 11).select("c_custkey", "c_name").write.mode(
+        "overwrite"
+    ).parquet(old_b)
+    c.filter(F.col("c_nationkey") > 11).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).write.mode("overwrite").parquet(new_b)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(old_b, new_b)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bool_and/bool_or and bit_and/bit_or/bit_xor aggregates — all
     partial-aggregatable (map-side combine), so the shuffle carries one
@@ -433,6 +458,13 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey > 1
     """,
+    # batch 1 (nationkey ≤ 11) predates the c_mktsegment column →
+    # NULL after the mergeSchema union
+    "scan-merge-schema": """
+        SELECT c_custkey, c_name,
+               CASE WHEN c_nationkey > 11 THEN c_mktsegment END AS c_mktsegment
+        FROM customer
+    """,
     "write-roundtrip-parquet": """
         SELECT o_orderpriority, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -548,6 +580,7 @@ QUERIES = {
     "deterministic-sample": q_deterministic_sample,
     "union-by-name": q_union_by_name,
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
+    "scan-merge-schema": q_scan_merge_schema,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
     "explode-outer": q_explode_outer,

@@ -620,8 +620,47 @@ def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the third streaming join shape
+    after stream-stream (`events-streaming-join`) and streaming dedup:
+    each incoming event is joined against a STATIC user-profile
+    dimension (per-user activity tier, built batch-side once).  A
+    stream-static inner join is stateless — no watermark, no join
+    state, the static side is just broadcast into every micro-batch —
+    which is why it's the standard pattern for dimension enrichment at
+    ingest time (Kafka stream ⋈ broadcast user table).  The rolled-up
+    per-tier totals run in complete mode; the batch oracle is the same
+    join + aggregation over the batch table."""
+    batch = load_events(spark, sf_dir)
+    profile = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .select(
+            "user_id",
+            F.when(F.col("n_total") >= 100, "heavy")
+            .when(F.col("n_total") >= 50, "mid")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.join(F.broadcast(profile), "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    name, _ = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)
+
+
 QUERIES = {
     "events-multires-rollup": q_events_multires,
+    "events-streaming-enrich": q_events_streaming_enrich,
     "events-stateful-profiles": q_events_stateful_profiles,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
@@ -646,6 +685,20 @@ _TUMBLING_ORACLE = """
 """
 
 ORACLES = {
+    # stream-static join twin: the static profile is derived from the
+    # same finite table, so the batch form is an exact oracle
+    "events-streaming-enrich": """
+        WITH prof AS (
+          SELECT user_id,
+                 CASE WHEN COUNT(*) >= 100 THEN 'heavy'
+                      WHEN COUNT(*) >= 50 THEN 'mid'
+                      ELSE 'light' END AS tier
+          FROM events GROUP BY user_id)
+        SELECT tier, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events JOIN prof USING (user_id)
+        GROUP BY tier
+    """,
     # sums-of-sums over minute partials == direct hourly aggregation:
     # the oracle IS the direct form, proving the rollup composition
     "events-multires-rollup": """
