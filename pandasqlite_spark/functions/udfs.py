@@ -76,7 +76,53 @@ def q_grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrow_quantize(batches):
+    """mapInArrow body: int8-quantize embeddings batch-by-batch in
+    pyarrow/numpy — zero pandas conversion.  floor(x·127 + 0.5) clamped
+    to [-127, 127], the same engine-portable rounding contract as
+    ``embedding-quantize``."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        tbl = pa.table(batch)
+        vec_ids = tbl.column("vec_id")
+        emb = tbl.column("embedding")
+        out_codes = []
+        for arr in emb.chunks if hasattr(emb, "chunks") else [emb]:
+            flat = np.asarray(arr.values, dtype=np.float64)
+            codes = np.clip(np.floor(flat * 127.0 + 0.5), -127, 127).astype(np.int32)
+            out_codes.append(pa.ListArray.from_arrays(arr.offsets, pa.array(codes)))
+        codes_col = pa.chunked_array(out_codes) if len(out_codes) > 1 else out_codes[0]
+        yield pa.record_batch(
+            [vec_ids.combine_chunks() if hasattr(vec_ids, "combine_chunks") else vec_ids,
+             codes_col],
+            names=["vec_id", "codes"],
+        )
+
+
+def q_arrow_batch_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the fourth Python-integration surface after
+    scalar pandas_udf, applyInPandas, and mapInPandas: the UDF receives
+    raw ``pyarrow.RecordBatch``es with NO pandas materialization, the
+    cheapest possible Python hop (numpy views straight over Arrow
+    buffers — for array columns this skips pandas' object-per-list
+    boxing entirely).  Partition-local, zero shuffle; the quantization
+    arithmetic matches the SQL oracle bit-for-bit."""
+    ensure_package_on_workers(spark)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(_arrow_quantize, "vec_id bigint, codes array<int>")
+
+
 ORACLES: dict[str, str] = {
+    "arrow-batch-quantize": """
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(GREATEST(-127, LEAST(127,
+                        FLOOR(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS INTEGER))
+                 AS codes
+        FROM embeddings
+    """,
     "pandas-udf-score": """
         SELECT doc_id,
                CAST(length(text) * 2
@@ -95,4 +141,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "pandas-udf-score": q_pandas_udf_score,
     "grouped-pandas-rank": q_grouped_pandas_rank,
+    "arrow-batch-quantize": q_arrow_batch_quantize,
 }

@@ -172,6 +172,56 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "click_id", "click_value")
 
 
+def q_multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection over opaque binary blobs — the first
+    pass of every image/audio dedup pipeline: group by content hash,
+    keep one canonical file per distinct payload, count the copies.
+    ``md5(content)`` runs JVM-side on the raw bytes (no decode, no
+    Python), so a 100 TB media corpus dedups at scan speed with one
+    hash-keyed groupBy whose shuffle carries (hash, path) pairs, not
+    payloads.
+
+    Fixture: each of the 12 smallest documents written TWICE
+    (``doc_N.bin`` + ``dup_N.bin``); the canonical pick is the
+    lexicographic min path per content group — a total order, so the
+    winner is deterministic even when distinct doc_ids share text
+    (which the dedup corpus deliberately contains)."""
+    out = Path(_tmp(sf_dir, "docs_dup_bin"))
+    marker = out / "_SUCCESS"
+    if not marker.exists():
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 12)
+            .select("doc_id", "text")
+            .collect()
+        )
+        out.mkdir(parents=True, exist_ok=True)
+        for r in rows:
+            payload = r["text"].encode("utf-8")
+            (out / f"doc_{r['doc_id']}.bin").write_bytes(payload)
+            (out / f"dup_{r['doc_id']}.bin").write_bytes(payload)
+        marker.touch()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(out))
+        .select(
+            F.md5("content").alias("content_md5"),
+            F.regexp_extract(F.col("path"), r"((?:doc|dup)_\d+\.bin)$", 1).alias(
+                "fname"
+            ),
+        )
+    )
+    return (
+        files.groupBy("content_md5")
+        .agg(
+            F.min("fname").alias("canonical"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_md5")
+    )
+
+
 def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``merge_asof(tolerance=...)`` semantics: the latest click
     at-or-before each error STILL wins, but if it is older than 10
@@ -259,6 +309,7 @@ QUERIES = {
     "cte-recursive": q_cte_recursive,
     "asof-join": q_asof_join,
     "asof-join-tolerance": q_asof_join_tolerance,
+    "multimodal-dedup-binary": q_multimodal_dedup_binary,
     "range-join": q_range_join,
     "pivot-conditional-agg": q_pivot_status,
 }
@@ -269,6 +320,16 @@ ORACLES = {
     "scan-partitioned": """
         SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS yr
         FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    # every doc < 12 exists twice on disk; groups collapse by md5 so
+    # docs sharing identical text merge — min('doc_'||id||'.bin') is
+    # still the canonical pick ('doc' < 'dup' lexicographically)
+    "multimodal-dedup-binary": """
+        SELECT md5(text) AS content_md5,
+               MIN('doc_' || doc_id || '.bin') AS canonical,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_copies
+        FROM documents WHERE doc_id < 12
+        GROUP BY md5(text) ORDER BY content_md5
     """,
     "scan-binaryfile": """
         SELECT 'doc_' || doc_id || '.bin' AS fname,

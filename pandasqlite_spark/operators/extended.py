@@ -188,6 +188,92 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: ``from_json`` with a declared schema
+    (vs ``get_json_object``'s per-path string extraction in
+    `json-extract`) plus a ``to_json`` re-serialization round trip.
+    At scale this is the difference that matters: one ``from_json``
+    parses the document ONCE into a struct that codegen field-accesses
+    for free, where N ``get_json_object`` calls re-parse the string N
+    times per row."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k bigint")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.to_json(
+            F.struct(F.col("event_id"), parsed.getField("k").alias("k"))
+        ).alias("j"),
+    )
+
+
+_CSV_ROWS = [
+    "1,10",            # valid
+    "2,20",            # valid
+    "3,notanumber",    # type-conversion failure → corrupt
+    "5,",              # EMPTY field is valid CSV: parses as (5, NULL)
+    "6,60,extra",      # too many tokens → corrupt
+    "7",               # too few tokens → corrupt
+    '8,"unclosed',     # broken quoting → corrupt
+    "9,90",            # valid
+]
+
+
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record discipline on the CSV source: PERMISSIVE mode
+    lands bad rows in ``_corrupt_record`` instead of failing the 100 TB
+    job at row 73 billion; DROPMALFORMED silently discards them.  The
+    fixture pins one of each failure class (bad type, extra tokens,
+    missing tokens, broken quote) plus the ``5,`` edge — an EMPTY field
+    is valid CSV, NOT malformed.
+
+    Two real engine pitfalls are deliberately defeated here, because
+    both silently change the answer:
+    - **corrupt-record contents depend on the parsed projection** —
+      if column pruning drops ``a``, a row whose only bad field is
+      ``a`` stops being corrupt; the aggregate references every data
+      column so the full row is always parsed.
+    - **count() pushdown skips parsing entirely** — a bare
+      ``COUNT(*)`` over DROPMALFORMED counts raw lines (8, not 4);
+      counting a parsed column forces real parsing."""
+    base = tempfile.mkdtemp(prefix="pqs_csv_bad_")
+    path = os.path.join(base, "rows.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(_CSV_ROWS) + "\n")
+    schema = "a INT, b INT, _corrupt_record STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    perm_counts = permissive.agg(
+        F.count(F.lit(1)).alias("n_permissive"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.when(F.col("a").isNotNull(), 1).otherwise(0)).alias("n_a_parsed"),
+        F.sum(
+            F.when(F.col("b").isNull() & F.col("_corrupt_record").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_null_b_valid"),
+    )
+    dropped = (
+        spark.read.schema("a INT, b INT")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        # both aggregates depend on parsed VALUES (a bare COUNT(*)
+        # or any constant-foldable expression skips parsing and
+        # counts raw lines — 8, not 4), and together they project both
+        # data columns, so row-level drops apply to the full row
+        .agg(
+            F.count("a").alias("n_dropmalformed"),
+            F.sum("b").alias("b_total"),
+        )
+    )
+    return perm_counts.crossJoin(dropped)
+
+
 def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bool_and/bool_or and bit_and/bit_or/bit_xor aggregates — all
     partial-aggregatable (map-side combine), so the shuffle carries one
@@ -458,6 +544,22 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey > 1
     """,
+    "json-schema-parse": """
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k,
+               '{"event_id":' || event_id || ',"k":' || (props->>'k') || '}' AS j
+        FROM events
+    """,
+    # fixture-pinned constants: 8 lines, 4 corrupt (bad type / extra
+    # tokens / missing tokens / broken quote), "5," is valid (5, NULL)
+    "scan-csv-malformed": """
+        SELECT CAST(8 AS BIGINT) AS n_permissive,
+               CAST(4 AS BIGINT) AS n_corrupt,
+               CAST(8 AS BIGINT) AS n_a_parsed,
+               CAST(1 AS BIGINT) AS n_null_b_valid,
+               CAST(4 AS BIGINT) AS n_dropmalformed,
+               CAST(120 AS BIGINT) AS b_total
+    """,
     # batch 1 (nationkey ≤ 11) predates the c_mktsegment column →
     # NULL after the mergeSchema union
     "scan-merge-schema": """
@@ -581,6 +683,8 @@ QUERIES = {
     "union-by-name": q_union_by_name,
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
     "scan-merge-schema": q_scan_merge_schema,
+    "json-schema-parse": q_json_schema_parse,
+    "scan-csv-malformed": q_scan_csv_malformed,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
     "explode-outer": q_explode_outer,

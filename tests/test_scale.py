@@ -503,3 +503,25 @@ def test_hll_partials_partial_aggregate(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     plan = _plan(hll_partials(o, "o_custkey", F.date_trunc("month", F.col("o_orderdate"))))
     assert "partial_hll_sketch_agg" in plan
+
+
+def test_map_in_arrow_no_shuffle_and_arrow_eval(spark, sf_dir):
+    """mapInArrow must plan as a partition-local Python stage (no
+    Exchange) using the Arrow path."""
+    from pandasqlite_spark.functions.udfs import q_arrow_batch_quantize
+
+    plan = _plan(q_arrow_batch_quantize(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_binary_dedup_groups_by_hash_not_payload(spark, sf_dir):
+    """The binary dedup shuffle must carry (md5, fname), never the blob
+    content column."""
+    from pandasqlite_spark.operators.advanced import q_multimodal_dedup_binary
+
+    df = q_multimodal_dedup_binary(spark, sf_dir)
+    plan = _plan(df)
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex, "expected a hash-keyed exchange"
+    assert all("content#" not in ln for ln in ex)
