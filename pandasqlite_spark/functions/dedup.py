@@ -470,7 +470,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_sql_spark("documents"))
 
 
+def boilerplate_spans(docs: DataFrame, n: int = 8, min_docs: int = 3) -> DataFrame:
+    """Cross-document repeated-span mining — the boilerplate detector
+    (headers, footers, license blocks, templated paragraphs) that
+    span-level dedup pipelines run before training (the exact-substring
+    phase of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better", done at n-gram granularity): any ``n``-token window
+    appearing in ≥ ``min_docs`` distinct documents is flagged, with a
+    canonical example doc per span.
+
+    Scale shape: the shingle fan-out is row-local (transform over the
+    token array — no explode-then-join), per-doc ``array_distinct``
+    dedups *before* the shuffle, and the single groupBy's map-side
+    combine means the exchange carries one (span, partial count) per
+    distinct span per partition.  The |docs|×|windows| intermediate
+    never materializes anywhere.  For a 100 TB corpus you'd hash spans
+    to 8-byte keys for the count pass and re-derive texts only for the
+    survivors; the text-keyed form here is the oracle-checkable
+    contract."""
+    sh = shingles(docs, n)
+    return (
+        sh.groupBy(F.col("sh").alias("span"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy("span")
+    )
+
+
+def q_text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_spans(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "text-boilerplate-spans": q_text_boilerplate_spans,
     "dedup-exact": q_dedup_exact,
     "dedup-jaccard-verify": q_dedup_jaccard_verify,
     "dedup-containment": q_dedup_containment,
@@ -485,6 +520,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    # per-doc DISTINCT inside `s` mirrors shingles()'s array_distinct,
+    # so a span repeated within one doc counts that doc once
+    "text-boilerplate-spans": r"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        x AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 7, 0))) AS i
+          FROM d),
+        s AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS sh
+          FROM x)
+        SELECT sh AS span, COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
+        FROM s GROUP BY sh HAVING COUNT(*) >= 3 ORDER BY span
+    """,
     "dedup-incremental": f"""
         WITH fp AS (
           SELECT doc_id,

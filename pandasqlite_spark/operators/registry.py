@@ -33,9 +33,11 @@ def _modules():
         timeseries,
         udfs,
     )
+    from pandasqlite_spark.sources import generator as pyds_generator
     from pandasqlite_spark.streaming import events as streaming_events
 
     return (
+        pyds_generator,
         relational,
         advanced,
         extended,

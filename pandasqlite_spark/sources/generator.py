@@ -1,0 +1,115 @@
+"""Deterministic synthetic-table source (Spark 4 Python Data Source).
+
+The benchmark-generator pattern (TPC dbgen, dsdgen): a *source* that
+manufactures rows instead of reading files, planned as N independent
+``InputPartition``s so generation parallelizes across the cluster with
+no driver-side data and no shuffle — each partition derives its slice
+``[lo, hi)`` from the row-count option and emits rows that are a pure
+function of the row id.  At 100 TB-generation scale this is exactly how
+synthetic corpora and load harnesses are produced.
+
+Row contract (the cross-engine determinism trick used repo-wide): every
+generated value derives from ``md5(str(id))``, so a SQL engine can
+regenerate the identical table — the DuckDB oracle for
+``scan-python-datasource`` rebuilds these rows from ``generate_series``
+and compares value hashes.
+
+API note: ``spark.dataSource.register`` pickles the class to Python
+workers; `ensure_package_on_workers` makes the module importable there
+(same deployment contract as the pandas-UDF operators).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _Slice(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class DetGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        per = (self.n + self.parts - 1) // self.parts
+        return [
+            _Slice(i * per, min((i + 1) * per, self.n))
+            for i in range(self.parts)
+            if i * per < self.n
+        ]
+
+    def read(self, partition):
+        for i in range(partition.lo, partition.hi):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            h16 = int(h[:4], 16)
+            yield (i, h16, h16 % 10, round(h16 / 65536.0, 9))
+
+
+class DetGenDataSource(DataSource):
+    """``spark.read.format("detgen").option("n", ...)`` — rows are a
+    pure function of the row id; any engine can regenerate them."""
+
+    @classmethod
+    def name(cls):
+        return "detgen"
+
+    def schema(self):
+        return "id bigint, h16 bigint, bucket bigint, val double"
+
+    def reader(self, schema):
+        return DetGenReader(self.options)
+
+
+def register(spark) -> None:
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(DetGenDataSource)
+
+
+def q_scan_python_datasource(spark, sf_dir: str):
+    """Generate 10,000 rows across 8 planned partitions and aggregate
+    per bucket — proving both the partition planning (8 independent
+    slices, no driver data) and the value contract (the DuckDB oracle
+    regenerates every row from generate_series + md5)."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    df = spark.read.format("detgen").option("n", "10000").option("parts", "8").load()
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("h16").alias("h16_total"),
+            F.round(F.sum(F.col("val").cast("decimal(18,9)")).cast("double"), 6).alias(
+                "val_total"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {"scan-python-datasource": q_scan_python_datasource}
+
+ORACLES = {
+    "scan-python-datasource": """
+        WITH g AS (
+          SELECT i.range AS id,
+                 ('0x' || substr(md5(CAST(i.range AS VARCHAR)), 1, 4))::BIGINT AS h16
+          FROM range(0, 10000) i),
+        rows_ AS (
+          SELECT id, h16, h16 % 10 AS bucket,
+                 ROUND(h16 / 65536.0, 9) AS val
+          FROM g)
+        SELECT bucket, COUNT(*) AS n,
+               CAST(SUM(h16) AS BIGINT) AS h16_total,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE), 6) AS val_total
+        FROM rows_ GROUP BY bucket ORDER BY bucket
+    """,
+}
