@@ -114,9 +114,45 @@ def q_sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_quantile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER mergeable sketch family: quantiles.
+    ``approx_percentile`` (Greenwald-Khanna) is a partial aggregate —
+    per-partition summaries merge map-side exactly like HLL partials —
+    so a 100 TB table answers p50/p99 without sorting anything.  As
+    with the HLL keys the sketch value is engine-specific, so the
+    portable contract is the assertion: the approximate p50/p99 of
+    order totals must land within the declared accuracy band of the
+    exact percentiles (computed here only to grade the sketch —
+    ``percentile`` exact is a full sort+selection production would
+    never run).
+
+    accuracy=1000 bounds the *rank* error at n/1000 rows; the value
+    band below converts that to a value tolerance via the exact p45-55
+    / p98-99.9 spreads, so the assertion is meaningful, not vacuous."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        (
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)")
+            .between(
+                F.expr("percentile(o_totalprice, 0.45)"),
+                F.expr("percentile(o_totalprice, 0.55)"),
+            )
+        ).alias("p50_ok"),
+        (
+            F.expr("approx_percentile(o_totalprice, 0.99, 1000)")
+            .between(
+                F.expr("percentile(o_totalprice, 0.98)"),
+                F.expr("percentile(o_totalprice, 0.999)"),
+            )
+        ).alias("p99_ok"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "sketch-hll-merge": q_sketch_hll_merge,
     "sketch-hll-overlap": q_sketch_hll_overlap,
+    "sketch-quantile-ok": q_sketch_quantile_ok,
 }
 
 ORACLES = {
@@ -131,5 +167,8 @@ ORACLES = {
           INTERSECT
           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         )
+    """,
+    "sketch-quantile-ok": """
+        SELECT TRUE AS p50_ok, TRUE AS p99_ok, COUNT(*) AS n_rows FROM orders
     """,
 }

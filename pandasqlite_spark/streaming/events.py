@@ -620,6 +620,40 @@ def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events-rate-limit``: throttle to the first
+    event per (user, type, minute) as a watermark-bounded windowed
+    aggregation.  The positional "first" is the same
+    ``min(struct(us, event_id))`` orderable aggregate as the OHLC
+    twins — deterministic across micro-batch boundaries, where a
+    ``first()`` would depend on arrival order.  State per key is one
+    struct; the 2-minute watermark evicts closed minutes.  Shares the
+    batch key's oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    ev = stream.withColumn("us", F.unix_micros("ts"))
+    agg = (
+        ev.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id", "event_type")
+        .agg(
+            F.min(F.struct("us", "event_id")).getField("event_id").alias(
+                "kept_event_id"
+            ),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_micros(F.col("w.start")) / 60_000_000)
+            .cast("bigint")
+            .alias("win_bucket"),
+            "kept_event_id",
+            "n_suppressed",
+        )
+    )
+    name, _ = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)
+
+
 def q_events_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the third streaming join shape
     after stream-stream (`events-streaming-join`) and streaming dedup:
@@ -661,6 +695,7 @@ def q_events_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events-multires-rollup": q_events_multires,
     "events-streaming-enrich": q_events_streaming_enrich,
+    "events-streaming-rate-limit": q_events_streaming_rate_limit,
     "events-stateful-profiles": q_events_stateful_profiles,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
@@ -818,6 +853,9 @@ ORACLES = {
     # shares the batch OHLC oracle: hour windows align to the epoch,
     # so unix_micros(w.start)/3.6e9 == floor(epoch_us/3.6e9)
     "events-streaming-ohlc": _timeseries.ORACLES["events-ohlc"],
+    # micro-batch boundaries must not change the positional pick —
+    # identical semantics to the batch throttle by construction
+    "events-streaming-rate-limit": _timeseries.ORACLES["events-rate-limit"],
     # native session_window semantics: split on gap >= 30min (not >),
     # window end = last event + gap
     "events-session-window-native": f"""
