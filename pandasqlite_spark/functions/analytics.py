@@ -405,6 +405,82 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_2d(
+    df: DataFrame, minimize: str, maximize: str, id_col: str
+) -> DataFrame:
+    """2-D skyline (Pareto-optimal set): rows no other row dominates,
+    where q dominates p iff q.minimize ≤ p.minimize ∧ q.maximize ≥
+    p.maximize with at least one strict.  (The multi-criteria "best
+    trade-offs" operator — e.g. cheapest-vs-largest parts; Spark has no
+    native skyline; cf. "Integration of Skyline Queries into Spark
+    SQL", EDBT 2023, for the operator's distributed formulation.)
+
+    In 2-D the sort-based algorithm needs no pairwise joins: after
+    sorting by (min-dim asc), p survives iff no strictly-cheaper row
+    reaches its maximize value (running max) and no same-price row
+    strictly beats it.  Two window passes — vs the naive NOT EXISTS
+    self-join's O(n²) pairs (which the DuckDB oracle uses, pinning the
+    same semantics).
+
+    Scale shape — the classic two-phase skyline: phase 1 computes the
+    LOCAL skyline inside arbitrary hash buckets (any subset's skyline
+    is a superset of the global skyline's members in that subset, so
+    this is a lossless, embarrassingly parallel filter that typically
+    drops ~everything); phase 2 re-runs the same two windows globally
+    over the few survivors.  The global window runs single-partition
+    by construction — acceptable only BECAUSE phase 1 bounded the
+    row count."""
+    from pyspark.sql import Window
+
+    def _local(d: DataFrame, part_cols: list[str]) -> DataFrame:
+        # collapse to one row per price first: the ROWS frame over the
+        # distinct-price series is then exactly "strictly cheaper"
+        # (a RANGE/ROWS frame on the raw rows can't express that — a
+        # numeric RANGE offset is value-based, and a ROWS -1 frame
+        # would include same-price rows)
+        per_price = d.groupBy(*(part_cols + [minimize])).agg(
+            F.max(maximize).alias("_pmax")
+        )
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(minimize)
+            .rowsBetween(Window.unboundedPreceding, -1)
+            if part_cols
+            else Window.orderBy(minimize).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        cheap_max = per_price.select(
+            *(part_cols + [minimize, "_pmax"]),
+            F.max("_pmax").over(w).alias("_m1"),
+        )
+        joined = d.join(cheap_max, part_cols + [minimize])
+        dominated = (F.col("_m1") >= F.col(maximize)) | (
+            F.col("_pmax") > F.col(maximize)
+        )
+        return (
+            joined.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+            .filter(~F.col("_dom"))
+            .drop("_dom", "_m1", "_pmax")
+        )
+
+    buckets = df.select(
+        id_col, minimize, maximize,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(32)).alias("_b"),
+    )
+    survivors = _local(buckets, ["_b"]).drop("_b")
+    return _local(survivors, []).orderBy(id_col)
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skyline_2d(
+        load(spark, sf_dir, "part"),
+        minimize="p_retailprice",
+        maximize="p_size",
+        id_col="p_partkey",
+    )
+
+
 def validate_expectations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Declarative data-quality gate (dbt tests / Great Expectations /
     Delta CHECK constraints): evaluate a suite of expectations and emit
@@ -822,6 +898,7 @@ QUERIES = {
     "table-checksum": q_table_checksum,
     "profile-table": q_profile_table,
     "validate-expectations": q_validate_expectations,
+    "skyline-pareto": q_skyline_pareto,
     "agg-linreg-exact": q_agg_linreg_exact,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
@@ -986,6 +1063,18 @@ ORACLES = {
                ROUND((n * sxy - sx * sy)
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
         FROM g ORDER BY l_returnflag
+    """,
+    # the oracle pins skyline semantics via the naive quadratic
+    # NOT-EXISTS dominance test the windowed form replaces
+    "skyline-pareto": """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice
+            AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        ORDER BY p_partkey
     """,
     "validate-expectations": """
         WITH agg AS (

