@@ -481,6 +481,61 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_similarity_pairs(events: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Similarity join over per-user *rankings* (cf. "Distributed
+    Similarity Joins over Top-K Rankings", EDBT 2020): each user ranks
+    the event types by frequency (count desc, type asc tiebreak —
+    absent types rank last with count 0, so every ranking is a full
+    permutation), and user pairs whose Spearman-footrule distance
+    Σ|rankₐ(t) − rank_b(t)| is ≤ ``max_dist`` are emitted.
+
+    Blocking (the scale lever, same design as the blocked
+    Levenshtein join): candidates must share the top-ranked type — for
+    footrule ≤ 1 that is provably necessary (a top-1 swap alone costs
+    2), for the looser default it is the declared candidate contract,
+    bounding pairs at Σ C(|top-1 block|, 2) instead of C(|users|, 2).
+    The distance computes via one equi-join on (type) per pair batch +
+    a partial-aggregated groupBy — integer arithmetic end to end."""
+    from pyspark.sql import Window
+
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    users = events.select("user_id").distinct()
+    types = events.select("event_type").distinct()
+    grid = users.crossJoin(F.broadcast(types))
+    full = grid.join(counts, ["user_id", "event_type"], "left").select(
+        "user_id", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    ranks = full.select(
+        "user_id", "event_type", F.row_number().over(w).alias("r")
+    )
+    top1 = ranks.filter(F.col("r") == 1).select(
+        "user_id", F.col("event_type").alias("t1")
+    )
+    pairs = (
+        top1.select(F.col("user_id").alias("ua"), "t1")
+        .join(top1.select(F.col("user_id").alias("ub"), "t1"), "t1")
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+    )
+    ra = ranks.select(F.col("user_id").alias("ua"), "event_type", F.col("r").alias("r_a"))
+    rb = ranks.select(F.col("user_id").alias("ub"), "event_type", F.col("r").alias("r_b"))
+    return (
+        pairs.join(ra, "ua")
+        .join(rb, ["ub", "event_type"])
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.abs(F.col("r_a") - F.col("r_b"))).alias("footrule"))
+        .filter(F.col("footrule") <= max_dist)
+        .orderBy("ua", "ub")
+    )
+
+
+def q_rank_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rank_similarity_pairs(load_events(spark, sf_dir))
+
+
 def validate_expectations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Declarative data-quality gate (dbt tests / Great Expectations /
     Delta CHECK constraints): evaluate a suite of expectations and emit
@@ -899,6 +954,7 @@ QUERIES = {
     "profile-table": q_profile_table,
     "validate-expectations": q_validate_expectations,
     "skyline-pareto": q_skyline_pareto,
+    "rank-similarity-join": q_rank_similarity_join,
     "agg-linreg-exact": q_agg_linreg_exact,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
@@ -1063,6 +1119,34 @@ ORACLES = {
                ROUND((n * sxy - sx * sy)
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
         FROM g ORDER BY l_returnflag
+    """,
+    "rank-similarity-join": """
+        WITH counts AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        grid AS (
+          SELECT u.user_id, t.event_type
+          FROM (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        full_ AS (
+          SELECT g.user_id, g.event_type, COALESCE(c.n, 0) AS n
+          FROM grid g LEFT JOIN counts c USING (user_id, event_type)),
+        ranks AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS r
+          FROM full_),
+        top1 AS (SELECT user_id, event_type AS t1 FROM ranks WHERE r = 1),
+        pairs AS (
+          SELECT a.user_id AS ua, b.user_id AS ub
+          FROM top1 a JOIN top1 b ON a.t1 = b.t1 AND a.user_id < b.user_id)
+        SELECT p.ua, p.ub,
+               CAST(SUM(ABS(ra.r - rb.r)) AS BIGINT) AS footrule
+        FROM pairs p
+        JOIN ranks ra ON ra.user_id = p.ua
+        JOIN ranks rb ON rb.user_id = p.ub AND rb.event_type = ra.event_type
+        GROUP BY p.ua, p.ub HAVING SUM(ABS(ra.r - rb.r)) <= 4
+        ORDER BY p.ua, p.ub
     """,
     # the oracle pins skyline semantics via the naive quadratic
     # NOT-EXISTS dominance test the windowed form replaces
