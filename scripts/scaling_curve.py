@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Measured scaling curve: run representative operators at
+sf0.001 / sf0.01 / sf0.1 (100× row-count spread) and report how wall
+time grows vs data — the empirical companion to SCALING.md's plan-shape
+arguments.  A scale-safe operator should grow ≪ linearly at these sizes
+(fixed overhead dominates), and nothing should grow super-linearly.
+
+Usage: python scripts/scaling_curve.py > SCALING_CURVE.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["0.001", "0.01", "0.1"]
+
+KEYS = [
+    "agg-count-sum-avg-min-max",   # scan → hash agg (TPC-H Q1 shape)
+    "tpch-q5",                     # multi-join + broadcast dims
+    "tpch-q21",                    # heaviest join pattern
+    "dedup-minhash-pairs",         # explode → groupBy → band self-join
+    "simsearch-topk",              # vector top-k
+    "events-session-agg",          # window sessionization
+    "text-quality-score",          # pure row-local text expressions
+    "dedup-embedding-bucketed",    # LSH bucketed near-dup
+    "skyline-pareto",              # two-phase windowed dominance
+]
+
+
+def main() -> None:
+    from pandasqlite_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scaling_curve")
+    queries = entrymod.queries()
+
+    # warm codegen per plan shape at the smallest SF
+    for k in KEYS:
+        try:
+            queries[k](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception:
+            pass
+
+    results: dict[str, dict[str, float]] = {k: {} for k in KEYS}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        for k in KEYS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[k](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[k][sf] = round(best, 3)
+
+    print("# SCALING_CURVE — measured wall time vs data size\n")
+    print("min-of-2 runs per cell, codegen warmed, noop sink, local[%s].\n"
+          % os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    print("Row counts scale ~100× from sf0.001 to sf0.1 "
+          "(lineitem 6k → 600k).  `t(0.1)/t(0.001)` far below 100 means "
+          "fixed overhead still dominates — the operator has scale "
+          "headroom; a value NEAR or ABOVE 100 would flag super-linear "
+          "behavior.\n")
+    print("| key | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | t(0.1)/t(0.001) |")
+    print("|---|---|---|---|---|")
+    for k in KEYS:
+        r = results[k]
+        ratio = r["0.1"] / r["0.001"] if r["0.001"] > 0 else float("nan")
+        print(f"| {k} | {r['0.001']} | {r['0.01']} | {r['0.1']} | {ratio:.1f}× |")
+
+
+if __name__ == "__main__":
+    main()
