@@ -227,7 +227,60 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_hourly(load_events(spark, sf_dir))
 
 
+def trajectory_topk(
+    events: DataFrame, query_user: int = 1, day: str = "2024-01-15", k: int = 5
+) -> DataFrame:
+    """Top-k users whose daily activity *trajectory* is closest to a
+    query user's (cf. REPOSE, ICDE 2021 — distributed top-k trajectory
+    similarity; here the trajectory is the 24-point hourly volume
+    profile for one day and similarity is exact squared-L2).
+
+    Spark shape: trajectories never materialize as arrays — the
+    distance Σ(vₐ−v_b)² computes on the LONG (user, hour, volume) form
+    by broadcasting the query user's 24 rows, joining on hour
+    (zero-filled via the dense grid, so missing hours count), and one
+    partial-aggregated groupBy(user).  Decimal volumes ⇒ exact integer
+    distances ⇒ deterministic TakeOrderedAndProject top-k.  At 100 TB
+    the per-user profile aggregation is the only big shuffle; the
+    query side is O(24) rows."""
+    ev = events.filter(F.to_date("ts") == F.lit(day).cast("date")).select(
+        "user_id",
+        F.hour("ts").alias("hr"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    vol = ev.groupBy("user_id", "hr").agg(F.sum("v").alias("v"))
+    users = vol.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(
+            vol.sparkSession.range(0, 24).select(F.col("id").cast("int").alias("hr"))
+        )
+    )
+    dense = grid.join(vol, ["user_id", "hr"], "left").select(
+        "user_id", "hr", F.coalesce("v", F.lit(0).cast("decimal(18,4)")).alias("v")
+    )
+    q = dense.filter(F.col("user_id") == query_user).select(
+        "hr", F.col("v").alias("qv")
+    )
+    return (
+        dense.filter(F.col("user_id") != query_user)
+        .join(F.broadcast(q), "hr")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv")))
+            .cast("double")
+            .alias("dist_sq")
+        )
+        .orderBy("dist_sq", "user_id")
+        .limit(k)
+    )
+
+
+def q_events_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory_topk(load_events(spark, sf_dir))
+
+
 QUERIES = {
+    "events-trajectory-topk": q_events_trajectory_topk,
     "events-ohlc": q_events_ohlc,
     "events-interpolate-linear": q_events_interpolate,
     "events-rate-limit": q_events_rate_limit,
@@ -235,6 +288,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-trajectory-topk": """
+        WITH ev AS (
+          SELECT user_id, hour(ts) AS hr, CAST(value AS DECIMAL(18,4)) AS v
+          FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'),
+        vol AS (
+          SELECT user_id, hr, SUM(v) AS v FROM ev GROUP BY 1, 2),
+        grid AS (
+          SELECT u.user_id, h.range AS hr
+          FROM (SELECT DISTINCT user_id FROM vol) u, range(0, 24) h),
+        dense AS (
+          SELECT g.user_id, g.hr,
+                 COALESCE(vol.v, CAST(0 AS DECIMAL(18,4))) AS v
+          FROM grid g LEFT JOIN vol ON vol.user_id = g.user_id
+                                   AND vol.hr = g.hr),
+        q AS (SELECT hr, v AS qv FROM dense WHERE user_id = 1)
+        SELECT d.user_id,
+               CAST(SUM((d.v - q.qv) * (d.v - q.qv)) AS DOUBLE) AS dist_sq
+        FROM dense d JOIN q USING (hr)
+        WHERE d.user_id <> 1
+        GROUP BY d.user_id
+        ORDER BY dist_sq, d.user_id LIMIT 5
+    """,
     # the bounded-window fold is a plain range self-join in SQL: every
     # (user, hour) pulls its ≤8 trailing hours; power-of-two weights
     # keep both sums exact, one double division at the end
