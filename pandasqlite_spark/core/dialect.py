@@ -189,6 +189,56 @@ def _rewrite_julianday(sql: str) -> str:
     return "".join(out)
 
 
+_UNIT_MOD_RE = re.compile(r"^'([+-]?\d+)\s+(day|month|year)s?'$", re.IGNORECASE)
+
+
+def _rewrite_now_forms(sql: str, spans: list[str]) -> str:
+    """SQLite 'now' idioms that would otherwise turn into SILENT NULLs
+    (``to_date('now')`` parses to NULL under ANSI-off — the worst
+    failure mode, wrong values with no error):
+
+    - ``julianday('now')`` → current Julian Day from
+      ``current_timestamp()`` (time-of-day included, as SQLite does)
+    - ``date('now', '±N day/month/year')`` → ``date_add``/``add_months``
+      arithmetic on ``current_date()``
+    - ``datetime('now', '±N day/month/year')`` → ``timestampadd`` on
+      ``current_timestamp()``
+
+    Multi-modifier forms ('start of month', 'weekday 0', chained
+    modifiers) stay untouched and fail loudly at analysis."""
+
+    def _jd_now(m: re.Match) -> str:
+        if spans[int(m.group(1))].lower() == "'now'":
+            return "(unix_micros(current_timestamp()) / 86400000000.0d + 2440587.5d)"
+        return m.group(0)
+
+    sql = re.sub(
+        r"\bjulianday\s*\(\s*\x00(\d+)\x00\s*\)", _jd_now, sql, flags=re.IGNORECASE
+    )
+
+    def _date_mod(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        if spans[int(m.group(2))].lower() != "'now'":
+            return m.group(0)
+        mod = _UNIT_MOD_RE.match(spans[int(m.group(3))])
+        if not mod:
+            return m.group(0)
+        n, unit = int(mod.group(1)), mod.group(2).lower()
+        if fn == "date":
+            if unit == "day":
+                return f"date_add(current_date(), {n})"
+            months = n if unit == "month" else n * 12
+            return f"add_months(current_date(), {months})"
+        return f"timestampadd({unit.upper()}, {n}, current_timestamp())"
+
+    return re.sub(
+        r"\b(date|datetime)\s*\(\s*\x00(\d+)\x00\s*,\s*\x00(\d+)\x00\s*\)",
+        _date_mod,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def _rewrite_double_quoted_literals(sql: str, identifiers: set[str]) -> str:
     def repl(m: re.Match) -> str:
         inner = m.group(1)
@@ -266,6 +316,7 @@ def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> st
     masked = _rewrite_scalar_minmax(masked)
     masked = _rewrite_group_concat(masked)
     masked = re.sub(r"\brandom\s*\(\s*\)", "rand()", masked, flags=re.IGNORECASE)
+    masked = _rewrite_now_forms(masked, spans)
     masked = _rewrite_julianday(masked)
     masked = _rewrite_misc_sqlite(masked, spans)
     masked = re.sub(

@@ -101,6 +101,26 @@ def test_rewrite_table_placeholder_token_aware():
         ("SELECT * FROM t LIMIT 10 OFFSET 5", "SELECT * FROM t LIMIT 10 OFFSET 5"),
         ("SELECT total(a) FROM t", "SELECT coalesce(sum(a), 0.0d) FROM t"),
         ("SELECT 'iif(a, b, c)' FROM t", "SELECT 'iif(a, b, c)' FROM t"),
+        # 'now' forms that would otherwise become silent NULLs
+        (
+            "SELECT julianday('now')",
+            "SELECT (unix_micros(current_timestamp()) / 86400000000.0d"
+            " + 2440587.5d)",
+        ),
+        ("SELECT date('now', '-7 day')", "SELECT date_add(current_date(), -7)"),
+        ("SELECT date('now', '+2 months')", "SELECT add_months(current_date(), 2)"),
+        ("SELECT date('now', '-1 year')", "SELECT add_months(current_date(), -12)"),
+        (
+            "SELECT datetime('now', '-3 day')",
+            "SELECT timestampadd(DAY, -3, current_timestamp())",
+        ),
+        # multi-word modifiers fail loudly rather than silently shifting
+        (
+            "SELECT date('now', 'start of month')",
+            "SELECT date('now', 'start of month')",
+        ),
+        # only the 'now' anchor rewrites — column anchors stay
+        ("SELECT date(d, '-7 day') FROM t", "SELECT date(d, '-7 day') FROM t"),
     ],
 )
 def test_dialect_rules(src, expected):
