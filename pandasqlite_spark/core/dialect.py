@@ -70,6 +70,9 @@ def _rewrite_strftime(sql: str, spans: list[str]) -> str:
     """
 
     def render(fmt: str, arg: str) -> str:
+        if fmt == "%s":
+            # SQLite: seconds since epoch (an INTEGER, not a string)
+            return f"unix_timestamp({arg})"
         if fmt == "%Y":
             return f"CAST(year({arg}) AS STRING)"
         if fmt == "%m":
@@ -300,7 +303,49 @@ def _rewrite_misc_sqlite(sql: str, spans: list[str]) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # unixepoch(x) (SQLite ≥3.38) → unix_timestamp(x); bare
+    # unixepoch() → current epoch seconds
+    sql = re.sub(
+        r"\bunixepoch\s*\(\s*\)",
+        "unix_timestamp()",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(r"\bunixepoch\s*\(", "unix_timestamp(", sql, flags=re.IGNORECASE)
+    # printf → format_string (same C-style format language)
+    sql = re.sub(r"\bprintf\s*\(", "format_string(", sql, flags=re.IGNORECASE)
     return sql
+
+
+_GLOB_SAFE_RE = re.compile(r"^'[^%_]*'$")
+
+
+def _rewrite_glob(sql: str, spans: list[str]) -> str:
+    """``x GLOB '<pat>'`` → case-sensitive LIKE with ``*``→``%``,
+    ``?``→``_`` — only when the pattern contains no LIKE
+    metacharacters of its own (else left untouched to fail loudly
+    rather than match wrongly).  GLOB is case-sensitive, so the
+    rewrite targets LIKE, and the masking pass keeps it from the
+    later LIKE→ILIKE rule by rewriting the span in place."""
+
+    def repl(m: re.Match) -> str:
+        idx = int(m.group(2))
+        if not _GLOB_SAFE_RE.match(spans[idx]):
+            return m.group(0)
+        spans[idx] = spans[idx].replace("*", "%").replace("?", "_")
+        # emit LIKE BINARY? Spark lacks it — plain LIKE is
+        # case-sensitive in Spark (only our ILIKE rewrite relaxes it),
+        # so keep LIKE and mark it so the ILIKE pass skips this one
+        return f"{m.group(1)} LIKE\x01 \x00{idx}\x00"
+
+    # anchor: mask token, double-quoted identifier (not yet rewritten
+    # at this stage), close-paren, or dotted identifier
+    return re.sub(
+        r'(\x00\d+\x00|"[^"]*"|\)|\w+(?:\.\w+)?)\s+GLOB\s+\x00(\d+)\x00',
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> str:
@@ -319,11 +364,14 @@ def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> st
     masked = _rewrite_now_forms(masked, spans)
     masked = _rewrite_julianday(masked)
     masked = _rewrite_misc_sqlite(masked, spans)
+    masked = _rewrite_glob(masked, spans)
     masked = re.sub(
         r"(\x00\d+\x00|\)|\w+(?:\.\w+)?)(\s+NOT)?(\s+)LIKE\s+",
         r"\1\2\3ILIKE ",
         masked,
         flags=re.IGNORECASE,
     )
+    # un-tag the case-sensitive LIKEs the GLOB rewrite produced
+    masked = masked.replace("LIKE\x01", "LIKE")
     masked = _rewrite_double_quoted_literals(masked, identifiers)
     return _unmask(masked, spans)

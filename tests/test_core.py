@@ -121,6 +121,34 @@ def test_rewrite_table_placeholder_token_aware():
         ),
         # only the 'now' anchor rewrites — column anchors stay
         ("SELECT date(d, '-7 day') FROM t", "SELECT date(d, '-7 day') FROM t"),
+        # GLOB is case-SENSITIVE → plain LIKE (never ILIKE), *→%, ?→_
+        (
+            "SELECT * FROM t WHERE name GLOB 'Foo*'",
+            "SELECT * FROM t WHERE name LIKE 'Foo%'",
+        ),
+        (
+            "SELECT * FROM t WHERE name GLOB 'a?c'",
+            "SELECT * FROM t WHERE name LIKE 'a_c'",
+        ),
+        # a GLOB pattern containing LIKE metachars is left to fail
+        # loudly rather than silently match the wrong rows
+        (
+            "SELECT * FROM t WHERE name GLOB 'has%inside*'",
+            "SELECT * FROM t WHERE name GLOB 'has%inside*'",
+        ),
+        (
+            "SELECT * FROM t WHERE a LIKE 'x%' AND b GLOB '*z'",
+            "SELECT * FROM t WHERE a ILIKE 'x%' AND b LIKE '%z'",
+        ),
+        ("SELECT strftime('%s', ts) FROM t", "SELECT unix_timestamp(ts) FROM t"),
+        (
+            "SELECT unixepoch(ts), unixepoch() FROM t",
+            "SELECT unix_timestamp(ts), unix_timestamp() FROM t",
+        ),
+        (
+            "SELECT printf('%s-%d', a, b) FROM t",
+            "SELECT format_string('%s-%d', a, b) FROM t",
+        ),
     ],
 )
 def test_dialect_rules(src, expected):
