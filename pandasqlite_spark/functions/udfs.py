@@ -114,7 +114,61 @@ def q_arrow_batch_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(_arrow_quantize, "vec_id bigint, codes array<int>")
 
 
+class _SplitSentences:
+    """UDTF body: one input row → N (pos, sentence) rows.  Sentence
+    boundary = runs of [.!?]; empty fragments drop; positions number
+    the surviving fragments."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        import re as _re
+
+        parts = [s.strip() for s in _re.split(r"[.!?]+", text) if s.strip()]
+        for i, s in enumerate(parts):
+            yield (i, s)
+
+
+def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the fifth Python surface after
+    scalar pandas_udf, applyInPandas, mapInPandas, and mapInArrow: one
+    row IN, a variable number of rows OUT, consumed via LATERAL join.
+    The row-fan-out shape built-in generators (explode) can't express
+    when the expansion needs imperative logic.  UDTFs evaluate
+    row-at-a-time in Python — fine for a bounded lateral expansion,
+    NOT for a 100 TB hot path; the repo's hot-path fan-outs (chunking,
+    shingles) stay as codegen'd transform/explode expressions, and the
+    plan-audit's BatchEvalPython flag keeps it that way."""
+    from pyspark.sql.functions import udtf
+
+    ensure_package_on_workers(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    spark.udtf.register(
+        "split_sentences", udtf(_SplitSentences, returnType="pos int, sentence string")
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 ORACLES: dict[str, str] = {
+    "udtf-split-sentences": r"""
+        WITH raw AS (
+          SELECT doc_id,
+                 trim(unnest(regexp_split_to_array(text, '[.!?]+')),
+                      ' ' || chr(9) || chr(10) || chr(13)) AS sentence,
+                 generate_subscripts(regexp_split_to_array(text, '[.!?]+'), 1)
+                   AS orig_pos
+          FROM documents)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY orig_pos)
+                    - 1 AS INTEGER) AS pos,
+               sentence
+        FROM raw WHERE sentence <> ''
+    """,
     "arrow-batch-quantize": """
         SELECT vec_id,
                list_transform(embedding,
@@ -142,4 +196,5 @@ QUERIES = {
     "pandas-udf-score": q_pandas_udf_score,
     "grouped-pandas-rank": q_grouped_pandas_rank,
     "arrow-batch-quantize": q_arrow_batch_quantize,
+    "udtf-split-sentences": q_udtf_split_sentences,
 }
