@@ -365,6 +365,61 @@ def q_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — the Debezium/Kafka-compaction semantics
+    ``upsert-emulation`` doesn't cover: a change stream of I/U/**D**
+    ops with per-key *sequence numbers* applies onto a snapshot;
+    last-writer-wins per key, and a terminal D drops the row entirely.
+
+    The change stream is derived deterministically from the snapshot
+    (keys %31==0 → D; %17==0 → U at +10%; then a second U at +20% for
+    %34==0 keys, proving seq ordering matters; fresh keys +2M → I).
+    Shape: one rank window over the small change stream picks each
+    key's final op, then ONE full-outer co-partitioned join applies it
+    — at 100 TB both sides hash-partition on the key (or zero shuffle
+    with a bucketed target), and the change stream is typically <<1%
+    of the snapshot, so AQE broadcasts it."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    deletes = o.filter(k % 31 == 0).select(
+        k.alias("key"), F.lit(None).cast("double").alias("price"),
+        F.lit("D").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd1 = o.filter((k % 17 == 0) & (k % 31 != 0)).select(
+        k.alias("key"), F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd2 = o.filter((k % 34 == 0) & (k % 31 != 0)).select(
+        k.alias("key"), F.round(F.col("o_totalprice") * 1.2, 2).alias("price"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    inserts = o.filter(k % 97 == 0).select(
+        (k + 2_000_000).alias("key"), F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    changes = deletes.unionByName(upd1).unionByName(upd2).unionByName(inserts)
+    w = W.partitionBy("key").orderBy(F.desc("seq"))
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("key", "price", "op")
+    )
+    merged = o.select(k.alias("key"), F.col("o_totalprice").alias("base_price")).join(
+        last, "key", "full_outer"
+    )
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "key",
+            F.when(F.col("op").isNotNull(), F.col("price"))
+            .otherwise(F.col("base_price"))
+            .alias("price"),
+        )
+    )
+
+
 def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-preserving fan-out: ``explode_outer`` keeps a row (with
     NULL) for docs whose filtered token array is EMPTY — the outer-join
@@ -644,6 +699,30 @@ ORACLES: dict[str, str] = {
         SELECT n_regionkey, COUNT(*) AS n, min(n_name) AS first_name
         FROM nation GROUP BY n_regionkey
     """,
+    "table-cdc-apply": """
+        WITH o AS (SELECT o_orderkey AS key, o_totalprice FROM orders),
+        changes AS (
+          SELECT key, CAST(NULL AS DOUBLE) AS price, 'D' AS op, 1 AS seq
+          FROM o WHERE key % 31 = 0
+          UNION ALL
+          SELECT key, ROUND(o_totalprice * 1.1, 2), 'U', 1
+          FROM o WHERE key % 17 = 0 AND key % 31 <> 0
+          UNION ALL
+          SELECT key, ROUND(o_totalprice * 1.2, 2), 'U', 2
+          FROM o WHERE key % 34 = 0 AND key % 31 <> 0
+          UNION ALL
+          SELECT key + 2000000, ROUND(o_totalprice, 2), 'I', 1
+          FROM o WHERE key % 97 = 0),
+        last AS (
+          SELECT key, price, op FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) rn
+            FROM changes) WHERE rn = 1)
+        SELECT COALESCE(o.key, last.key) AS key,
+               CASE WHEN last.op IS NOT NULL THEN last.price
+                    ELSE o.o_totalprice END AS price
+        FROM o FULL OUTER JOIN last ON o.key = last.key
+        WHERE last.op IS NULL OR last.op <> 'D'
+    """,
     "upsert-emulation": """
         WITH updates AS (
           SELECT o_orderkey, o_totalprice + 1000 AS new_price FROM orders
@@ -697,4 +776,5 @@ QUERIES = {
     "sort-nulls-last": q_sort_nulls_last,
     "catalog-insert-select": q_catalog_insert_select,
     "upsert-emulation": q_upsert_emulation,
+    "table-cdc-apply": q_table_cdc_apply,
 }
