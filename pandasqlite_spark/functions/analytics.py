@@ -266,6 +266,35 @@ def scd2_history(events: DataFrame, tier_width: int = 100) -> DataFrame:
     )
 
 
+def q_join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment — the temporal join every
+    versioned-dimension warehouse needs: each probe event (the error
+    events here) is joined to the SCD2 interval that was VALID AT its
+    timestamp, not the current one (joining current state into
+    historical facts is the classic feature-leakage bug in training
+    pipelines).
+
+    Spark shape: the interval lookup is exactly an as-of join on
+    (user, valid_from ≤ t) — the union + last(ignoreNulls) window
+    composition from `asof-join`, ONE shuffle on user_id, no interval
+    nested-loop.  The oracle states the same semantics as the naive
+    interval join (valid_from ≤ t < valid_to)."""
+    from pandasqlite_spark.operators.advanced import asof_join
+
+    events = load_events(spark, sf_dir)
+    hist = scd2_history(events).select(
+        "user_id", "valid_from_us", F.col("tier").alias("tier_at_event")
+    )
+    probes = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    out = asof_join(
+        probes, hist, on="user_id", left_ts="us", right_ts="valid_from_us",
+        payload=["tier_at_event"],
+    )
+    return out.select("event_id", "user_id", "tier_at_event").orderBy("event_id")
+
+
 def q_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(load_events(spark, sf_dir))
 
@@ -950,6 +979,7 @@ QUERIES = {
     "histogram-equi-depth": q_equi_depth_histogram,
     "events-anomaly-mad": q_events_anomaly_mad,
     "history-scd2": q_history_scd2,
+    "join-temporal-scd2": q_join_temporal_scd2,
     "table-checksum": q_table_checksum,
     "profile-table": q_profile_table,
     "validate-expectations": q_validate_expectations,
@@ -1210,6 +1240,41 @@ ORACLES = {
                  AS INTEGER) AS zval
         FROM orders
         ORDER BY zval, o_orderkey LIMIT 200
+    """,
+    # the naive interval-join form of the same point-in-time lookup
+    "join-temporal-scd2": """
+        WITH flagged AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(FLOOR(value / 100) AS BIGINT) AS tier,
+                 CASE WHEN LAG(CAST(FLOOR(value / 100) AS BIGINT)) OVER w IS NULL
+                        OR LAG(CAST(FLOOR(value / 100) AS BIGINT)) OVER w
+                           <> CAST(FLOOR(value / 100) AS BIGINT)
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        islands AS (
+          SELECT *, SUM(chg) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM flagged),
+        spans AS (
+          SELECT user_id, island, MIN(tier) AS tier,
+                 MIN(us) AS valid_from_us
+          FROM islands GROUP BY 1, 2),
+        hist AS (
+          SELECT user_id, tier, valid_from_us,
+                 LEAD(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY island) AS valid_to_us
+          FROM spans),
+        probes AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us
+          FROM events WHERE event_type = 'error')
+        SELECT p.event_id, p.user_id, h.tier AS tier_at_event
+        FROM probes p JOIN hist h
+          ON h.user_id = p.user_id
+         AND h.valid_from_us <= p.us
+         AND (h.valid_to_us IS NULL OR p.us < h.valid_to_us)
+        ORDER BY p.event_id
     """,
     "history-scd2": """
         WITH flagged AS (
