@@ -279,7 +279,42 @@ def q_events_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory_topk(load_events(spark, sf_dir))
 
 
+def sliding_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact distinct users per sliding 2-hour window (1-hour slide) —
+    the overlapping-window COUNT(DISTINCT) that naive
+    ``groupBy(window(...)).countDistinct`` answers by replaying every
+    EVENT into every window it touches.  The scale-correct composition
+    dedups first at the finest granularity: events collapse to
+    distinct (user, hour) pairs (the big shuffle, but heavily
+    combinable map-side), each pair fans out to the window/slide = 2
+    windows containing it (row-local explode), and a second distinct
+    + count runs over the tiny pair set.  Every window covers hours
+    {ws, ws+1}; ``ws`` is the epoch-hour index of the window start."""
+    us_per_hour = 3_600_000_000
+    uh = (
+        events.select(
+            "user_id",
+            (F.unix_micros("ts") / us_per_hour).cast("bigint").alias("hr"),
+        )
+        .distinct()
+    )
+    fan = uh.select(
+        "user_id", F.explode(F.array(F.col("hr"), F.col("hr") - 1)).alias("ws")
+    )
+    return (
+        fan.distinct()
+        .groupBy("ws")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("ws")
+    )
+
+
+def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_distinct_users(load_events(spark, sf_dir))
+
+
 QUERIES = {
+    "events-sliding-distinct": q_events_sliding_distinct,
     "events-trajectory-topk": q_events_trajectory_topk,
     "events-ohlc": q_events_ohlc,
     "events-interpolate-linear": q_events_interpolate,
@@ -288,6 +323,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-sliding-distinct": """
+        WITH uh AS (
+          SELECT DISTINCT user_id,
+                 CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr
+          FROM events),
+        fan AS (
+          SELECT user_id, hr - o.x AS ws
+          FROM uh, (VALUES (0), (1)) o(x))
+        SELECT ws, COUNT(DISTINCT user_id) AS n_users
+        FROM fan GROUP BY ws ORDER BY ws
+    """,
     "events-trajectory-topk": """
         WITH ev AS (
           SELECT user_id, hour(ts) AS hr, CAST(value AS DECIMAL(18,4)) AS v
