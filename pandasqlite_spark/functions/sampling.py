@@ -246,7 +246,37 @@ def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_priority_sample(df: DataFrame, k: int = 50) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k of n, Efraimidis–Spirakis
+    A-ES family: every row draws a uniform ``u`` from its md5 hash and
+    gets priority ``-ln(u) / w`` (equivalent to ranking by ``u^(1/w)``);
+    the k SMALLEST priorities win, so heavy rows (weight = ``n_chars``)
+    are proportionally more likely — the standard one-pass weighted
+    pick for "sample a review set favoring long documents".
+
+    Scale: priority is a pure per-row expression (no RNG state, no
+    sequential reservoir), and the global pick is an ascending top-k —
+    ``TakeOrderedAndProject``, per-partition heaps + a k-row reduce, no
+    full sort, no shuffle of the data itself.  Deterministic under any
+    partitioning because the hash replaces the RNG stream.  Priorities
+    are rounded to 9 decimals (doc_id tie-break) so the pick is stable
+    across engines' libm."""
+    h16 = uniform_hash16(F.col("doc_id"))
+    u = (h16 + F.lit(0.5)) / F.lit(65536.0)
+    pri = F.round(-F.log(u) / F.col("n_chars").cast("double"), 9)
+    return (
+        df.select("doc_id", F.col("n_chars").alias("weight"), pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_priority_sample(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "sample-weighted-topk": q_sample_weighted,
     "sample-stratified": q_sample_stratified,
     "split-assign": q_split_assign,
     "pack-sequences": q_pack_sequences,
@@ -257,6 +287,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample-weighted-topk": """
+        SELECT doc_id, n_chars AS weight,
+               ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                          + 0.5) / 65536.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS priority
+        FROM documents
+        ORDER BY priority, doc_id
+        LIMIT 50
+    """,
     "sample-stratified": """
         WITH counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
         tgt AS (SELECT MIN(n_g) AS t FROM counts)

@@ -172,6 +172,73 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "click_id", "click_value")
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the EARLIEST click at-or-after each error, per
+    user — the other direction of ``asof-join`` (reaction lookup instead
+    of cause lookup).  Reuses the same single-shuffle union+window
+    composition by negating the time axis: ranking by ``-t`` turns
+    "earliest ≥" into "latest ≤", so no second code path and no second
+    exchange.  DuckDB's native ``ASOF`` with ``e.ts <= c.ts`` is the
+    oracle."""
+    e = load_events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", (-F.unix_micros("ts")).alias("nts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", (-F.unix_micros("ts")).alias("c_nts"),
+        F.col("event_id").alias("click_id"), F.col("value").alias("click_value"),
+    )
+    out = asof_join(errors, clicks, on="user_id", left_ts="nts", right_ts="c_nts",
+                    payload=["click_id", "click_value"])
+    return out.select("event_id", "user_id", "click_id", "click_value")
+
+
+_OVL_US = 30 * 60 * 1_000_000  # 30-minute intervals, in microseconds
+
+
+def interval_overlap_join(events: DataFrame) -> DataFrame:
+    """Interval × interval overlap join — both sides are time RANGES,
+    not points (the harder sibling of ``range-join``): each purchase
+    defines a 30-minute pre-purchase window, each error a 30-minute
+    post-error window; count the error windows each purchase window
+    intersects.
+
+    Scale shape: chop every interval into the epoch buckets it covers
+    (``sequence(lo div W, hi div W)`` — ≤2 rows here since bucket width
+    = interval length), equi-join on bucket, then apply the residual
+    ``lo ≤ hi' AND lo' ≤ hi`` predicate and COUNT(DISTINCT) to collapse
+    pairs that met in two buckets.  The shuffle moves each interval
+    O(len/W) times instead of the all-pairs nested loop a θ-join plans;
+    this is the standard bucketed interval-join used by every
+    large-scale genomics/telemetry engine."""
+    us = F.unix_micros("ts")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), (us - _OVL_US).alias("p_lo"), us.alias("p_hi")
+    )
+    inc = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("i_id"), us.alias("i_lo"), (us + _OVL_US).alias("i_hi")
+    )
+    pb = purch.withColumn(
+        "bucket", F.explode(F.sequence(F.expr(f"p_lo div {_OVL_US}"), F.expr(f"p_hi div {_OVL_US}")))
+    )
+    ib = inc.withColumn(
+        "bucket", F.explode(F.sequence(F.expr(f"i_lo div {_OVL_US}"), F.expr(f"i_hi div {_OVL_US}")))
+    )
+    hits = (
+        pb.join(ib, "bucket")
+        .filter((F.col("p_lo") <= F.col("i_hi")) & (F.col("i_lo") <= F.col("p_hi")))
+        .groupBy("p_id")
+        .agg(F.countDistinct("i_id").alias("n_incidents"))
+    )
+    return purch.select("p_id").join(hits, "p_id", "left").select(
+        "p_id", F.coalesce("n_incidents", F.lit(0)).alias("n_incidents")
+    )
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_overlap_join(load_events(spark, sf_dir))
+
+
 def q_multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate detection over opaque binary blobs — the first
     pass of every image/audio dedup pipeline: group by content hash,
@@ -309,6 +376,8 @@ QUERIES = {
     "cte-recursive": q_cte_recursive,
     "asof-join": q_asof_join,
     "asof-join-tolerance": q_asof_join_tolerance,
+    "asof-join-forward": q_asof_join_forward,
+    "join-interval-overlap": q_interval_overlap,
     "multimodal-dedup-binary": q_multimodal_dedup_binary,
     "range-join": q_range_join,
     "pivot-conditional-agg": q_pivot_status,
@@ -362,6 +431,23 @@ ORACLES = {
         ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
                         FROM events WHERE event_type = 'click') c
         ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    "asof-join-forward": """
+        SELECT e.event_id, e.user_id, c.click_id, c.click_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                        FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+    "join-interval-overlap": f"""
+        SELECT p.event_id AS p_id,
+               COUNT(DISTINCT i.event_id) AS n_incidents
+        FROM (SELECT event_id, epoch_us(ts) - {_OVL_US} AS lo, epoch_us(ts) AS hi
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + {_OVL_US} AS hi
+                   FROM events WHERE event_type = 'error') i
+          ON p.lo <= i.hi AND i.lo <= p.hi
+        GROUP BY p.event_id
     """,
     "range-join": f"""
         SELECT e1.event_id AS a_id, COUNT(DISTINCT e2.event_id) AS n_following

@@ -268,3 +268,71 @@ def test_asof_tolerance_masks_stale_matches(spark, sf_dir):
     n_tol_null = tol.filter(F.col("click_id").isNull()).count()
     assert tol.count() == plain.count()  # still one row per error
     assert n_tol_null > n_plain_null  # some matches were stale
+
+
+def test_asof_forward_matches_at_or_after(spark, sf_dir):
+    """Every non-null forward match must be a click AT OR AFTER the
+    error, and it must be the EARLIEST such click for that user."""
+    from pandasqlite_spark.operators.advanced import q_asof_join_forward
+    from pandasqlite_spark.operators.common import load_events
+
+    out = q_asof_join_forward(spark, sf_dir)
+    e = load_events(spark, sf_dir)
+    err_ts = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("ts").alias("err_ts")
+    )
+    click_ts = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cl_ts")
+    )
+    j = out.join(err_ts, "event_id").join(click_ts, "click_id")
+    assert j.filter(F.col("cl_ts") < F.col("err_ts")).count() == 0
+    # earliest: no other click for the same user strictly between
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("other_ts")
+    )
+    between = j.join(clicks, j.user_id == clicks.u).filter(
+        (F.col("other_ts") >= F.col("err_ts")) & (F.col("other_ts") < F.col("cl_ts"))
+    )
+    assert between.count() == 0
+
+
+def test_interval_overlap_matches_theta_join(spark, sf_dir):
+    """The bucketed interval-overlap join must equal the naive θ-join
+    on the same intervals (small-SF ground truth)."""
+    from pandasqlite_spark.operators.advanced import _OVL_US, interval_overlap_join
+    from pandasqlite_spark.operators.common import load_events
+
+    e = load_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), (us - _OVL_US).alias("p_lo"), us.alias("p_hi")
+    )
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("i_id"), us.alias("i_lo"), (us + _OVL_US).alias("i_hi")
+    )
+    naive = (
+        purch.crossJoin(inc)
+        .filter((F.col("p_lo") <= F.col("i_hi")) & (F.col("i_lo") <= F.col("p_hi")))
+        .groupBy("p_id")
+        .agg(F.countDistinct("i_id").alias("n_naive"))
+    )
+    got = interval_overlap_join(e)
+    diff = got.join(naive, "p_id", "left").filter(
+        F.coalesce("n_naive", F.lit(0)) != F.col("n_incidents")
+    )
+    assert diff.count() == 0
+    assert got.count() == purch.count()  # zero-overlap purchases kept
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark, sf_dir):
+    """Same pick under different partitioning; long docs overrepresented
+    relative to their population share."""
+    from pandasqlite_spark.functions.sampling import weighted_priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    a = weighted_priority_sample(docs, k=50).collect()
+    b = weighted_priority_sample(docs.repartition(7), k=50).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    n_long = sum(1 for r in a if r.weight > med)
+    assert n_long > 25  # > population share (50%) because weight = n_chars
