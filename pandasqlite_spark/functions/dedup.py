@@ -329,6 +329,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def cluster_representatives(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Canonical-document selection — the step AFTER clustering that
+    actually dedups the corpus: per near-dup cluster keep the longest
+    document (``n_chars``; doc_id tie-break), report cluster size.
+
+    One groupBy on the cluster label with a ``max(struct(n_chars,
+    -doc_id))`` argmax — a single partial-aggregated shuffle, no window
+    (a window would sort every cluster; the struct-max is a constant-
+    size accumulator).  Composes with ``connected_components``: its
+    labels are already keyed by cluster, so at 100 TB this adds one
+    exchange over the label set, never touching document text."""
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        j.groupBy("rep_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nid"))
+            ).alias("m"),
+        )
+        .select(
+            "rep_id",
+            (-F.col("m.nid")).alias("keep_doc"),
+            F.col("m.nc").alias("keep_chars"),
+            "n_members",
+        )
+        .orderBy("rep_id")
+    )
+
+
+def q_dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = q_dedup_components(spark, sf_dir)
+    return cluster_representatives(labels, load(spark, sf_dir, "documents"))
+
+
 def decontaminate_ngram(
     docs: DataFrame, bench: DataFrame, n: int = 3
 ) -> DataFrame:
@@ -515,9 +550,38 @@ QUERIES = {
     "dedup-near": q_dedup_near,
     "dedup-simhash": q_dedup_simhash,
     "dedup-connected-components": q_dedup_components,
+    "dedup-cluster-representative": q_dedup_cluster_rep,
     "decontaminate-ngram": q_decontaminate_ngram,
     "dedup-incremental": q_dedup_incremental,
 }
+
+# Recursive-CTE chain computing near-dup connected components (shared
+# by the components key and the representative-selection key): band
+# pairs → Jaccard-verified edges → symmetric closure `reach`.
+_CC_CTES = f"""pairs AS (
+          WITH near_pairs AS ({{pairs}}),
+          toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+          shl AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) AS l
+            FROM toks WHERE len(t) >= 3)
+          SELECT p.doc_a, p.doc_b
+          FROM near_pairs p
+          JOIN shl a ON a.doc_id = p.doc_a
+          JOIN shl b ON b.doc_id = p.doc_b
+          WHERE CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                   / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"""
+
 
 ORACLES = {
     # per-doc DISTINCT inside `s` mirrors shingles()'s array_distinct,
@@ -610,31 +674,26 @@ ORACLES = {
                  / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= 0.5
     """,
     "dedup-connected-components": f"""
-        WITH RECURSIVE pairs AS (
-          WITH near_pairs AS ({_minhash_oracle_pairs()}),
-          toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-          shl AS (
-            SELECT doc_id,
-                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                  for i in range(1, len(t) - 1)]) AS l
-            FROM toks WHERE len(t) >= 3)
-          SELECT p.doc_a, p.doc_b
-          FROM near_pairs p
-          JOIN shl a ON a.doc_id = p.doc_a
-          JOIN shl b ON b.doc_id = p.doc_b
-          WHERE CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
-                   / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= 0.5
-        ),
-        edges AS (
-          SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION ALL
-          SELECT doc_b AS u, doc_a AS v FROM pairs),
-        reach AS (
-          SELECT u, v FROM edges
-          UNION
-          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        WITH RECURSIVE {_CC_CTES.format(pairs=_minhash_oracle_pairs())}
         SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id
         FROM reach GROUP BY u
+    """,
+    "dedup-cluster-representative": f"""
+        WITH RECURSIVE {_CC_CTES.format(pairs=_minhash_oracle_pairs())},
+        labels AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id
+          FROM reach GROUP BY u),
+        j AS (
+          SELECT l.rep_id, l.doc_id, d.n_chars
+          FROM labels l JOIN documents d USING (doc_id)),
+        sel AS (
+          SELECT rep_id, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY rep_id
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY rep_id) AS n_members
+          FROM j)
+        SELECT rep_id, doc_id AS keep_doc, n_chars AS keep_chars, n_members
+        FROM sel WHERE rn = 1
     """,
     "decontaminate-ngram": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -333,6 +333,48 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram language-model quality score (the
+    CCNet/KenLM-style perplexity filter, as a pure Spark pipeline):
+    train a bigram model on the corpus itself — ``p(w2|w1) =
+    c(w1 w2) / c(w1 ·)`` — then score every document by its mean bigram
+    log-probability.  Low scores flag unnatural text (boilerplate,
+    gibberish, OCR noise) for the quality gate.
+
+    Scale shape: bigram extraction is row-local (``transform`` over the
+    token array, no explode-then-window); the model is ONE
+    partial-aggregated groupBy, collapsing 100 TB of text to a
+    vocabulary²-bounded count table, which then broadcasts back onto
+    the per-doc bigram stream — corpus rows are never shuffled, only
+    aggregated counts move.  Scoring is a broadcast join + one groupBy
+    per doc.  (Unsmoothed is exact here because the model is trained on
+    the scoring corpus, so every bigram has count ≥ 1; a held-out
+    deployment would add smoothing in the same expressions.)"""
+    t = docs.select("doc_id", tokens().alias("t")).filter(F.size("t") >= 2)
+    big = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = c12.join(c1, "w1")
+    return (
+        big.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c12").cast("double") / F.col("c1"))), 6).alias("avg_logp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic relevance /
     keyword-extraction signal for corpus triage.
@@ -437,6 +479,7 @@ QUERIES = {
     "text-quality-score": q_text_quality,
     "text-fingerprint": q_text_fingerprint,
     "text-bigram-freq": q_text_bigram_freq,
+    "text-bigram-lm-score": q_text_bigram_lm,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
@@ -461,6 +504,22 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-bigram-lm-score": f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE len({_TOKS}) >= 2),
+        x AS (
+          SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d),
+        big AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM x),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1)
+        SELECT doc_id,
+               ROUND(AVG(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS avg_logp,
+               COUNT(*) AS n_bigrams
+        FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY doc_id
+    """,
     "text-vocab-encode": f"""
         WITH toks AS (
           SELECT doc_id, u.tok, u.pos

@@ -207,6 +207,25 @@ def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT parsing (Spark 4's open-schema answer to
+    schema-full ``from_json``): ``parse_json`` converts the document to
+    a binary VARIANT once; ``variant_get`` then path-extracts with
+    per-call target types, and a missing path under ``try_variant_get``
+    degrades to NULL instead of failing the pipeline.  VARIANT is the
+    scale play for ragged/evolving JSON (no declared schema to migrate,
+    shredded binary beats string re-parsing); this exercises parse →
+    typed extraction → missing-path behavior on one pass."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("absent"),
+    )
+
+
 _CSV_ROWS = [
     "1,10",            # valid
     "2,20",            # valid
@@ -599,6 +618,13 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey > 1
     """,
+    "json-variant-parse": """
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k_int,
+               props->>'k' AS k_str,
+               CAST(NULL AS BIGINT) AS absent
+        FROM events
+    """,
     "json-schema-parse": """
         SELECT event_id,
                CAST(props->>'k' AS BIGINT) AS k,
@@ -763,6 +789,7 @@ QUERIES = {
     "write-roundtrip-parquet": q_write_roundtrip_parquet,
     "scan-merge-schema": q_scan_merge_schema,
     "json-schema-parse": q_json_schema_parse,
+    "json-variant-parse": q_json_variant,
     "scan-csv-malformed": q_scan_csv_malformed,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,

