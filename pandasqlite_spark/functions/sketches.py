@@ -149,13 +149,91 @@ def q_sketch_quantile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitters(docs: DataFrame, k: int = 20, m: int = 200) -> DataFrame:
+    """Distributed heavy hitters by candidate-generation + exact
+    recount — the two-pass pattern that finds top-k frequent items when
+    the distinct-key space is too large to hash-aggregate globally:
+
+    1. *Candidates*: each partition keeps its local top-``m`` tokens
+       (``mapInPandas``; partition-local counting is vocabulary-bounded
+       by Heaps' law — a strict-memory deployment would swap in
+       space-saving eviction behind the same interface).  Misra-Gries
+       soundness: any token with global count > N/m must be in some
+       partition's local top-m, so the candidate union covers the true
+       top-k whenever ``count(k-th item) > N/m``.
+    2. *Verify*: exact recount restricted to candidates via a broadcast
+       semi-join (candidates ≤ m × partitions — kilobytes), then the
+       global top-k with exact counts.
+
+    The emitted ``bound_ok`` column asserts the soundness condition
+    itself, so the oracle (exact SQL top-k) both validates the answer
+    AND confirms the approximation regime was sound — the same
+    assertion-is-the-contract pattern as the HLL/quantile keys."""
+    from pandasqlite_spark.functions.text import tokens
+
+    tok = docs.select(F.explode(tokens()).alias("tok"))
+
+    def local_top(batches):
+        import pandas as pd
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["tok"])
+        yield pd.DataFrame({"tok": [t for t, _ in c.most_common(m)]})
+
+    cand = tok.mapInPandas(local_top, "tok string").distinct()
+    recount = (
+        tok.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = recount.orderBy(F.desc("n"), "tok").limit(k)
+    from pyspark.sql import Window as W
+
+    ranked = topk.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "tok")).cast("int")
+    )
+    bounds = topk.agg(F.min("n").alias("kth")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("total_n"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(bounds))
+        .select(
+            "rank", "tok", "n",
+            (F.col("kth") > F.col("total_n") / F.lit(float(m))).alias("bound_ok"),
+        )
+        .orderBy("rank")
+    )
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "sketch-heavy-hitters": q_sketch_heavy_hitters,
     "sketch-hll-merge": q_sketch_hll_merge,
     "sketch-hll-overlap": q_sketch_hll_overlap,
     "sketch-quantile-ok": q_sketch_quantile_ok,
 }
 
 ORACLES = {
+    "sketch-heavy-hitters": r"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+        ranked AS (
+          SELECT tok, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank
+          FROM cnt),
+        topk AS (SELECT * FROM ranked WHERE rank <= 20)
+        SELECT rank, tok, n,
+               (SELECT MIN(n) FROM topk)
+                 > (SELECT COUNT(*) FROM tok) / 200.0 AS bound_ok
+        FROM topk ORDER BY rank
+    """,
     "sketch-hll-merge": """
         SELECT TRUE AS merge_consistent, TRUE AS within_tol,
                count(DISTINCT o_custkey) AS exact_custs

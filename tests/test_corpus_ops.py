@@ -371,3 +371,24 @@ def test_bigram_lm_scores_are_nonpositive_and_flag_gibberish(spark, sf_dir):
     # where gibberish scores low); assert that boundary exactly
     assert row.n_bigrams == 6
     assert row.avg_logp == 0.0
+
+
+def test_heavy_hitters_partition_invariant_and_sound(spark, sf_dir):
+    """The candidate set varies with partitioning; the verified top-k
+    must not.  bound_ok must hold in the regime the test runs in."""
+    from pandasqlite_spark.functions.sketches import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    a = heavy_hitters(docs, k=10, m=100).collect()
+    b = heavy_hitters(docs.repartition(13), k=10, m=100).collect()
+    assert [(r.tok, r.n) for r in a] == [(r.tok, r.n) for r in b]
+    assert all(r.bound_ok for r in a)
+    # exact recount: the top-1 count equals a direct groupBy count
+    from pandasqlite_spark.functions.text import tokens
+    top1 = a[0]
+    direct = (
+        docs.select(F.explode(tokens()).alias("tok"))
+        .filter(F.col("tok") == top1.tok)
+        .count()
+    )
+    assert direct == top1.n
