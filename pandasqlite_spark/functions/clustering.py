@@ -237,7 +237,98 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     )
 
 
+def pca_summary(emb: DataFrame) -> DataFrame:
+    """Distributed PCA over the embedding column — the
+    whitening/compression primitive of every embedding pipeline — via
+    the canonical two-stage shape for dense linear algebra at scale:
+
+    1. *Partials*: each partition computes its LOCAL Gram matrix
+       ``Xᵀ X`` (d×d), coordinate sums, and count with one numpy matmul
+       inside ``mapInPandas`` — Arrow-batched, no per-row Python; the
+       shuffle carries d²-bounded partials per partition, never vectors.
+    2. *Merge + eigen*: the d² cells sum in one tiny groupBy; the d×d
+       covariance (``G/n − μμᵀ``) is collected (bounded by the
+       embedding dimension, not the data) and eigendecomposed with
+       numpy on the driver — the same tiny-matrix-on-driver move as
+       k-means centroid updates.
+
+    Eigenvectors are not SQL-expressible, so (sketch-key pattern) the
+    contract is assertions + exactly-checkable scalars: total variance
+    (trace) and max per-axis variance reproduce in DuckDB's
+    ``var_pop``; ``pc1_dominates`` asserts λ₁ ≥ max axis variance — a
+    mathematical invariant of a correct eigensolve (the top PC explains
+    at least as much variance as any coordinate axis)."""
+
+    def gram_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = None
+        s = None
+        cnt = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if G is None:
+                d = X.shape[1]
+                G = np.zeros((d, d))
+                s = np.zeros(d)
+            G += X.T @ X
+            s += X.sum(axis=0)
+            cnt += len(X)
+        if cnt == 0:
+            return
+        d = G.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        out = pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()}
+        )
+        mean_rows = pd.DataFrame({"i": np.arange(d), "j": -1, "g": s})
+        cnt_row = pd.DataFrame({"i": [-1], "j": [-1], "g": [float(cnt)]})
+        yield pd.concat([out, mean_rows, cnt_row], ignore_index=True)
+
+    partials = emb.select("embedding").mapInPandas(
+        gram_partial, "i int, j int, g double"
+    )
+    merged = partials.groupBy("i", "j").agg(F.sum("g").alias("g")).collect()
+
+    import numpy as np
+
+    n = next(r.g for r in merged if r.i == -1 and r.j == -1)
+    d = max(r.i for r in merged) + 1
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    for r in merged:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            s[r.i] = r.g
+        else:
+            G[r.i, r.j] = r.g
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    eigvals = np.linalg.eigvalsh(C)
+    lam1 = float(eigvals[-1])
+    trace = float(np.trace(C))
+    max_axis = float(C.diagonal().max())
+    row = [(
+        int(n),
+        round(trace, 6),
+        round(max_axis, 6),
+        bool(lam1 >= max_axis - 1e-9),
+    )]
+    return emb.sparkSession.createDataFrame(
+        row, "n bigint, total_var double, max_axis_var double, pc1_dominates boolean"
+    )
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_summary(load(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
+    "embedding-pca-ok": q_embedding_pca,
     "embedding-centroids": q_embedding_centroids,
     "embedding-assign": q_embedding_assign,
     "cluster-kmeans": q_cluster_kmeans,
@@ -251,6 +342,19 @@ _EX = """
 """
 
 ORACLES = {
+    "embedding-pca-ok": """
+        WITH x AS (
+          SELECT vec_id,
+                 CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        per AS (SELECT i, var_pop(v) AS axis_var FROM x GROUP BY i)
+        SELECT (SELECT COUNT(*) FROM embeddings) AS n,
+               ROUND(SUM(axis_var), 6) AS total_var,
+               ROUND(MAX(axis_var), 6) AS max_axis_var,
+               TRUE AS pc1_dominates
+        FROM per
+    """,
     "cluster-kmeans": _kmeans_oracle(),
     "simsearch-ivf-kmeans": _ivf_kmeans_oracle(),
     "embedding-centroids": f"""

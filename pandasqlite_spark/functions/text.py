@@ -375,6 +375,33 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+def readability_score(col: str = "text") -> Column:
+    """Flesch reading-ease with the standard cheap heuristics (vowel
+    groups ≈ syllables, ``[.!?]`` runs ≈ sentences) — the classic
+    document-quality feature next to ``quality_score``.  Pure built-in
+    regex/arithmetic expressions: row-local, codegen'd, zero Python."""
+    words = F.size(tokens(col))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.expr(f"regexp_extract_all({col}, '[.!?]+', 0)"))
+    )
+    syllables = F.size(
+        F.expr(f"regexp_extract_all(lower({col}), '[aeiouy]+', 0)")
+    )
+    return F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * words.cast("double") / sentences
+        - F.lit(84.6) * syllables.cast("double") / words,
+        6,
+    )
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.size(tokens()) > 0).select(
+        "doc_id", readability_score().alias("flesch")
+    )
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic relevance /
     keyword-extraction signal for corpus triage.
@@ -480,6 +507,7 @@ QUERIES = {
     "text-fingerprint": q_text_fingerprint,
     "text-bigram-freq": q_text_bigram_freq,
     "text-bigram-lm-score": q_text_bigram_lm,
+    "text-readability-score": q_text_readability,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
@@ -504,6 +532,15 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-readability-score": f"""
+        SELECT doc_id,
+               ROUND(206.835
+                     - 1.015 * CAST(len({_TOKS}) AS DOUBLE)
+                       / GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                     - 84.6 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                       / len({_TOKS}), 6) AS flesch
+        FROM documents WHERE len({_TOKS}) > 0
+    """,
     "text-bigram-lm-score": f"""
         WITH d AS (
           SELECT doc_id, {_TOKS} AS t FROM documents

@@ -28,6 +28,8 @@ KEYS = [
     "text-quality-score",          # pure row-local text expressions
     "dedup-embedding-bucketed",    # LSH bucketed near-dup
     "skyline-pareto",              # two-phase windowed dominance
+    "join-interval-overlap",       # bucketed interval×interval join
+    "sketch-heavy-hitters",        # candidate+verify top-k tokens
 ]
 
 

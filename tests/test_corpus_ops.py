@@ -392,3 +392,14 @@ def test_heavy_hitters_partition_invariant_and_sound(spark, sf_dir):
         .count()
     )
     assert direct == top1.n
+
+
+def test_pca_partition_invariant_and_dominant(spark, sf_dir):
+    from pandasqlite_spark.functions.clustering import pca_summary
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = pca_summary(emb).first()
+    b = pca_summary(emb.repartition(11)).first()
+    assert a.pc1_dominates and b.pc1_dominates
+    assert a.total_var == b.total_var and a.max_axis_var == b.max_axis_var
+    assert a.total_var > a.max_axis_var > 0
