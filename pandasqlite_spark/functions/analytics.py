@@ -89,6 +89,51 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(load_events(spark, sf_dir))
 
 
+# ------------------------------------------------- CEP pattern matching
+
+_SEQ_BOUND_S = 86400  # whole pattern must complete within a day
+
+
+def sequence_matches(events: DataFrame) -> DataFrame:
+    """CEP-style ordered-sequence detection: every occurrence of
+    ``click → purchase → error`` as CONSECUTIVE events in a user's
+    stream, completing within a day — the "match_recognize" /
+    Flink-CEP pattern operator, composed from lead windows.
+
+    Scale shape: one shuffle on ``user_id`` (the window partitioning),
+    then ``lead(type,1..2)`` + the predicate evaluate row-locally — a
+    k-step pattern is k-1 leads over the SAME window, adding zero
+    exchanges.  This is the standard distributed CEP compilation for
+    fixed-length contiguous patterns; Kleene-star patterns would go to
+    the sessionize-then-``applyInPandasWithState`` path instead."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .withColumn("ts2", F.lead("ts", 2).over(w))
+    )
+    return (
+        steps.filter(
+            (F.col("event_type") == "click")
+            & (F.col("t1") == "purchase")
+            & (F.col("t2") == "error")
+            & (F.unix_micros("ts2") - F.unix_micros("ts") <= _SEQ_BOUND_S * 1_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_id"),
+            ((F.unix_micros("ts2") - F.unix_micros("ts")) / 1_000_000.0)
+            .alias("span_s"),
+        )
+        .orderBy("user_id", "start_id")
+    )
+
+
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_matches(load_events(spark, sf_dir))
+
+
 # ------------------------------------------------------------- histogram
 
 def value_histogram(events: DataFrame, width: int = 50, nbins: int = 10) -> DataFrame:
@@ -988,6 +1033,7 @@ QUERIES = {
     "agg-linreg-exact": q_agg_linreg_exact,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
+    "events-pattern-match": q_events_pattern_match,
     "events-value-histogram": q_events_value_histogram,
     "agg-mode": q_agg_mode,
     "fuzzy-join-levenshtein": q_fuzzy_join_levenshtein,
@@ -1330,6 +1376,21 @@ ORACLES = {
         FROM dev d JOIN mad m USING (user_id)
         WHERE d.dev > 3 * m.mad
         ORDER BY d.user_id, d.event_id
+    """,
+    "events-pattern-match": """
+        WITH s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LEAD(event_type, 1) OVER w AS t1,
+                 LEAD(event_type, 2) OVER w AS t2,
+                 LEAD(ts, 2) OVER w AS ts2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, event_id AS start_id,
+               (epoch_us(ts2) - epoch_us(ts)) / 1000000.0 AS span_s
+        FROM s
+        WHERE event_type = 'click' AND t1 = 'purchase' AND t2 = 'error'
+          AND epoch_us(ts2) - epoch_us(ts) <= CAST(86400 AS BIGINT) * 1000000
+        ORDER BY user_id, start_id
     """,
     "events-transition-matrix": """
         WITH seq AS (

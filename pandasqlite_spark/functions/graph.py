@@ -132,9 +132,73 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected ``(src, dst)`` edge list with self-loops added, fully
+    deterministic: each round every node adopts the MAJORITY label among
+    itself + neighbors, ties broken by (count DESC, label ASC).
+
+    Per round: one join (edge × current labels), one (node, label)
+    vote count, one per-node argmax window — all hash-partitioned on
+    the node key, so a round costs two key-shuffles regardless of graph
+    size.  Synchronous updates + total-order tie-break make the result
+    a pure function of the graph (no async race like GraphX's LPA),
+    which is what lets the DuckDB oracle unroll the same rounds as
+    CTEs.  Hub-heavy skew lands in the vote count, which partial-
+    aggregates map-side before the exchange."""
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(edges.select(F.col("src").alias("src"), F.col("src").alias("dst")))
+        .union(edges.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
+        .distinct()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities in the customer↔supplier trade graph (same node
+    encoding as pagerank), reported as the 20 largest communities."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        label_propagation(pairs, iterations=2)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "graph-pagerank": q_graph_pagerank,
     "graph-triangles": q_graph_triangles,
+    "graph-label-propagation": q_graph_label_propagation,
 }
 
 ORACLES = {
@@ -168,6 +232,38 @@ ORACLES = {
                FROM s3, n)
         SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
         ORDER BY rank_scaled DESC, node LIMIT 20
+    """,
+    "graph-label-propagation": """
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT src, dst FROM e0
+          UNION SELECT dst, src FROM e0
+          UNION SELECT src, src FROM e0
+          UNION SELECT dst, dst FROM e0),
+        l1c AS (
+          SELECT src AS node, dst AS lbl, COUNT(*) AS c
+          FROM edges GROUP BY src, dst),
+        l1 AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM l1c) WHERE rn = 1),
+        l2c AS (
+          SELECT e.src AS node, l.lbl, COUNT(*) AS c
+          FROM edges e JOIN l1 l ON l.node = e.dst
+          GROUP BY e.src, l.lbl),
+        l2 AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM l2c) WHERE rn = 1)
+        SELECT lbl AS community, COUNT(*) AS n_members
+        FROM l2 GROUP BY lbl
+        ORDER BY n_members DESC, community LIMIT 20
     """,
     "graph-triangles": """
         WITH hi AS (
