@@ -620,6 +620,20 @@ def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events-pattern-match`` (functions/
+    analytics.py): the click→purchase→error ≤24h detector as an
+    ``applyInPandasWithState`` per-user state machine carrying only the
+    last two events per key.  Shares the batch key's oracle — the
+    driver's value-hash equality IS the batch-equivalence proof."""
+    from pandasqlite_spark.streaming.stateful import sequence_match_stream
+
+    # evict=False: finite drain (timers block availableNow termination)
+    stream = sequence_match_stream(read_events_stream(spark, sf_dir), evict=False)
+    name, _ = run_stream_to_memory(stream, mode="append")
+    return spark.table(name).orderBy("user_id", "start_id")
+
+
 def q_events_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``events-rate-limit``: throttle to the first
     event per (user, type, minute) as a watermark-bounded windowed
@@ -697,6 +711,7 @@ QUERIES = {
     "events-streaming-enrich": q_events_streaming_enrich,
     "events-streaming-rate-limit": q_events_streaming_rate_limit,
     "events-stateful-profiles": q_events_stateful_profiles,
+    "events-streaming-pattern": q_events_streaming_pattern,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
@@ -886,6 +901,10 @@ ORACLES = {
 ORACLES["events-session-two-phase"] = ORACLES["events-session-agg"]
 # the streaming session_window drain must equal the batch session_window
 ORACLES["events-streaming-session"] = ORACLES["events-session-window-native"]
+# the streaming CEP state machine must equal the batch lead-window form
+from pandasqlite_spark.functions.analytics import ORACLES as _AN_ORACLES  # noqa: E402
+
+ORACLES["events-streaming-pattern"] = _AN_ORACLES["events-pattern-match"]
 
 ORACLES["events-stateful-profiles"] = """
     SELECT user_id, COUNT(*) AS n_events,

@@ -77,3 +77,105 @@ def user_profiles_stream(events: DataFrame, evict: bool = True) -> DataFrame:
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- CEP
+
+CEP_OUT_SCHEMA = "user_id bigint, start_id bigint, span_s double"
+# carried context: the last two events per user, as parallel fields
+CEP_STATE_SCHEMA = (
+    "t1 string, us1 bigint, id1 bigint, t2 string, us2 bigint, id2 bigint"
+)
+_CEP_BOUND_US = 86_400 * 1_000_000  # pattern must complete within a day
+
+
+def _detect_sequence(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """click → purchase → error (consecutive, ≤24h) per user.
+
+    Vectorized inside the group: the carried last-2-events context is
+    prepended to the (ts, event_id)-sorted batch, the three pattern
+    slots come from ``shift(2)/shift(1)/current``, and only rows
+    belonging to the new batch may END a match (carry rows are context
+    from prior batches — their matches were already emitted)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"], ignore_index=True)
+    t1, us1, id1, t2, us2, id2 = (
+        state.get if state.exists else (None, 0, 0, None, 0, 0)
+    )
+    carry = pd.DataFrame(
+        {
+            "event_type": [t1, t2],
+            "us": [us1, us2],
+            "event_id": [id1, id2],
+        }
+    ).dropna(subset=["event_type"])
+    rows = pd.concat([carry, batch], ignore_index=True)
+    p1t = rows["event_type"].shift(2)
+    p1us = rows["us"].shift(2)
+    p1id = rows["event_id"].shift(2)
+    p2t = rows["event_type"].shift(1)
+    is_new = rows.index >= len(carry)
+    mask = (
+        (p1t == "click")
+        & (p2t == "purchase")
+        & (rows["event_type"] == "error")
+        & (rows["us"] - p1us <= _CEP_BOUND_US)
+        & is_new
+    )
+    hits = rows[mask]
+    tail = rows.tail(2)
+    tt = list(tail["event_type"]) + [None, None]
+    tu = list(tail["us"].astype("int64")) + [0, 0]
+    ti = list(tail["event_id"].astype("int64")) + [0, 0]
+    if len(tail) == 2:
+        state.update((tt[0], tu[0], ti[0], tt[1], tu[1], ti[1]))
+    else:
+        state.update((None, 0, 0, tt[0], tu[0], ti[0]))
+    try:
+        state.setTimeoutDuration(24 * 60 * 60 * 1000)
+    except Exception:
+        pass  # NoTimeout finite drains reject timer registration
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "start_id": p1id[mask].astype("int64"),
+            "span_s": (rows["us"][mask] - p1us[mask]) / 1_000_000.0,
+        }
+    )
+
+
+def sequence_match_stream(events: DataFrame, evict: bool = True) -> DataFrame:
+    """Streaming twin of :func:`pandasqlite_spark.functions.analytics.
+    sequence_matches` — Flink-CEP-style pattern detection as a per-user
+    state machine: state carries only the last two events per user
+    (constant bytes/key, vs buffering the stream), matches emit as the
+    closing event arrives.  Exact batch equivalence holds when events
+    arrive per-user in event-time order (the finite-drain harness
+    guarantees it; a production deployment would front a small
+    event-time sorter or accept late-reorder misses like every
+    streaming CEP engine)."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(events.sparkSession)
+    with_us = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _detect_sequence,
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -66,3 +66,54 @@ def test_stateful_user_profiles(spark, sf_dir):
     }
     got_map = {r["user_id"]: r["n_events"] for r in got}
     assert got_map == want
+
+
+def test_streaming_cep_matches_across_batch_boundary():
+    """Drive _detect_sequence directly with two batches where the
+    pattern straddles the boundary: click+purchase arrive in batch 1,
+    the closing error in batch 2.  The carried last-2 state must
+    complete the match, and re-delivery of context must not re-emit."""
+    import pandas as pd
+
+    from pandasqlite_spark.streaming.stateful import _detect_sequence
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            raise Exception("NoTimeout")
+
+    st = FakeState()
+    b1 = pd.DataFrame(
+        {"event_type": ["click", "purchase"], "us": [1_000_000, 2_000_000],
+         "event_id": [11, 12], "user_id": [7, 7]}
+    )
+    out1 = pd.concat(list(_detect_sequence((7,), iter([b1]), st)), ignore_index=True)
+    assert len(out1) == 0
+    b2 = pd.DataFrame(
+        {"event_type": ["error", "view"], "us": [3_000_000, 4_000_000],
+         "event_id": [13, 14], "user_id": [7, 7]}
+    )
+    out2 = pd.concat(list(_detect_sequence((7,), iter([b2]), st)), ignore_index=True)
+    assert list(out2["start_id"]) == [11]
+    assert list(out2["span_s"]) == [2.0]
+    # a third batch with no closing event emits nothing new
+    b3 = pd.DataFrame(
+        {"event_type": ["error"], "us": [5_000_000], "event_id": [15], "user_id": [7]}
+    )
+    out3 = pd.concat(list(_detect_sequence((7,), iter([b3]), st)), ignore_index=True)
+    assert len(out3) == 0
