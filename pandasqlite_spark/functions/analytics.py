@@ -439,6 +439,87 @@ def q_agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_matrix_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over ``cols`` in ONE
+    aggregation pass — the feature-correlation screen run before model
+    training — extending :func:`linreg_exact`'s exact-moment strategy
+    to all C(k,2) pairs: every Σx, Σx², Σxy accumulates in decimal
+    (exact, order-independent), the closed forms combine once in double
+    on the single result row, and ``stack`` unpivots to (var_a, var_b,
+    corr) rows.  One scan, one partial-aggregated 1-row exchange,
+    regardless of k — vs k² `corr()` calls each scanning the table."""
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        d = F.col(c).cast("decimal(18,2)")
+        aggs.append(F.sum(d).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum((d * d).cast("decimal(38,4)")).cast("double").alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            da = F.col(a).cast("decimal(18,2)")
+            db = F.col(b).cast("decimal(18,2)")
+            aggs.append(
+                F.sum((da * db).cast("decimal(38,4)")).cast("double").alias(f"sp_{a}_{b}")
+            )
+    row = df.agg(*aggs)
+    n = F.col("n")
+    stack_parts = []
+    corr_cols = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            va = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            vb = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            cname = f"corr_{a}_{b}"
+            row = row.withColumn(cname, F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 9))
+            stack_parts.append(f"'{a}', '{b}', {cname}")
+            corr_cols.append(cname)
+    k = len(stack_parts)
+    return (
+        row.selectExpr(f"stack({k}, {', '.join(stack_parts)}) AS (var_a, var_b, corr)")
+        .orderBy("var_a", "var_b")
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corr_matrix_exact(load(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+# ------------------------------------------------------- Benford audit
+
+def benford_first_digit(events: DataFrame) -> DataFrame:
+    """Benford's-law first-significant-digit audit over ``value`` — the
+    classic fraud/synthetic-data detector in data-quality suites: per
+    digit 1-9, observed share vs the Benford expectation
+    ``log10(1+1/d)`` and the absolute deviation.  One groupBy on a
+    9-value key (partial-aggregated) + a 1-row total broadcast; the
+    digit extraction is pure row-local arithmetic."""
+    v = F.col("value")
+    pos = events.filter(v > 0)
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = pos.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    total = pos.agg(F.count(F.lit(1)).alias("total"))
+    share = F.col("n") / F.col("total")
+    benford_p = F.log10(1 + 1 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(benford_p, 6).alias("benford_p"),
+            F.round(F.abs(share - benford_p), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_first_digit(load_events(spark, sf_dir))
+
+
 # -------------------------------------------------------- table profile
 
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -1031,6 +1112,8 @@ QUERIES = {
     "skyline-pareto": q_skyline_pareto,
     "rank-similarity-join": q_rank_similarity_join,
     "agg-linreg-exact": q_agg_linreg_exact,
+    "agg-corr-matrix": q_agg_corr_matrix,
+    "events-benford-check": q_events_benford,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
     "events-pattern-match": q_events_pattern_match,
@@ -1172,6 +1255,48 @@ ORACLES = {
     """,
     # DuckDB reads the ns-parquet as µs TIMESTAMP — the same truncation
     # load_events applies — so ts orders/compares identically.
+    "agg-corr-matrix": """
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
+                 CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+                 CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_t,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_q,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_e,
+                 CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_d,
+                 CAST(SUM(CAST(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_t,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_qe,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_qd,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_qt,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_ed,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_et,
+                 CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_dt
+          FROM lineitem)
+        SELECT var_a, var_b,
+               ROUND((n*sp - sa*sb) / (sqrt(n*ssa - sa*sa) * sqrt(n*ssb - sb*sb)), 9) AS corr
+        FROM (
+          SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b, n, sp_qe AS sp, s_q AS sa, s_e AS sb, ss_q AS ssa, ss_e AS ssb FROM m
+          UNION ALL SELECT 'l_quantity', 'l_discount', n, sp_qd, s_q, s_d, ss_q, ss_d FROM m
+          UNION ALL SELECT 'l_quantity', 'l_tax', n, sp_qt, s_q, s_t, ss_q, ss_t FROM m
+          UNION ALL SELECT 'l_extendedprice', 'l_discount', n, sp_ed, s_e, s_d, ss_e, ss_d FROM m
+          UNION ALL SELECT 'l_extendedprice', 'l_tax', n, sp_et, s_e, s_t, ss_e, ss_t FROM m
+          UNION ALL SELECT 'l_discount', 'l_tax', n, sp_dt, s_d, s_t, ss_d, ss_t FROM m)
+        ORDER BY var_a, var_b
+    """,
+    "events-benford-check": """
+        WITH pos AS (SELECT value FROM events WHERE value > 0),
+        d AS (
+          SELECT CAST(FLOOR(value / POW(10.0, FLOOR(LOG10(value)))) AS INTEGER) AS digit
+          FROM pos),
+        c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        t AS (SELECT COUNT(*) AS total FROM pos)
+        SELECT digit, n,
+               ROUND(n / CAST(total AS DOUBLE), 6) AS share,
+               ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_p,
+               ROUND(ABS(n / CAST(total AS DOUBLE) - LOG10(1 + 1.0 / digit)), 6) AS abs_dev
+        FROM c, t ORDER BY digit
+    """,
     "agg-linreg-exact": """
         WITH g AS (
           SELECT l_returnflag,
