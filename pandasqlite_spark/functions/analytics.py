@@ -520,6 +520,39 @@ def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(load_events(spark, sf_dir))
 
 
+def activity_islands(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days (start, end, length) — the classic streak/contiguity analysis,
+    via the canonical ``date_index − row_number`` group key (constant
+    within a consecutive run, jumps at every gap).
+
+    Scale shape: events collapse to distinct (user, day) FIRST (the
+    only big shuffle, heavily combinable map-side — same move as
+    ``events-sliding-distinct``), then one bounded window (≤ calendar
+    days per user) and one groupBy over the tiny day set."""
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "grp",
+        F.datediff("day", F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return (
+        anchored.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").cast("string").alias("start_day"),
+            F.max("day").cast("string").alias("end_day"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "start_day")
+    )
+
+
+def q_events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_islands(load_events(spark, sf_dir))
+
+
 # -------------------------------------------------------- table profile
 
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -1114,6 +1147,7 @@ QUERIES = {
     "agg-linreg-exact": q_agg_linreg_exact,
     "agg-corr-matrix": q_agg_corr_matrix,
     "events-benford-check": q_events_benford,
+    "events-activity-islands": q_events_islands,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
     "events-pattern-match": q_events_pattern_match,
@@ -1283,6 +1317,21 @@ ORACLES = {
           UNION ALL SELECT 'l_extendedprice', 'l_tax', n, sp_et, s_e, s_t, ss_e, ss_t FROM m
           UNION ALL SELECT 'l_discount', 'l_tax', n, sp_dt, s_d, s_t, ss_d, ss_t FROM m)
         ORDER BY var_a, var_b
+    """,
+    "events-activity-islands": """
+        WITH d AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        a AS (
+          SELECT user_id, day,
+                 date_diff('day', DATE '2024-01-01', day)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          FROM d)
+        SELECT user_id,
+               CAST(MIN(day) AS VARCHAR) AS start_day,
+               CAST(MAX(day) AS VARCHAR) AS end_day,
+               COUNT(*) AS run_len
+        FROM a GROUP BY user_id, grp
+        ORDER BY user_id, start_day
     """,
     "events-benford-check": """
         WITH pos AS (SELECT value FROM events WHERE value > 0),

@@ -313,7 +313,53 @@ def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_distinct_users(load_events(spark, sf_dir))
 
 
+def forecast_backtest(events: DataFrame) -> DataFrame:
+    """Seasonal-naive forecast with an honest backtest — the baseline
+    every demand/traffic forecasting pipeline starts from: per
+    event_type, predict each test-week day's event count as the mean of
+    the same weekday over the 3 training weeks, then score MAPE on the
+    held-out week.
+
+    Scale shape: the raw stream collapses to (day, type) counts in one
+    partial-aggregated groupBy; the model is |types|×7 rows and
+    broadcasts onto the 7-day test slice; weekday is computed as
+    ``datediff(anchor) % 7`` — pure integer arithmetic, identical in
+    any engine/timezone (vs dayofweek()'s engine-specific numbering)."""
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dow = (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7).alias("dow")
+    split = F.lit("2024-01-22").cast("date")
+    model = (
+        daily.filter(F.col("day") < split)
+        .select("event_type", dow, "n")
+        .groupBy("event_type", "dow")
+        .agg((F.sum("n") / F.count(F.lit(1))).alias("pred"))
+    )
+    test = daily.filter(
+        (F.col("day") >= split) & (F.col("day") < F.lit("2024-01-29").cast("date"))
+    ).select("event_type", dow, "n")
+    return (
+        test.join(F.broadcast(model), ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.abs(F.col("n") - F.col("pred")) / F.col("n")), 6).alias(
+                "mape"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_backtest(load_events(spark, sf_dir))
+
+
 QUERIES = {
+    "events-forecast-backtest": q_events_forecast_backtest,
     "events-sliding-distinct": q_events_sliding_distinct,
     "events-trajectory-topk": q_events_trajectory_topk,
     "events-ohlc": q_events_ohlc,
@@ -323,6 +369,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-forecast-backtest": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        model AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', day) % 7 AS dow,
+                 SUM(n) / COUNT(*) AS pred
+          FROM daily WHERE day < DATE '2024-01-22'
+          GROUP BY 1, 2),
+        test AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', day) % 7 AS dow, n
+          FROM daily
+          WHERE day >= DATE '2024-01-22' AND day < DATE '2024-01-29')
+        SELECT t.event_type,
+               ROUND(AVG(ABS(t.n - m.pred) / t.n), 6) AS mape,
+               COUNT(*) AS n_days
+        FROM test t JOIN model m USING (event_type, dow)
+        GROUP BY t.event_type ORDER BY t.event_type
+    """,
     "events-sliding-distinct": """
         WITH uh AS (
           SELECT DISTINCT user_id,
