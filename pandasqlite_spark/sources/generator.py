@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _Slice(InputPartition):
@@ -65,11 +70,55 @@ class DetGenDataSource(DataSource):
     def reader(self, schema):
         return DetGenReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return DetGenStreamReader(self.options)
+
+
+def _row(i: int):
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    h16 = int(h[:4], 16)
+    return (i, h16, h16 % 10, round(h16 / 65536.0, 9))
+
+
+class DetGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the generator (Spark 4 Python *streaming*
+    data source): offsets are plain row positions, each micro-batch
+    emits the next ``batch`` rows until ``n`` — so the WHOLE stream is
+    a pure function of the options, replayable from any offset range
+    (``readBetweenOffsets`` regenerates instead of buffering — exactly
+    how a replayable source should implement recovery)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 200))
+        self.batch = int(options.get("batch", 64))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch, self.n)
+        return iter([_row(i) for i in range(lo, hi)]), {"pos": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(i) for i in range(int(start["pos"]), int(end["pos"]))])
+
 
 def register(spark) -> None:
     from pandasqlite_spark.operators.common import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
+    # The STREAMING source runner is a separate driver-side Python
+    # process that unpickles the class before any addPyFile path is
+    # visible; by-value pickling makes the source self-contained so
+    # registration works from any working directory.
+    try:
+        from pyspark import cloudpickle
+        import pandasqlite_spark.sources.generator as _me
+
+        cloudpickle.register_pickle_by_value(_me)
+    except Exception:
+        pass
     spark.dataSource.register(DetGenDataSource)
 
 
@@ -95,9 +144,75 @@ def q_scan_python_datasource(spark, sf_dir: str):
     )
 
 
-QUERIES = {"scan-python-datasource": q_scan_python_datasource}
+def q_scan_python_stream_source(spark, sf_dir: str):
+    """The generator as a STREAMING source, drained to a memory sink:
+    200 rows arrive across several micro-batches (batch=64 ⇒ 4
+    batches), and the appended union must equal the batch-regenerable
+    row set — proving offset bookkeeping and replay determinism, not
+    just row generation.  The aggregation collapses the arrival order
+    so the check is batching-invariant."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    df = (
+        spark.readStream.format("detgen")
+        .option("n", "200")
+        .option("batch", "64")
+        .load()
+    )
+    # availableNow only drains the first prefetched simple-reader batch,
+    # so drive with a tight processing-time trigger and stop at the
+    # first COMPLETED empty batch (source exhausted at pos == n).
+    name = "stream_pyds_result"
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and q.isActive:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] == 0 and p["batchId"] > 0:
+            q.stop()
+            break
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+    return (
+        spark.table(name)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("h16").alias("h16_total"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {
+    "scan-python-datasource": q_scan_python_datasource,
+    "scan-python-stream-source": q_scan_python_stream_source,
+}
 
 ORACLES = {
+    "scan-python-stream-source": """
+        WITH g AS (
+          SELECT i.range AS id,
+                 ('0x' || substr(md5(CAST(i.range AS VARCHAR)), 1, 4))::BIGINT AS h16
+          FROM range(0, 200) i),
+        rows_ AS (SELECT id, h16, h16 % 10 AS bucket FROM g)
+        SELECT bucket, COUNT(*) AS n,
+               CAST(SUM(h16) AS BIGINT) AS h16_total,
+               MIN(id) AS first_id, MAX(id) AS last_id
+        FROM rows_ GROUP BY bucket ORDER BY bucket
+    """,
     "scan-python-datasource": """
         WITH g AS (
           SELECT i.range AS id,
