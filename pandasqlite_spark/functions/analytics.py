@@ -520,6 +520,105 @@ def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(load_events(spark, sf_dir))
 
 
+def gini_exact(df: DataFrame, group_col: str, value_col: str, id_col: str) -> DataFrame:
+    """Per-group Gini coefficient from the exact rank formula
+    ``G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n`` (x ascending, i = 1..n) —
+    the concentration/inequality screen (is revenue dominated by a few
+    orders? is one user most of the traffic?).
+
+    Determinism: xᵢ are exact decimals, ``i·xᵢ`` and both Σ accumulate
+    in decimal (order-independent), the closed form combines once per
+    group in double, rounded.  One rank window + one groupBy, both
+    partitioned on the group key."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(group_col, x.alias("x"), F.col(value_col), F.col(id_col)).withColumn(
+        "i", F.row_number().over(w).cast("long")
+    )
+    g = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,2)")).cast("double").alias("six"),
+    )
+    gini = (2 * F.col("six")) / (F.col("n") * F.col("sx")) - (F.col("n") + 1) / F.col("n")
+    return g.select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(gini, 9).alias("gini"),
+    ).orderBy(group_col)
+
+
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gini_exact(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
+def interval_coalesce(events: DataFrame) -> DataFrame:
+    """Merge overlapping intervals (the interval-union / coverage
+    operator): each event opens a 30-minute activity window per user;
+    overlapping windows coalesce into maximal covered spans.  Classic
+    composition: running ``max(end)`` over preceding intervals flags
+    rows that start a NEW span (start > furthest end so far), a running
+    sum of flags numbers the spans, then min/max per span.
+
+    Scale shape: everything runs inside ONE user_id window partitioning
+    + one groupBy on (user, span) — the same single-shuffle profile as
+    sessionization, and indeed this is sessionization generalized to
+    explicit intervals."""
+    us = F.unix_micros("ts")
+    iv = events.select(
+        "user_id", us.alias("lo"), (us + 30 * 60 * 1_000_000).alias("hi")
+    )
+    w = Window.partitionBy("user_id").orderBy("lo", "hi")
+    prev_max = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_span",
+        F.when(prev_max.isNull() | (F.col("lo") > prev_max), 1).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        spans.groupBy("user_id", "span_id")
+        .agg(
+            F.min("lo").alias("span_lo"),
+            F.max("hi").alias("span_hi"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id", "span_id")
+    )
+
+
+def q_events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_coalesce(load_events(spark, sf_dir))
+
+
+def user_type_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the diversity /
+    bot-detection feature (a scripted client hammers one type: entropy
+    ≈ 0; organic users mix).  Two partial-aggregated groupBys on the
+    user key; ``p·log2(p)`` combines exact counts in double, rounded."""
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("user_id").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        counts.join(totals, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_type_entropy(load_events(spark, sf_dir))
+
+
 def activity_islands(events: DataFrame) -> DataFrame:
     """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
     days (start, end, length) — the classic streak/contiguity analysis,
@@ -1148,6 +1247,9 @@ QUERIES = {
     "agg-corr-matrix": q_agg_corr_matrix,
     "events-benford-check": q_events_benford,
     "events-activity-islands": q_events_islands,
+    "agg-gini": q_agg_gini,
+    "events-interval-coalesce": q_events_interval_coalesce,
+    "events-user-entropy": q_events_user_entropy,
     "layout-zorder": q_layout_zorder,
     "events-transition-matrix": q_events_transition_matrix,
     "events-pattern-match": q_events_pattern_match,
@@ -1317,6 +1419,59 @@ ORACLES = {
           UNION ALL SELECT 'l_extendedprice', 'l_tax', n, sp_et, s_e, s_t, ss_e, ss_t FROM m
           UNION ALL SELECT 'l_discount', 'l_tax', n, sp_dt, s_d, s_t, ss_d, ss_t FROM m)
         ORDER BY var_a, var_b
+    """,
+    "agg-gini": """
+        WITH r AS (
+          SELECT o_orderpriority,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS i
+          FROM orders),
+        g AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE) AS six
+          FROM r GROUP BY o_orderpriority)
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+               ROUND((2 * six) / (n * sx) - (n + 1) / n, 9) AS gini
+        FROM g ORDER BY o_orderpriority
+    """,
+    "events-interval-coalesce": """
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS lo,
+                 epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS hi
+          FROM events),
+        f AS (
+          SELECT user_id, lo, hi,
+                 CASE WHEN MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR lo > MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS new_span
+          FROM iv),
+        sp AS (
+          SELECT user_id, lo, hi,
+                 CAST(SUM(new_span) OVER (PARTITION BY user_id ORDER BY lo, hi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS span_id
+          FROM f)
+        SELECT user_id, span_id, MIN(lo) AS span_lo, MAX(hi) AS span_hi,
+               COUNT(*) AS n_intervals
+        FROM sp GROUP BY user_id, span_id
+        ORDER BY user_id, span_id
+    """,
+    "events-user-entropy": """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT user_id, SUM(c) AS t FROM c GROUP BY user_id)
+        SELECT c.user_id,
+               ROUND(-SUM((c.c / CAST(t.t AS DOUBLE))
+                          * log2(c.c / CAST(t.t AS DOUBLE))), 6) AS entropy,
+               COUNT(*) AS n_types
+        FROM c JOIN t USING (user_id)
+        GROUP BY c.user_id ORDER BY c.user_id
     """,
     "events-activity-islands": """
         WITH d AS (
