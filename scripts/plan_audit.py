@@ -58,6 +58,7 @@ NESTED_LOOP_OK = {
     "corpus-token-budget",
     "cluster-kmeans",  # per-round 1-row broadcasts
     "sketch-heavy-hitters",  # 1-row (kth-count, total) bounds broadcast
+    "events-benford-check",  # 1-row positive-count total broadcast
     "sketch-hll-merge",  # 1-row merged-sketch × 1-row direct-sketch join
     "sketch-hll-overlap",  # 1-row sketch estimates × 1-row exact overlap
     "scan-csv-malformed",  # 1-row permissive-counts × 1-row dropmalformed-counts
