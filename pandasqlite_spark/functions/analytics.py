@@ -520,6 +520,56 @@ def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(load_events(spark, sf_dir))
 
 
+def abtest_lift(events: DataFrame) -> DataFrame:
+    """Two-proportion A/B test readout — assignment, conversion, lift,
+    and the pooled z-statistic in one pass: users split into arms by
+    md5 parity (the deterministic hash-assignment every experiment
+    platform uses — reproducible, no assignment table to join), a user
+    converts on a high-value purchase (value > 90), and the readout computes
+    ``lift = p_b/p_a − 1`` and ``z = (p_b−p_a)/√(p̂(1−p̂)(1/n_a+1/n_b))``.
+
+    Scale shape: two distinct-collapses on user_id (combinable
+    map-side), one conditional aggregation to a single row; the z/lift
+    arithmetic runs once on that row — exact integer counts into IEEE
+    double, engine-identical."""
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    users = events.select("user_id").distinct().withColumn("arm", arm)
+    conv = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_user = users.join(conv, "user_id", "left").select(
+        "arm", F.coalesce("converted", F.lit(0)).alias("converted")
+    )
+    g = per_user.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    pa = F.col("c_a") / F.col("n_a")
+    pb = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (pb - pa) / F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return g.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pb / pa - 1, 6).alias("lift"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abtest_lift(load_events(spark, sf_dir))
+
+
 def gini_exact(df: DataFrame, group_col: str, value_col: str, id_col: str) -> DataFrame:
     """Per-group Gini coefficient from the exact rank formula
     ``G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n`` (x ascending, i = 1..n) —
@@ -1248,6 +1298,7 @@ QUERIES = {
     "events-benford-check": q_events_benford,
     "events-activity-islands": q_events_islands,
     "agg-gini": q_agg_gini,
+    "events-abtest-lift": q_events_abtest,
     "events-interval-coalesce": q_events_interval_coalesce,
     "events-user-entropy": q_events_user_entropy,
     "layout-zorder": q_layout_zorder,
@@ -1419,6 +1470,38 @@ ORACLES = {
           UNION ALL SELECT 'l_extendedprice', 'l_tax', n, sp_et, s_e, s_t, ss_e, ss_t FROM m
           UNION ALL SELECT 'l_discount', 'l_tax', n, sp_dt, s_d, s_t, ss_d, ss_t FROM m)
         ORDER BY var_a, var_b
+    """,
+    "events-abtest-lift": """
+        WITH u AS (
+          SELECT DISTINCT user_id FROM events),
+        arms AS (
+          SELECT user_id,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+                   AS arm
+          FROM u),
+        conv AS (
+          SELECT DISTINCT user_id, 1 AS converted
+          FROM events WHERE event_type = 'purchase' AND value > 90),
+        pu AS (
+          SELECT a.arm, COALESCE(c.converted, 0) AS converted
+          FROM arms a LEFT JOIN conv c USING (user_id)),
+        g AS (
+          SELECT COUNT(*) FILTER (arm = 0) AS n_a,
+                 SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS c_a,
+                 COUNT(*) FILTER (arm = 1) AS n_b,
+                 SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS c_b
+          FROM pu)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+               ROUND(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+               ROUND(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+               ROUND((c_b / CAST(n_b AS DOUBLE)) / (c_a / CAST(n_a AS DOUBLE)) - 1, 6)
+                 AS lift,
+               ROUND((c_b / CAST(n_b AS DOUBLE) - c_a / CAST(n_a AS DOUBLE))
+                     / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+        FROM g
     """,
     "agg-gini": """
         WITH r AS (

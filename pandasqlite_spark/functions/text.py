@@ -395,6 +395,35 @@ def readability_score(col: str = "text") -> Column:
     )
 
 
+def code_likeness(col: str = "text") -> Column:
+    """Heuristic code-vs-prose score in [0,1] — the filter every
+    pretraining corpus runs to route code away from (or into) the text
+    mix: symbol density (`{}[]();=<>`), digit density, and
+    underscore_identifier density, equally weighted.  Pure codegen'd
+    regex arithmetic, row-local."""
+    n = F.length(col).cast("double")
+    sym = F.length(F.regexp_replace(F.col(col), r"[^{}\[\]();=<>]", "")).cast("double")
+    dig = F.length(F.regexp_replace(F.col(col), "[^0-9]", "")).cast("double")
+    und = F.size(F.expr(f"regexp_extract_all({col}, '[a-z]+_[a-z_]+', 0)")).cast(
+        "double"
+    )
+    toks = F.size(tokens(col)).cast("double")
+    return F.round(
+        F.least(
+            F.lit(1.0),
+            (sym / n) * 10 + (dig / n) * 2 + (und / toks),
+        ),
+        6,
+    )
+
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id", code_likeness().alias("code_score")
+    )
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.filter(F.size(tokens()) > 0).select(
@@ -508,6 +537,7 @@ QUERIES = {
     "text-bigram-freq": q_text_bigram_freq,
     "text-bigram-lm-score": q_text_bigram_lm,
     "text-readability-score": q_text_readability,
+    "text-code-detect": q_text_code_detect,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
@@ -532,6 +562,17 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-code-detect": f"""
+        SELECT doc_id,
+               ROUND(LEAST(1.0,
+                 (CAST(len(regexp_extract_all(text, '[{{}}\\[\\]();=<>]')) AS DOUBLE)
+                    / len(text)) * 10
+                 + (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / len(text)) * 2
+                 + CAST(len(regexp_extract_all(text, '[a-z]+_[a-z_]+')) AS DOUBLE)
+                    / len({_TOKS})), 6) AS code_score
+        FROM documents WHERE len(text) > 0
+    """,
     "text-readability-score": f"""
         SELECT doc_id,
                ROUND(206.835
