@@ -358,7 +358,89 @@ def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_backtest(load_events(spark, sf_dir))
 
 
+def incremental_agg_merge(events: DataFrame) -> DataFrame:
+    """Incremental view maintenance for additive aggregates — the
+    pattern that keeps a 100 TB rollup fresh without re-scanning
+    history: the BASE window (days ≤ 20) materializes per-(day, type)
+    partials (count + decimal sum), the DELTA (days > 20) computes the
+    same partials over new data only, and the merged view is the
+    union's re-aggregation — touching |partials| rows, never base
+    events.  Count/sum/avg are all derivable from the merged partials;
+    the oracle recomputes the whole window directly, so the value-hash
+    match proves merge(partials(base), partials(delta)) ≡ full
+    recompute."""
+    per_day = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    cut = F.lit("2024-01-21").cast("date")
+    base = per_day.filter(F.col("day") <= cut)
+    delta = per_day.filter(F.col("day") > cut)
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sum_v"))
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_v").cast("double"), 4).alias("sum_v"),
+        F.round((F.col("sum_v") / F.col("n_events")).cast("double"), 6).alias("avg_v"),
+    ).orderBy("event_type")
+
+
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_agg_merge(load_events(spark, sf_dir))
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-count series:
+    cumulative sum of deviations from the global daily mean; the day
+    where |CUSUM| peaks is the level-shift candidate.  The classic
+    offline changepoint screen, composed scale-safe: the raw stream
+    collapses to |days| rows first, the mean is a 1-row broadcast, and
+    the running sum is a window over the calendar-bounded series.
+    Deviations are exact decimals (counts minus a 6-dp-rounded mean),
+    so the running sums — and the argmax — are order-independent."""
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mean = daily.agg(
+        (F.sum("n") / F.count(F.lit(1))).cast("decimal(18,6)").alias("mu")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cs = (
+        daily.crossJoin(F.broadcast(mean))
+        .withColumn("dev", F.col("n").cast("decimal(18,6)") - F.col("mu"))
+        .withColumn("cusum", F.sum("dev").over(w))
+    )
+    return cs.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.round(F.col("cusum").cast("double"), 6).alias("cusum"),
+        (
+            F.abs(F.col("cusum"))
+            == F.max(F.abs(F.col("cusum"))).over(
+                W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+        ).alias("is_peak"),
+    ).orderBy("day")
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoint(load_events(spark, sf_dir))
+
+
 QUERIES = {
+    "agg-incremental-merge": q_agg_incremental_merge,
+    "events-changepoint-cusum": q_events_changepoint,
     "events-forecast-backtest": q_events_forecast_backtest,
     "events-sliding-distinct": q_events_sliding_distinct,
     "events-trajectory-topk": q_events_trajectory_topk,
@@ -369,6 +451,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg-incremental-merge": """
+        WITH pd AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 COUNT(*) AS n,
+                 SUM(CAST(value AS DECIMAL(18,4))) AS s
+          FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(s) AS DOUBLE), 4) AS sum_v,
+               ROUND(CAST(SUM(s) / SUM(n) AS DOUBLE), 6) AS avg_v
+        FROM pd GROUP BY event_type ORDER BY event_type
+    """,
+    "events-changepoint-cusum": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1),
+        m AS (SELECT CAST(SUM(n) / COUNT(*) AS DECIMAL(18,6)) AS mu FROM daily),
+        cs AS (
+          SELECT day, n,
+                 SUM(CAST(n AS DECIMAL(18,6)) - mu) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+          FROM daily, m)
+        SELECT CAST(day AS VARCHAR) AS day, n,
+               ROUND(CAST(cusum AS DOUBLE), 6) AS cusum,
+               ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_peak
+        FROM cs ORDER BY day
+    """,
     "events-forecast-backtest": """
         WITH daily AS (
           SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
