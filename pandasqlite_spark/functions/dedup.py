@@ -329,6 +329,42 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc novelty: the fraction of its distinct n-grams that
+    FIRST appear in this doc (ingestion order = doc_id) — the
+    curriculum/lineage signal behind "how much of this document is new
+    material vs. already in the corpus", and the soft sibling of
+    hard decontamination.
+
+    Scale shape: shingles explode row-locally; first-appearance is ONE
+    ``min(doc_id)`` groupBy over the shingle key (partial-aggregated);
+    the per-doc ratio is a second groupBy on doc_id.  No self-join —
+    the n-gram's owner is an aggregate, not a pairwise comparison."""
+    sh = shingles(docs, n)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load(spark, sf_dir, "documents"))
+
+
 def cluster_representatives(labels: DataFrame, docs: DataFrame) -> DataFrame:
     """Canonical-document selection — the step AFTER clustering that
     actually dedups the corpus: per near-dup cluster keep the longest
@@ -551,6 +587,7 @@ QUERIES = {
     "dedup-simhash": q_dedup_simhash,
     "dedup-connected-components": q_dedup_components,
     "dedup-cluster-representative": q_dedup_cluster_rep,
+    "text-ngram-novelty": q_text_ngram_novelty,
     "decontaminate-ngram": q_decontaminate_ngram,
     "dedup-incremental": q_dedup_incremental,
 }
@@ -600,6 +637,22 @@ ORACLES = {
           FROM x)
         SELECT sh AS span, COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
         FROM s GROUP BY sh HAVING COUNT(*) >= 3 ORDER BY span
+    """,
+    "text-ngram-novelty": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       for i in range(1, len(t) - 1)])) AS sh
+          FROM toks WHERE len(t) >= 3),
+        first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM sh s JOIN first f USING (sh)
+        GROUP BY s.doc_id ORDER BY s.doc_id
     """,
     "dedup-incremental": f"""
         WITH fp AS (

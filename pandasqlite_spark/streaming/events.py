@@ -620,6 +620,109 @@ def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics PROVEN, not just configured: the
+    stream arrives as three ordered files — days 1-20, days 21-25,
+    then days 26-30 plus deliberately-late probe rows (day-5 copies
+    with offset ids).  The day-5 windows are emitted AND their state
+    evicted during batch 2 (watermark = day-20 max − 1h); when the
+    probes arrive in batch 3 the watermark stands at day-25 max − 1h,
+    so the aggregation must DROP them — if it instead recreated state,
+    append mode would re-emit the day-5 windows (duplicate rows), and
+    if it merged them the counts would inflate; either way the oracle
+    hash breaks.  (Two files would NOT prove the drop: a late row
+    arriving in the same batch that finalizes its window legally joins
+    the still-live state — observed empirically.)  The expected result
+    is the original rows' hourly counts for windows finalized by the
+    end-of-stream watermark, computed by the oracle from the batch
+    table.
+
+    Times ride as unix-micro bigints through the files (no parquet
+    timestamp-unit or timezone dependence); Spark's watermark math is
+    millisecond-precision, which the oracle mirrors."""
+    import os
+    import tempfile
+
+    from pandasqlite_spark.operators.common import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    cut = F.lit("2024-01-21").cast("date")
+    base = tempfile.mkdtemp(prefix="pqs_latedrop_")
+    in_dir = os.path.join(base, "in")
+    day = F.timestamp_micros(F.col("us")).cast("date")
+    cut2 = F.lit("2024-01-26").cast("date")
+    b0 = ev.filter(day < cut)
+    b1 = ev.filter((day >= cut) & (day < cut2))
+    probes = ev.filter(day == F.lit("2024-01-05").cast("date")).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "us"
+    )
+    b2 = ev.filter(day >= cut2).unionByName(probes)
+    # the file source does not recurse into non-partition subdirs:
+    # write each batch aside, then move its single part file into the
+    # watched dir as a flat file.  Ordering is by modification time
+    # (kept within maxFileAge of the newest, else the source silently
+    # ignores the older file).
+    import shutil
+    import time as _t
+
+    os.makedirs(in_dir, exist_ok=True)
+    for frame, fname, age_s in (
+        (b0, "b0.parquet", 120),
+        (b1, "b1.parquet", 60),
+        (b2, "b2.parquet", 0),
+    ):
+        side = os.path.join(base, "side_" + fname)
+        frame.coalesce(1).write.mode("overwrite").parquet(side)
+        part = next(
+            p for p in os.listdir(side)
+            if p.endswith(".parquet") and not p.startswith(".")
+        )
+        dest = os.path.join(in_dir, fname)
+        shutil.move(os.path.join(side, part), dest)
+        t = _t.time() - age_s
+        os.utime(dest, (t, t))
+    stream = (
+        spark.readStream.schema("event_id bigint, us bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.timestamp_micros("us"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "n")
+    )
+    # availableNow terminates after the last DATA batch, but append-mode
+    # emission of watermark-finalized windows happens in the FOLLOWING
+    # (empty) batch — drive with a tight processing-time trigger and
+    # stop only after a completed zero-input batch has flushed them.
+    import time as _time
+
+    _MEMSINK_SEQ[0] += 1
+    name = f"stream_result_{_MEMSINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 300
+    while _time.time() < deadline and q.isActive:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] == 0 and p["batchId"] > 1:
+            q.stop()
+            break
+        _time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+    return spark.table(name).orderBy("win_start_us")
+
+
 def q_events_streaming_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``events-pattern-match`` (functions/
     analytics.py): the click→purchase→error ≤24h detector as an
@@ -712,6 +815,7 @@ QUERIES = {
     "events-streaming-rate-limit": q_events_streaming_rate_limit,
     "events-stateful-profiles": q_events_stateful_profiles,
     "events-streaming-pattern": q_events_streaming_pattern,
+    "events-streaming-late-drop": q_events_streaming_late_drop,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
     "events-session-agg": q_events_session,
@@ -905,6 +1009,18 @@ ORACLES["events-streaming-session"] = ORACLES["events-session-window-native"]
 from pandasqlite_spark.functions.analytics import ORACLES as _AN_ORACLES  # noqa: E402
 
 ORACLES["events-streaming-pattern"] = _AN_ORACLES["events-pattern-match"]
+
+ORACLES["events-streaming-late-drop"] = """
+    WITH u AS (SELECT epoch_us(ts) AS us FROM events),
+    mx AS (SELECT (MAX(us) // 1000) AS mx_ms FROM u),
+    w AS (
+      SELECT (us // 3600000000) AS win, COUNT(*) AS n
+      FROM u GROUP BY 1)
+    SELECT w.win * 3600000000 AS win_start_us, w.n
+    FROM w, mx
+    WHERE (w.win + 1) * 3600000 <= mx.mx_ms - 3600000
+    ORDER BY win_start_us
+"""
 
 ORACLES["events-stateful-profiles"] = """
     SELECT user_id, COUNT(*) AS n_events,
