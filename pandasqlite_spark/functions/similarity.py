@@ -433,6 +433,85 @@ def knn_join_exact(
     )
 
 
+def q_simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of the IVF index against exact
+    brute force, per query.  Every vector-search deployment runs this
+    harness before trusting an index; here it is itself a distributed,
+    oracle-checked operator: exact top-5 via the batched k-NN join,
+    approximate top-5 via cell-restricted rerank (stand-in centroids as
+    in ``simsearch-ivf``), recall = |approx ∩ exact| / 5.
+
+    Scale shape: reuses the knn-join's one-shuffle dot reduction; the
+    approximate side restricts the dot computation to same-cell
+    candidate pairs FIRST (the IVF point), so its cost is the
+    candidate fraction of brute force; the recall join runs over
+    2·Q·k tiny rows."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_n, k = 8, 5
+    queries = emb.filter(F.col("vec_id") < q_n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= q_n)
+    exact = knn_join_exact(corpus, queries, k=k).select("query_id", "vec_id")
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    a_corpus = ivf_assign(corpus, cents)
+    a_q = ivf_assign(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
+        cents,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = a_q.join(a_corpus.select("vec_id", "cell"), "cell").select(
+        "query_id", "vec_id"
+    )
+    e = corpus.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+    )
+    qd = queries.select("query_id", F.posexplode("qv").alias("pos", "qx")).select(
+        "query_id", "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
+    )
+    ne = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
+    nq = qd.groupBy("query_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
+    )
+    dots = (
+        cand.join(e, "vec_id")
+        .join(qd, ["query_id", "pos"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
+    )
+    s = (
+        dots.join(ne, "vec_id")
+        .join(nq, "query_id")
+        .select(
+            "query_id", "vec_id",
+            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    approx = (
+        s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -564,6 +643,7 @@ QUERIES = {
     "simsearch-topk": q_simsearch_topk,
     "simsearch-pq-adc": q_simsearch_pq,
     "simsearch-knn-join": q_simsearch_knn_join,
+    "simsearch-recall-eval": q_simsearch_recall_eval,
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
     "dedup-embedding-bucketed": q_dedup_embedding_bucketed,
@@ -681,6 +761,62 @@ ORACLES = {
         FROM per_vec, nq
         ORDER BY cosine DESC, vec_id
         LIMIT 10
+    """,
+    "simsearch-recall-eval": """
+        WITH allv AS (
+          SELECT vec_id, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        c AS (SELECT vec_id AS cid, pos, x AS cx FROM allv WHERE vec_id < 8),
+        assign_all AS (
+          SELECT a.vec_id, c.cid, CAST(SUM(a.x * c.cx) AS DOUBLE) AS adot
+          FROM allv a JOIN c ON a.pos = c.pos GROUP BY 1, 2),
+        cells AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY adot DESC, cid) AS rn
+            FROM assign_all) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, pos, x AS qx FROM allv WHERE vec_id < 8),
+        e AS (SELECT vec_id, pos, x FROM allv WHERE vec_id >= 8),
+        ne AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS ne FROM e GROUP BY 1),
+        nq AS (SELECT query_id, CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q GROUP BY 1),
+        d AS (
+          SELECT q.query_id, e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot
+          FROM e JOIN q ON e.pos = q.pos GROUP BY 1, 2),
+        s AS (
+          SELECT d.query_id, d.vec_id,
+                 d.dot / (sqrt(ne.ne) * sqrt(nq.nq)) AS cosine
+          FROM d JOIN ne ON ne.vec_id = d.vec_id
+                 JOIN nq ON nq.query_id = d.query_id),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rn
+            FROM s) WHERE rn <= 5),
+        cand AS (
+          SELECT cq.vec_id AS query_id, ce.vec_id
+          FROM cells cq JOIN cells ce ON ce.cell = cq.cell
+          WHERE cq.vec_id < 8 AND ce.vec_id >= 8),
+        approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.cosine DESC, s.vec_id) AS rn
+            FROM s JOIN cand ON cand.query_id = s.query_id
+                            AND cand.vec_id = s.vec_id) WHERE rn <= 5),
+        hits AS (
+          SELECT a.query_id, COUNT(*) AS n_hit
+          FROM approx a JOIN exact x
+            ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+          GROUP BY 1)
+        SELECT qq.query_id,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               ROUND(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall_at_5
+        FROM (SELECT DISTINCT query_id FROM q) qq
+        LEFT JOIN hits h ON h.query_id = qq.query_id
+        ORDER BY qq.query_id
     """,
     "simsearch-knn-join": """
         WITH q AS (
