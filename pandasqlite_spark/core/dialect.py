@@ -55,7 +55,6 @@ _STRFTIME_MAP = {
     "%M": "mm",
     "%S": "ss",
     "%j": "DDD",
-    "%w": "F",
 }
 
 
@@ -79,6 +78,10 @@ def _rewrite_strftime(sql: str, spans: list[str]) -> str:
             return f"date_format({arg}, 'MM')"
         if fmt == "%d":
             return f"date_format({arg}, 'dd')"
+        if fmt == "%w":
+            # SQLite: day of week 0-6, Sunday = 0; Spark dayofweek() is
+            # 1-7 Sunday = 1 (no ICU pattern matches SQLite's numbering)
+            return f"CAST(dayofweek({arg}) - 1 AS STRING)"
         out = fmt
         for k, v in _STRFTIME_MAP.items():
             out = out.replace(k, v)
@@ -283,6 +286,20 @@ def _rewrite_misc_sqlite(sql: str, spans: list[str]) -> str:
     sql = re.sub(r"\biif\s*\(", "if(", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bAS\s+TEXT\b", "AS STRING", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bAS\s+REAL\b", "AS DOUBLE", sql, flags=re.IGNORECASE)
+    # SQLite NUMERIC affinity preserves the value; Spark NUMERIC is
+    # decimal(10,0) and would TRUNCATE — widen to DOUBLE
+    sql = re.sub(r"\bAS\s+NUMERIC\b", "AS DOUBLE", sql, flags=re.IGNORECASE)
+    # SQLite unicode(c) == Spark ascii(c) (first code point)
+    sql = re.sub(r"\bunicode\s*\(", "ascii(", sql, flags=re.IGNORECASE)
+
+    # a ->> '$.k' / a -> '$.k' → get_json_object(a, '$.k').  (-> returns
+    # JSON text in SQLite; for scalar paths the two coincide with
+    # get_json_object's string result.)
+    sql = re.sub(
+        r"([A-Za-z_][\w.]*|\))\s*->>?\s*\x00(\d+)\x00",
+        lambda m: f"get_json_object({m.group(1)}, \x00{m.group(2)}\x00)",
+        sql,
+    )
 
     def _now(m: re.Match) -> str:
         idx = int(m.group(2))

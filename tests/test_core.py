@@ -149,6 +149,21 @@ def test_rewrite_table_placeholder_token_aware():
             "SELECT printf('%s-%d', a, b) FROM t",
             "SELECT format_string('%s-%d', a, b) FROM t",
         ),
+        # SQLite %w: 0-6 Sunday=0; Spark dayofweek(): 1-7 Sunday=1
+        (
+            "SELECT strftime('%w', d) FROM t",
+            "SELECT CAST(dayofweek(d) - 1 AS STRING) FROM t",
+        ),
+        # NUMERIC affinity preserves values; Spark NUMERIC would truncate
+        ("SELECT CAST(v AS NUMERIC) FROM t", "SELECT CAST(v AS DOUBLE) FROM t"),
+        ("SELECT unicode('A')", "SELECT ascii('A')"),
+        (
+            "SELECT props ->> '$.k', props -> '$.k' FROM t",
+            "SELECT get_json_object(props, '$.k'),"
+            " get_json_object(props, '$.k') FROM t",
+        ),
+        # JSON arrows inside string literals must never rewrite
+        ("SELECT 'a ->> b' FROM t", "SELECT 'a ->> b' FROM t"),
     ],
 )
 def test_dialect_rules(src, expected):
