@@ -21,6 +21,7 @@ def _modules():
     from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
     from pandasqlite_spark.functions import (
         analytics,
+        geo,
         clustering,
         curate,
         dedup,
@@ -52,6 +53,7 @@ def _modules():
         clustering,
         curate,
         graph,
+        geo,
         analytics,
         text,
         timeseries,

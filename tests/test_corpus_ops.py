@@ -403,3 +403,52 @@ def test_pca_partition_invariant_and_dominant(spark, sf_dir):
     assert a.pc1_dominates and b.pc1_dominates
     assert a.total_var == b.total_var and a.max_axis_var == b.max_axis_var
     assert a.total_var > a.max_axis_var > 0
+
+
+def test_geo_radius_cells_cover_the_radius(spark, sf_dir):
+    """The 3×3-cell candidate join must equal the naive all-pairs
+    haversine — proving the cell size covers the radius at every
+    derived latitude."""
+    from pandasqlite_spark.functions.geo import (
+        RADIUS_KM,
+        _derived_point,
+        geo_radius_join,
+        haversine_km,
+    )
+    from pandasqlite_spark.operators.common import load_events
+
+    users = (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .select("user_id", *_derived_point(F.col("user_id"), "lat", "lon"))
+    )
+    sites = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("site_id"),
+        *_derived_point(F.col("n_nationkey") + 1000, "slat", "slon"),
+    )
+    naive = (
+        users.crossJoin(sites)
+        .filter(
+            F.round(
+                haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")), 6
+            )
+            <= RADIUS_KM
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("site_id").alias("n_naive"))
+    )
+    got = geo_radius_join(users, sites)
+    diff = got.join(naive, "user_id", "left").filter(
+        F.coalesce("n_naive", F.lit(0)) != F.col("n_sites")
+    )
+    assert diff.count() == 0
+    # non-trivial hit check on constructed points (sf0.001's random
+    # derivation can legitimately produce zero 500 km hits):
+    u2 = spark.createDataFrame([(1, 0.0, 0.0)], "user_id LONG, lat DOUBLE, lon DOUBLE")
+    s2 = spark.createDataFrame(
+        [(10, 1.0, 1.0), (11, 30.0, 30.0), (12, 0.0, 4.4)],
+        "site_id LONG, slat DOUBLE, slon DOUBLE",
+    )
+    row = geo_radius_join(u2, s2).first()
+    assert row.n_sites == 2  # (1,1) ≈ 157 km and (0,4.4) ≈ 489 km; (30,30) out
