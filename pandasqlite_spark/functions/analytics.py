@@ -669,6 +669,61 @@ def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_type_entropy(load_events(spark, sf_dir))
 
 
+def bot_score(events: DataFrame, k: int = 20) -> DataFrame:
+    """Composite bot/abuse score per user — the feature-fusion pattern
+    of production abuse detection, built from three exact-count
+    signals: LOW type-mix entropy (scripted clients hammer one type),
+    HIGH event rate per active hour, HIGH night-hour share (00-06).
+    Weighted sum, top-k most suspicious.
+
+    Scale shape: every signal is a partial-aggregated groupBy on
+    user_id (type counts, distinct active hours, night counts) joined
+    on the same key — co-partitioned, no broadcast needed; the final
+    ranking is a k-row ``TakeOrderedAndProject``."""
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("user_id").agg(F.sum("c").alias("n_events"))
+    p = F.col("c") / F.col("n_events")
+    ent = (
+        counts.join(totals, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
+    )
+    hours = events.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint").alias("hr_idx"),
+        F.hour("ts").alias("hod"),
+    )
+    activity = hours.groupBy("user_id").agg(
+        F.countDistinct("hr_idx").alias("active_hours"),
+        F.sum(F.when(F.col("hod") < 6, 1).otherwise(0)).alias("n_night"),
+    )
+    j = totals.join(ent, "user_id").join(activity, "user_id")
+    rate = F.col("n_events") / F.col("active_hours")
+    night = F.col("n_night") / F.col("n_events")
+    max_ent = F.log2(F.lit(5.0))
+    score = (
+        0.4 * (1 - F.col("entropy") / max_ent)
+        + 0.3 * F.least(F.lit(1.0), rate / 10)
+        + 0.3 * night
+    )
+    return (
+        j.select(
+            "user_id",
+            "n_events",
+            F.round("entropy", 6).alias("entropy"),
+            F.round(rate, 6).alias("rate"),
+            F.round(night, 6).alias("night_share"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "user_id")
+        .limit(k)
+    )
+
+
+def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bot_score(load_events(spark, sf_dir))
+
+
 def activity_islands(events: DataFrame) -> DataFrame:
     """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
     days (start, end, length) — the classic streak/contiguity analysis,
@@ -1297,6 +1352,7 @@ QUERIES = {
     "agg-corr-matrix": q_agg_corr_matrix,
     "events-benford-check": q_events_benford,
     "events-activity-islands": q_events_islands,
+    "events-bot-score": q_events_bot_score,
     "agg-gini": q_agg_gini,
     "events-abtest-lift": q_events_abtest,
     "events-interval-coalesce": q_events_interval_coalesce,
@@ -1555,6 +1611,36 @@ ORACLES = {
                COUNT(*) AS n_types
         FROM c JOIN t USING (user_id)
         GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    "events-bot-score": """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT user_id, SUM(c) AS n_events FROM c GROUP BY user_id),
+        ent AS (
+          SELECT c.user_id,
+                 -SUM((c.c / CAST(t.n_events AS DOUBLE))
+                      * log2(c.c / CAST(t.n_events AS DOUBLE))) AS entropy
+          FROM c JOIN t USING (user_id) GROUP BY c.user_id),
+        act AS (
+          SELECT user_id,
+                 COUNT(DISTINCT epoch_us(ts) // 3600000000) AS active_hours,
+                 SUM(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS n_night
+          FROM events GROUP BY user_id),
+        j AS (
+          SELECT t.user_id, CAST(t.n_events AS BIGINT) AS n_events,
+                 ent.entropy,
+                 t.n_events / CAST(act.active_hours AS DOUBLE) AS rate,
+                 act.n_night / CAST(t.n_events AS DOUBLE) AS night_share
+          FROM t JOIN ent USING (user_id) JOIN act USING (user_id))
+        SELECT user_id, n_events,
+               ROUND(entropy, 6) AS entropy,
+               ROUND(rate, 6) AS rate,
+               ROUND(night_share, 6) AS night_share,
+               ROUND(0.4 * (1 - entropy / log2(5.0))
+                     + 0.3 * LEAST(1.0, rate / 10)
+                     + 0.3 * night_share, 6) AS score
+        FROM j ORDER BY score DESC, user_id LIMIT 20
     """,
     "events-activity-islands": """
         WITH d AS (

@@ -238,6 +238,44 @@ _CSV_ROWS = [
 ]
 
 
+_CSV_ML_ROWS = (
+    'id,note\n'
+    '1,"plain"\n'
+    '2,"has a\nreal newline inside"\n'
+    '3,"quote "" escape and\ntwo\nnewlines"\n'
+    '4,last\n'
+)
+
+
+def q_scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-multiline CSV discipline: RFC-4180 quoted fields may
+    contain literal newlines; the default line-split reader shreds such
+    rows (8 physical lines here ≠ 4 records), so ``multiLine=true``
+    must parse record-wise.  The cost is real and worth pinning in a
+    scale doc: multiLine files are NOT line-splittable, so each FILE
+    becomes one input partition — at 100 TB this forces many medium
+    files instead of few huge ones (or a preprocessing rewrite to
+    escaped-newline form).  The fixture pins both newline-bearing
+    fields and the ``""`` quote escape; the oracle restates the parsed
+    records as constants."""
+    base = tempfile.mkdtemp(prefix="pqs_csv_ml_")
+    path = os.path.join(base, "rows.csv")
+    with open(path, "w") as f:
+        f.write(_CSV_ML_ROWS)
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')  # RFC-4180 "" quote escape (default is \\)
+        .schema("id INT, note STRING")
+        .csv(path)
+    )
+    return df.select(
+        "id",
+        F.length("note").alias("note_len"),
+        F.size(F.split("note", "\n", -1)).alias("n_lines"),
+    ).orderBy("id")
+
+
 def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record discipline on the CSV source: PERMISSIVE mode
     lands bad rows in ``_corrupt_record`` instead of failing the 100 TB
@@ -633,6 +671,14 @@ ORACLES: dict[str, str] = {
     """,
     # fixture-pinned constants: 8 lines, 4 corrupt (bad type / extra
     # tokens / missing tokens / broken quote), "5," is valid (5, NULL)
+    "scan-csv-multiline": """
+        SELECT * FROM (VALUES
+          (CAST(1 AS INTEGER), CAST(5 AS INTEGER), CAST(1 AS INTEGER)),
+          (2, 25, 2),
+          (3, 31, 3),
+          (4, 4, 1)) AS t(id, note_len, n_lines)
+        ORDER BY id
+    """,
     "scan-csv-malformed": """
         SELECT CAST(8 AS BIGINT) AS n_permissive,
                CAST(4 AS BIGINT) AS n_corrupt,
@@ -791,6 +837,7 @@ QUERIES = {
     "json-schema-parse": q_json_schema_parse,
     "json-variant-parse": q_json_variant,
     "scan-csv-malformed": q_scan_csv_malformed,
+    "scan-csv-multiline": q_scan_csv_multiline,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,
     "explode-outer": q_explode_outer,
