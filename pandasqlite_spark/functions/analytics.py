@@ -669,6 +669,101 @@ def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_type_entropy(load_events(spark, sf_dir))
 
 
+def psi_drift(events: DataFrame, nbins: int = 10, width: float = 10.0) -> DataFrame:
+    """Population Stability Index between the first and last week's
+    ``value`` distributions — THE production ML drift alarm (PSI > 0.2
+    ⇒ investigate): fixed-width bins, per-bin expected vs actual share,
+    ``PSI = Σ (a−e)·ln(a/e)``.
+
+    Scale shape: two filtered one-pass bin counts (partial-aggregated,
+    ≤ nbins rows out), a broadcast-joined bin spine so empty bins keep
+    a floor share (the standard ε guard against ln 0), and the PSI sum
+    runs over nbins rows.  Exact integer counts → IEEE doubles →
+    round — engine-identical."""
+    bin_col = F.least(
+        F.floor(F.col("value") / width).cast("int"), F.lit(nbins - 1)
+    )
+    wk1 = events.filter(F.to_date("ts") < F.lit("2024-01-08").cast("date"))
+    wk4 = events.filter(F.to_date("ts") >= F.lit("2024-01-22").cast("date"))
+
+    def shares(df: DataFrame, alias: str) -> DataFrame:
+        c = df.select(bin_col.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        t = c.agg(F.sum("n").alias("t"))
+        return c.crossJoin(F.broadcast(t)).select(
+            "bin", (F.col("n") / F.col("t")).alias(alias)
+        )
+
+    spine = events.sparkSession.range(0, nbins).select(F.col("id").cast("int").alias("bin"))
+    eps = 1e-6
+    j = (
+        spine.join(shares(wk1, "e_share"), "bin", "left")
+        .join(shares(wk4, "a_share"), "bin", "left")
+        .select(
+            "bin",
+            F.greatest(F.coalesce("e_share", F.lit(0.0)), F.lit(eps)).alias("e"),
+            F.greatest(F.coalesce("a_share", F.lit(0.0)), F.lit(eps)).alias("a"),
+        )
+    )
+    return j.select(
+        "bin",
+        F.round("e", 6).alias("expected_share"),
+        F.round("a", 6).alias("actual_share"),
+        F.round((F.col("a") - F.col("e")) * F.log(F.col("a") / F.col("e")), 6).alias(
+            "psi_term"
+        ),
+    ).orderBy("bin")
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return psi_drift(load_events(spark, sf_dir))
+
+
+def rfm_segmentation(orders: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic customer scoring: per customer days-since-last-order,
+    order count, total spend; each scored 1-5 by ``ntile(5)`` with a
+    deterministic total order (metric, then custkey) so quintile
+    boundaries are reproducible.
+
+    Scale shape: one partial-aggregated groupBy on custkey builds the
+    RFM triple; the three ntile windows are global (customer-table
+    sized — the SMALL side of a retail warehouse; shard by region
+    first if customers alone exceed a task)."""
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+    )
+    anchor = F.lit("1998-12-31").cast("date")
+    rfm = rfm.select(
+        "o_custkey",
+        F.datediff(anchor, F.col("last_order")).alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.col("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.col("o_custkey"))
+    return (
+        rfm.withColumn("r_score", F.ntile(5).over(w_r))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+        .select(
+            "o_custkey", "recency_days", "frequency",
+            F.round("monetary", 2).alias("monetary"),
+            "r_score", "f_score", "m_score",
+            F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segmentation(load(spark, sf_dir, "orders"))
+
+
 def bot_score(events: DataFrame, k: int = 20) -> DataFrame:
     """Composite bot/abuse score per user — the feature-fusion pattern
     of production abuse detection, built from three exact-count
@@ -1353,6 +1448,8 @@ QUERIES = {
     "events-benford-check": q_events_benford,
     "events-activity-islands": q_events_islands,
     "events-bot-score": q_events_bot_score,
+    "events-psi-drift": q_events_psi_drift,
+    "agg-rfm-segmentation": q_rfm_segmentation,
     "agg-gini": q_agg_gini,
     "events-abtest-lift": q_events_abtest,
     "events-interval-coalesce": q_events_interval_coalesce,
@@ -1611,6 +1708,53 @@ ORACLES = {
                COUNT(*) AS n_types
         FROM c JOIN t USING (user_id)
         GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    "events-psi-drift": """
+        WITH b1 AS (
+          SELECT LEAST(CAST(FLOOR(value / 10.0) AS INTEGER), 9) AS bin,
+                 COUNT(*) AS n
+          FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08' GROUP BY 1),
+        b4 AS (
+          SELECT LEAST(CAST(FLOOR(value / 10.0) AS INTEGER), 9) AS bin,
+                 COUNT(*) AS n
+          FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-22' GROUP BY 1),
+        s1 AS (SELECT bin, n / (SELECT CAST(SUM(n) AS DOUBLE) FROM b1) AS e FROM b1),
+        s4 AS (SELECT bin, n / (SELECT CAST(SUM(n) AS DOUBLE) FROM b4) AS a FROM b4),
+        spine AS (SELECT CAST(i.range AS INTEGER) AS bin FROM range(0, 10) i),
+        j AS (
+          SELECT spine.bin,
+                 GREATEST(COALESCE(s1.e, 0.0), 1e-6) AS e,
+                 GREATEST(COALESCE(s4.a, 0.0), 1e-6) AS a
+          FROM spine LEFT JOIN s1 USING (bin) LEFT JOIN s4 USING (bin))
+        SELECT bin,
+               ROUND(e, 6) AS expected_share,
+               ROUND(a, 6) AS actual_share,
+               ROUND((a - e) * ln(a / e), 6) AS psi_term
+        FROM j ORDER BY bin
+    """,
+    "agg-rfm-segmentation": """
+        WITH rfm AS (
+          SELECT o_custkey,
+                 date_diff('day', MAX(o_orderdate), DATE '1998-12-31')
+                   AS recency_days,
+                 COUNT(*) AS frequency,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+          FROM orders GROUP BY o_custkey),
+        scored AS (
+          SELECT o_custkey, recency_days, frequency, monetary,
+                 CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey)
+                   AS INTEGER) AS r_score,
+                 CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS INTEGER) AS f_score,
+                 CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)
+                   AS INTEGER) AS m_score
+          FROM rfm)
+        SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+               frequency, ROUND(monetary, 2) AS monetary,
+               r_score, f_score, m_score,
+               r_score || '-' || f_score || '-' || m_score AS segment
+        FROM scored ORDER BY o_custkey
     """,
     "events-bot-score": """
         WITH c AS (
