@@ -512,6 +512,127 @@ def q_simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_rerank(emb: DataFrame, k: int = MMR_K, pool: int = MMR_POOL) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-ranking: from the
+    query's top-``pool`` cosine shortlist, greedily pick ``k`` items
+    maximizing ``λ·rel − (1−λ)·max-sim-to-already-picked`` — the
+    standard diversification pass after retrieval (search results,
+    RAG context selection, eval-set sampling).
+
+    Scale shape: MMR diversifies a SHORTLIST by contract, so the
+    iterative argmax runs over ``pool`` rows — the distributed work is
+    producing the shortlist (the knn reduction) and the pool×pool
+    pairwise similarities (both oracle-exact decimal paths); the greedy
+    loop then collects ONE row per step, like k-means' per-round
+    centroid pull.  Relevance and similarity are decimal-exact, the
+    score combination is identical IEEE double arithmetic, ties break
+    on vec_id — the selection SEQUENCE is engine-reproducible, and the
+    key emits (step, vec_id) so no float ever reaches the hash."""
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    shortlist = cosine_topk_exact(emb.filter(F.col("vec_id") != 0), query, k=pool)
+    cand_emb = emb.join(shortlist.select("vec_id"), "vec_id")
+    e = cand_emb.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+    )
+    n = e.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("nn")
+    )
+    a = e.select(F.col("vec_id").alias("va"), "pos", F.col("x").alias("xa"))
+    b = e.select(F.col("vec_id").alias("vb"), "pos", F.col("x").alias("xb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("dot"))
+    )
+    sims = (
+        dots.join(n.withColumnRenamed("vec_id", "va").withColumnRenamed("nn", "na"), "va")
+        .join(n.withColumnRenamed("vec_id", "vb").withColumnRenamed("nn", "nb"), "vb")
+        .select("va", "vb", (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("sim"))
+    )
+    rel = {r.vec_id: r.cosine for r in shortlist.collect()}
+    sim_rows = sims.collect()  # pool² rows — bounded by contract
+    sim = {(r.va, r.vb): r.sim for r in sim_rows}
+    selected: list[int] = []
+    for _ in range(k):
+        best = None
+        for v, r in sorted(rel.items()):
+            if v in selected:
+                continue
+            penalty = max((sim[(v, s)] for s in selected), default=0.0)
+            score = MMR_LAMBDA * r - (1 - MMR_LAMBDA) * penalty
+            if best is None or score > best[0] or (score == best[0] and v < best[1]):
+                best = (score, v)
+        selected.append(best[1])
+    out = [(i + 1, v) for i, v in enumerate(selected)]
+    return emb.sparkSession.createDataFrame(out, "step int, vec_id bigint")
+
+
+def q_simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mmr_rerank(load(spark, sf_dir, "embeddings"))
+
+
+
+def _mmr_oracle(k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA) -> str:
+    """Unrolled greedy-selection oracle: CTE s_i picks the argmax of
+    ``lam*rel - (1-lam)*max-sim-to-{s_1..s_{i-1}}`` — generated
+    programmatically so k stays a constant of the operator, not of the
+    SQL text.  ``(1 - lam)`` is left symbolic so both engines compute
+    the identical IEEE constant."""
+    sel = ["s1 AS (SELECT vec_id FROM rel ORDER BY cosine DESC, vec_id LIMIT 1)"]
+    prev = "SELECT vec_id FROM s1"
+    for i in range(2, k + 1):
+        sel.append(f"""s{i} AS (
+          SELECT r.vec_id FROM rel r
+          WHERE r.vec_id NOT IN ({prev})
+          ORDER BY {lam} * r.cosine - (1 - {lam}) * (
+              SELECT MAX(p.sim) FROM sims p
+              WHERE p.va = r.vec_id AND p.vb IN ({prev})) DESC, r.vec_id
+          LIMIT 1)""")
+        prev += f" UNION ALL SELECT vec_id FROM s{i}"
+    final = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, vec_id FROM s{i}" for i in range(1, k + 1)
+    )
+    sel_block = ",\n        ".join(sel)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i) WHERE vec_id <> 0),
+        q AS (
+          SELECT t.i AS pos,
+                 CAST(CAST(qe.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS qx
+          FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qe,
+               generate_series(1, 64) t(i)),
+        nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+        pv AS (
+          SELECT e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+                 CAST(SUM(e.x * e.x) AS DOUBLE) AS ne
+          FROM e JOIN q USING (pos) GROUP BY e.vec_id),
+        rel AS (
+          SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+          FROM pv, nq ORDER BY cosine DESC, vec_id LIMIT {pool}),
+        ce AS (SELECT * FROM e WHERE vec_id IN (SELECT vec_id FROM rel)),
+        nn AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS nn FROM ce GROUP BY 1),
+        pd AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+          FROM ce a JOIN ce b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT va, vb, dot / (sqrt(na.nn) * sqrt(nb.nn)) AS sim
+          FROM pd JOIN nn na ON na.vec_id = pd.va
+                  JOIN nn nb ON nb.vec_id = pd.vb),
+        {sel_block}
+        {final}
+        ORDER BY step
+    """
+
 def q_simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -644,6 +765,7 @@ QUERIES = {
     "simsearch-pq-adc": q_simsearch_pq,
     "simsearch-knn-join": q_simsearch_knn_join,
     "simsearch-recall-eval": q_simsearch_recall_eval,
+    "simsearch-mmr-rerank": q_simsearch_mmr,
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
     "dedup-embedding-bucketed": q_dedup_embedding_bucketed,
@@ -847,6 +969,8 @@ ORACLES = {
         SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
     """,
 }
+
+ORACLES["simsearch-mmr-rerank"] = _mmr_oracle()
 
 ORACLES["embedding-quantize"] = f"""
     SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos, {_QUANT_SQL} AS q
