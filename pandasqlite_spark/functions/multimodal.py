@@ -183,7 +183,87 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_audio(attach_payload(docs))
 
 
+WDS_SHARDS = 8
+WDS_SCHEMA = "shard int, n_items bigint, total_bytes bigint, keys_md5 string"
+
+
+def webdataset_roundtrip(with_payload: DataFrame, out_dir: str) -> DataFrame:
+    """WebDataset-style tar sharding round trip — the storage layout
+    multimodal training actually reads (N tar shards of key-named
+    members, streamed sequentially by the data loader):
+
+    1. every blob hashes to a shard (md5 % WDS_SHARDS — reproducible,
+       balanced);
+    2. one ``applyInPandas`` per shard writes its members (sorted by
+       key for a canonical layout) into ``shard-<i>.tar`` via stdlib
+       ``tarfile`` — the real sink, no imaging libs needed;
+    3. the emitted manifest row is produced by RE-OPENING the written
+       tar and listing it, so the checked values prove the round trip
+       (names, sizes, member count), not just the intent to write.
+
+    Scale shape: one shuffle keyed on shard id; each task streams its
+    members into one tar (the layout's point: object-store-friendly
+    sequential reads); manifest is WDS_SHARDS rows.  Determinism: tar
+    mtimes are pinned to 0 and members sorted, so even the tar BYTES
+    are reproducible (the manifest hashes names, not tar bytes, to
+    stay filesystem-neutral)."""
+    import hashlib
+    import os
+    import tarfile
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % WDS_SHARDS
+    ).cast("int")
+    df = with_payload.select(
+        "doc_id", "payload", shard.alias("shard")
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+
+        sid = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        path = os.path.join(out_dir, f"shard-{sid}.tar")
+        with tarfile.open(path, "w") as tf:
+            for _, row in pdf.iterrows():
+                data = bytes(row["payload"])
+                info = tarfile.TarInfo(name=f"doc_{int(row['doc_id'])}.bin")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+        with tarfile.open(path, "r") as tf:
+            members = tf.getmembers()
+        names = sorted(m.name for m in members)
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "n_items": [len(members)],
+                "total_bytes": [sum(m.size for m in members)],
+                "keys_md5": [hashlib.md5(",".join(names).encode()).hexdigest()],
+            }
+        )
+
+    return (
+        df.groupBy("shard")
+        .applyInPandas(write_shard, WDS_SCHEMA)
+        .orderBy("shard")
+    )
+
+
+def q_multimodal_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    docs = load(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="pqs_wds_")
+    return webdataset_roundtrip(attach_payload(docs), out_dir)
+
+
 QUERIES = {
+    "multimodal-webdataset-roundtrip": q_multimodal_webdataset,
     "multimodal-features": q_multimodal_features,
     "multimodal-frames": q_multimodal_frames,
     "multimodal-audio-windows": q_multimodal_audio_windows,
@@ -193,6 +273,23 @@ QUERIES = {
 # 8-hex-char slice of the digest — SQL can state the expected frames
 # exactly, giving the binary fan-out path a real value-hash oracle
 ORACLES: dict = {
+    # payload = unhex(md5(text)) → 16 bytes per doc; shard = first 16
+    # md5 bits of the doc_id % 8; names sort as strings
+    "multimodal-webdataset-roundtrip": """
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                      % 8 AS INTEGER) AS shard
+          FROM documents),
+        g AS (
+          SELECT shard, COUNT(*) AS n_items,
+                 CAST(16 * COUNT(*) AS BIGINT) AS total_bytes,
+                 md5(string_agg('doc_' || doc_id || '.bin', ','
+                                ORDER BY 'doc_' || doc_id || '.bin')) AS keys_md5
+          FROM s GROUP BY shard)
+        SELECT shard, n_items, total_bytes, keys_md5
+        FROM g ORDER BY shard
+    """,
     "multimodal-frames": """
         SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
                substr(md5(text), i * 8 + 1, 8) AS frame_hex
