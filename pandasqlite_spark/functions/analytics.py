@@ -669,6 +669,40 @@ def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_type_entropy(load_events(spark, sf_dir))
 
 
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value matrix — the acquisition-quality readout:
+    customers cohorted by first-order month, revenue accumulated per
+    (cohort, months-since-acquisition) cell.  Month arithmetic is
+    ``year·12+month`` integers (engine-neutral; ``months_between`` has
+    engine-specific fractional rules).
+
+    Scale shape: first-order month is one groupBy on custkey; the
+    cohort join is custkey-co-partitioned; the matrix aggregation is
+    cohorts × months cells — calendar-bounded.  Revenue accumulates in
+    decimal (order-free), converts to double once per cell."""
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    j = orders.select(
+        "o_custkey", m.alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    ).join(first, "o_custkey")
+    return (
+        j.groupBy(
+            F.col("m0").cast("long").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).cast("long").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("p").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_ltv(load(spark, sf_dir, "orders"))
+
+
 def psi_drift(events: DataFrame, nbins: int = 10, width: float = 10.0) -> DataFrame:
     """Population Stability Index between the first and last week's
     ``value`` distributions — THE production ML drift alarm (PSI > 0.2
@@ -1449,6 +1483,7 @@ QUERIES = {
     "events-activity-islands": q_events_islands,
     "events-bot-score": q_events_bot_score,
     "events-psi-drift": q_events_psi_drift,
+    "orders-cohort-ltv": q_orders_cohort_ltv,
     "agg-rfm-segmentation": q_rfm_segmentation,
     "agg-gini": q_agg_gini,
     "events-abtest-lift": q_events_abtest,
@@ -1708,6 +1743,20 @@ ORACLES = {
                COUNT(*) AS n_types
         FROM c JOIN t USING (user_id)
         GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    "orders-cohort-ltv": """
+        WITH m AS (
+          SELECT o_custkey,
+                 year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders),
+        f AS (SELECT o_custkey, MIN(m) AS m0 FROM m GROUP BY o_custkey)
+        SELECT CAST(f.m0 AS BIGINT) AS cohort_month,
+               CAST(m.m - f.m0 AS BIGINT) AS months_since,
+               COUNT(DISTINCT m.o_custkey) AS n_customers,
+               ROUND(CAST(SUM(m.p) AS DOUBLE), 2) AS revenue
+        FROM m JOIN f USING (o_custkey)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "events-psi-drift": """
         WITH b1 AS (

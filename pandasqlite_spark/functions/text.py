@@ -375,6 +375,38 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+HASH_DIM = 32
+
+
+def hashing_vectorizer(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """Feature-hashing vectorizer (the HashingTF trick): every token
+    hashes to one of ``dim`` feature slots, per-doc slot counts form a
+    fixed-width sparse vector — text → numeric features with NO
+    vocabulary to build, broadcast, or version, which is why the
+    hashing trick survives at corpus scale where a fitted vocabulary
+    becomes a coordination problem.
+
+    Emitted long-form (doc_id, slot, n) — the sparse representation a
+    downstream trainer consumes; one row-local explode + one
+    partial-aggregated groupBy on (doc_id, slot).  md5-slot assignment
+    keeps the vector engine-reproducible (xxhash64 is the production
+    swap, same shape)."""
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    slot = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint") % dim
+    ).cast("int")
+    return (
+        toks.select("doc_id", slot.alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "slot")
+    )
+
+
+def q_text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashing_vectorizer(load(spark, sf_dir, "documents"))
+
+
 def readability_score(col: str = "text") -> Column:
     """Flesch reading-ease with the standard cheap heuristics (vowel
     groups ≈ syllables, ``[.!?]`` runs ≈ sentences) — the classic
@@ -538,6 +570,7 @@ QUERIES = {
     "text-bigram-lm-score": q_text_bigram_lm,
     "text-readability-score": q_text_readability,
     "text-code-detect": q_text_code_detect,
+    "text-hashing-vectorizer": q_text_hashing_vectorizer,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
@@ -562,6 +595,17 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-hashing-vectorizer": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 32 AS INTEGER)
+                 AS slot,
+               COUNT(*) AS n
+        FROM toks
+        GROUP BY doc_id, slot
+        ORDER BY doc_id, slot
+    """,
     "text-code-detect": f"""
         SELECT doc_id,
                ROUND(LEAST(1.0,
