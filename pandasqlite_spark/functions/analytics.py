@@ -669,6 +669,88 @@ def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_type_entropy(load_events(spark, sf_dir))
 
 
+BOOT_R = 20
+# cumulative Poisson(1) CDF thresholds (identical literals both engines)
+_POIS_CDF = [
+    0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9998167774290453,
+]
+
+
+def _poisson_weight(u) -> F.Column:
+    c = F.when(u < _POIS_CDF[0], 0)
+    for i, t in enumerate(_POIS_CDF[1:], start=1):
+        c = c.when(u < t, i)
+    return c.otherwise(len(_POIS_CDF))
+
+
+def bootstrap_ci(orders: DataFrame, reps: int = BOOT_R) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value —
+    the canonical DISTRIBUTED bootstrap: classical resampling needs
+    n-out-of-n draws (global coordination), but Poisson(1) weights per
+    (row, replicate) approximate it with a pure per-row expression, so
+    all R replicates compute in ONE pass over the data.  Weights come
+    from an md5-derived uniform through the inverse Poisson CDF —
+    reproducible in any engine, any partitioning (no RNG stream).
+
+    Scale shape: the replicate fan-out is a row-local explode (R rows
+    per input row — R ≈ tens), one partial-aggregated groupBy on the
+    replicate id, and the CI is a rank pick over R rows.  Weighted
+    sums accumulate in decimal (order-free)."""
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("r"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(0.5)
+        )
+        / F.lit(65536.0)
+    )
+    fan = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("r"),
+    ).withColumn("w", _poisson_weight(u))
+    means = fan.groupBy("r").agg(
+        (
+            F.sum(F.col("w") * F.col("p")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_r")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.withColumn(
+        "rk", F.row_number().over(W.orderBy("mean_r", "r"))
+    )
+    point = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_est")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("mean_r").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == reps - 1).select(F.col("mean_r").alias("ci_hi"))
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(reps).cast("int").alias("n_replicates"),
+            F.round("point_est", 6).alias("point_est"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+        )
+    )
+
+
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bootstrap_ci(load(spark, sf_dir, "orders"))
+
+
 def cohort_ltv(orders: DataFrame) -> DataFrame:
     """Cohort lifetime-value matrix — the acquisition-quality readout:
     customers cohorted by first-order month, revenue accumulated per
@@ -1484,6 +1566,7 @@ QUERIES = {
     "events-bot-score": q_events_bot_score,
     "events-psi-drift": q_events_psi_drift,
     "orders-cohort-ltv": q_orders_cohort_ltv,
+    "agg-bootstrap-ci": q_agg_bootstrap_ci,
     "agg-rfm-segmentation": q_rfm_segmentation,
     "agg-gini": q_agg_gini,
     "events-abtest-lift": q_events_abtest,
@@ -1743,6 +1826,31 @@ ORACLES = {
                COUNT(*) AS n_types
         FROM c JOIN t USING (user_id)
         GROUP BY c.user_id ORDER BY c.user_id
+    """,
+
+    "agg-bootstrap-ci": """
+        WITH fan AS (
+          SELECT o_orderkey,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                 i.range AS r,
+                 (('0x' || substr(md5(o_orderkey || ':' || i.range), 1, 4))::BIGINT
+                  + 0.5) / 65536.0 AS u
+          FROM orders, range(0, 20) i),
+        w AS (SELECT r, p, CASE WHEN u < 0.3678794411714423 THEN 0 WHEN u < 0.7357588823428846 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.9998167774290453 THEN 6 ELSE 7 END AS w FROM fan),
+        means AS (
+          SELECT r, CAST(SUM(w * p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_r
+          FROM w GROUP BY r),
+        ranked AS (
+          SELECT mean_r, ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rk FROM means),
+        pt AS (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS point_est
+          FROM orders)
+        SELECT CAST(20 AS INTEGER) AS n_replicates,
+               ROUND(pt.point_est, 6) AS point_est,
+               ROUND((SELECT mean_r FROM ranked WHERE rk = 2), 6) AS ci_lo,
+               ROUND((SELECT mean_r FROM ranked WHERE rk = 19), 6) AS ci_hi
+        FROM pt
     """,
     "orders-cohort-ltv": """
         WITH m AS (

@@ -375,6 +375,77 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+NB_ALPHA = 1  # Laplace smoothing count
+
+
+def naive_bayes_self_score(docs: DataFrame) -> DataFrame:
+    """Multinomial Naive Bayes trained ON the corpus labels
+    (``source``) and scored back over the same docs — "ML training as
+    relational algebra": class priors and Laplace-smoothed token
+    likelihoods are two partial-aggregated groupBys; scoring is a
+    broadcast join of the (class × token) log-likelihood table onto the
+    per-doc token stream plus a per-doc argmax.  The standard cheap
+    text classifier for corpus routing (and the template for any
+    count-based model: the "model" is an aggregate, "inference" is a
+    broadcast join).
+
+    Determinism: all probabilities are ratios of exact integer counts
+    (+α smoothing); log-sums per doc round to 6 dp; argmax breaks ties
+    on class name.  Emits (doc_id, predicted, match_actual)."""
+    toks = docs.select("doc_id", "source", F.explode(tokens()).alias("tok"))
+    vocab_n = toks.select("tok").distinct().count()
+    class_tok = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    class_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("t"))
+    n_docs = docs.count()
+    priors = docs.groupBy("source").agg(
+        (F.log(F.count(F.lit(1)) / F.lit(float(n_docs)))).alias("log_prior")
+    )
+    classes = class_tot.select(F.col("source").alias("cls"), "t")
+    # every (doc-token, class) pair: smoothed log-likelihood
+    pairs = toks.select("doc_id", "tok", F.col("source").alias("actual")).crossJoin(
+        F.broadcast(classes)
+    )
+    ll = (
+        pairs.join(
+            F.broadcast(class_tok.withColumnsRenamed({"source": "cls"})),
+            ["cls", "tok"],
+            "left",
+        )
+        .select(
+            "doc_id", "actual", "cls",
+            F.log(
+                (F.coalesce("c", F.lit(0)) + F.lit(NB_ALPHA))
+                / (F.col("t") + F.lit(NB_ALPHA) * F.lit(float(vocab_n)))
+            ).alias("lp"),
+        )
+        .groupBy("doc_id", "actual", "cls")
+        .agg(F.round(F.sum("lp"), 6).alias("loglik"))
+    )
+    scored = ll.join(
+        F.broadcast(priors.withColumnsRenamed({"source": "cls"})), "cls"
+    ).select(
+        "doc_id", "actual", "cls",
+        F.round(F.col("loglik") + F.col("log_prior"), 6).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "cls")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cls").alias("predicted"),
+            (F.col("cls") == F.col("actual")).alias("match_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return naive_bayes_self_score(load(spark, sf_dir, "documents"))
+
+
 HASH_DIM = 32
 
 
@@ -571,6 +642,7 @@ QUERIES = {
     "text-readability-score": q_text_readability,
     "text-code-detect": q_text_code_detect,
     "text-hashing-vectorizer": q_text_hashing_vectorizer,
+    "text-naive-bayes": q_text_naive_bayes,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
@@ -595,6 +667,39 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-naive-bayes": f"""
+        WITH toks AS (
+          SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents),
+        vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+        ct AS (SELECT source AS cls, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        tot AS (SELECT source AS cls, COUNT(*) AS t FROM toks GROUP BY 1),
+        pri AS (
+          SELECT source AS cls,
+                 ln(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents))
+                   AS log_prior
+          FROM documents GROUP BY 1),
+        pairs AS (
+          SELECT t.doc_id, t.tok, t.source AS actual, tot.cls, tot.t
+          FROM toks t CROSS JOIN tot),
+        ll AS (
+          SELECT p.doc_id, p.actual, p.cls,
+                 ROUND(SUM(ln((COALESCE(ct.c, 0) + 1)
+                              / (p.t + 1.0 * v.v))), 6) AS loglik
+          FROM pairs p
+          LEFT JOIN ct ON ct.cls = p.cls AND ct.tok = p.tok, vocab v
+          GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT ll.doc_id, ll.actual, ll.cls,
+                 ROUND(ll.loglik + pri.log_prior, 6) AS score
+          FROM ll JOIN pri USING (cls))
+        SELECT doc_id, cls AS predicted, cls = actual AS match_actual
+        FROM (
+          SELECT doc_id, actual, cls, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, cls) AS rn
+          FROM sc)
+        WHERE rn = 1 ORDER BY doc_id
+    """,
     "text-hashing-vectorizer": f"""
         WITH toks AS (
           SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
