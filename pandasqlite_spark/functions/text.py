@@ -375,6 +375,55 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """Zipf-law fit over the corpus rank-frequency curve: OLS of
+    ``ln(freq)`` on ``ln(rank)`` — the slope's magnitude is the Zipf
+    exponent (natural language ≈ 1; gibberish/templated corpora
+    deviate), making this a one-row corpus-health signature.
+
+    Scale shape: token frequencies are one partial-aggregated groupBy
+    (vocab-bounded); the rank window and the 5 moment sums run over the
+    VOCAB table, not the corpus.  Moments are sums of doubles (logs),
+    so unlike :func:`~pandasqlite_spark.functions.analytics
+    .linreg_exact` they are order-sensitive in the last bits — the
+    6-dp rounding absorbs it (≪ 1 ulp-per-term accumulation at vocab
+    sizes)."""
+    from pyspark.sql import Window as W
+
+    freq = (
+        docs.select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        F.col("k").cast("bigint").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit(load(spark, sf_dir, "documents"))
+
+
 NB_ALPHA = 1  # Laplace smoothing count
 
 
@@ -643,6 +692,7 @@ QUERIES = {
     "text-code-detect": q_text_code_detect,
     "text-hashing-vectorizer": q_text_hashing_vectorizer,
     "text-naive-bayes": q_text_naive_bayes,
+    "text-zipf-fit": q_text_zipf_fit,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
@@ -667,6 +717,26 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-zipf-fit": f"""
+        WITH freq AS (
+          SELECT tok, COUNT(*) AS n
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+          GROUP BY tok),
+        ranked AS (
+          SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+                 ln(CAST(n AS DOUBLE)) AS y
+          FROM freq),
+        g AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM ranked)
+        SELECT CAST(k AS BIGINT) AS vocab_size,
+               ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+               ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+                 AS intercept
+        FROM g
+    """,
     "text-naive-bayes": f"""
         WITH toks AS (
           SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents),

@@ -61,6 +61,8 @@ NESTED_LOOP_OK = {
     "events-benford-check",  # 1-row positive-count total broadcast
     "events-changepoint-cusum",  # 1-row global-mean broadcast
     "events-psi-drift",  # two 1-row week-total broadcasts
+    "agg-bootstrap-ci",  # 1-row point-estimate × ci-bound broadcasts
+    "text-naive-bayes",  # |classes|-row broadcast (the scoring fan-out)
     "sketch-hll-merge",  # 1-row merged-sketch × 1-row direct-sketch join
     "sketch-hll-overlap",  # 1-row sketch estimates × 1-row exact overlap
     "scan-csv-malformed",  # 1-row permissive-counts × 1-row dropmalformed-counts
