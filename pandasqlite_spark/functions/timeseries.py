@@ -438,7 +438,113 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(load_events(spark, sf_dir))
 
 
+def haar_decompose(events: DataFrame, day: str = "2024-01-15") -> DataFrame:
+    """Haar wavelet decomposition of each user's 16-point hourly volume
+    profile (hours 0-15 of one day, zero-filled) — multi-resolution
+    signal features: the level-4 approximation is the day's "DC"
+    component, per-level detail ENERGIES localize activity bursts in
+    scale (which resolution carries the variance) — the classic
+    pre-deep-learning time-series fingerprint.
+
+    Uses the UNNORMALIZED Haar transform (pairwise sums/differences,
+    no ÷2) so every coefficient is an exact decimal — no halving, no
+    float drift; energies are decimal sums of squares.  The level-4
+    "approx" is then simply the profile total, and energies are scaled
+    by 4^level relative to the orthonormal basis (a fixed relabeling —
+    fine for features).
+
+    Scale shape: the profile collapse is the only corpus-scale shuffle;
+    each of the 4 unrolled levels is a groupBy on (user, idx div 2)
+    over the shrinking profile (16 → 8 → 4 → 2 → 1 rows/user)."""
+    ev = events.filter(
+        (F.to_date("ts") == F.lit(day).cast("date")) & (F.hour("ts") < 16)
+    ).select("user_id", F.hour("ts").alias("idx"), F.col("value").cast("decimal(18,4)").alias("v"))
+    vol = ev.groupBy("user_id", "idx").agg(F.sum("v").alias("v"))
+    users = vol.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(
+            vol.sparkSession.range(0, 16).select(F.col("id").cast("int").alias("idx"))
+        )
+    )
+    cur = grid.join(vol, ["user_id", "idx"], "left").select(
+        "user_id", "idx",
+        F.coalesce("v", F.lit(0).cast("decimal(18,4)")).alias("v"),
+    )
+    energies = []
+    for level in range(1, 5):
+        half = (F.col("idx") - (F.col("idx") % 2)) / 2
+        paired = cur.groupBy("user_id", half.cast("int").alias("idx")).agg(
+            F.sum("v").cast("decimal(18,4)").alias("a"),
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(-F.col("v"))
+            ).cast("decimal(18,4)").alias("d"),
+        )
+        e = paired.groupBy("user_id").agg(
+            F.sum((F.col("d") * F.col("d")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"e{level}")
+        )
+        energies.append(e)
+        cur = paired.select("user_id", "idx", F.col("a").alias("v"))
+    out = cur.select("user_id", F.col("v").cast("double").alias("approx"))
+    for e in energies:
+        out = out.join(e, "user_id")
+    return out.select(
+        "user_id",
+        F.round("approx", 6).alias("approx"),
+        *[F.round(f"e{i}", 6).alias(f"e{i}") for i in range(1, 5)],
+    ).orderBy("user_id")
+
+
+def q_events_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return haar_decompose(load_events(spark, sf_dir))
+
+
+
+def _haar_oracle(day: str = "2024-01-15") -> str:
+    """Programmatically unrolled 4-level unnormalized Haar oracle."""
+    lvls, energies = [], []
+    prev = "l0"
+    for i in range(1, 5):
+        lvls.append(f"""l{i} AS (
+          SELECT user_id, idx // 2 AS idx,
+                 CAST(SUM(v) AS DECIMAL(18,4)) AS v,
+                 CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)
+                      AS DECIMAL(18,4)) AS d
+          FROM {prev} GROUP BY user_id, idx // 2)""")
+        energies.append(
+            f"e{i} AS (SELECT user_id, CAST(SUM(CAST(d * d AS DECIMAL(38,8)))"
+            f" AS DOUBLE) AS e{i} FROM l{i} GROUP BY user_id)"
+        )
+        prev = f"l{i}"
+    lvl_block = ",\n        ".join(lvls + energies)
+    return f"""
+        WITH vol AS (
+          SELECT user_id, hour(ts) AS idx,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+          FROM events
+          WHERE CAST(ts AS DATE) = DATE '{day}' AND hour(ts) < 16
+          GROUP BY 1, 2),
+        users AS (SELECT DISTINCT user_id FROM vol),
+        grid AS (
+          SELECT u.user_id, CAST(i.range AS INTEGER) AS idx
+          FROM users u CROSS JOIN range(0, 16) i),
+        l0 AS (
+          SELECT g.user_id, g.idx,
+                 COALESCE(v.v, CAST(0 AS DECIMAL(18,4))) AS v
+          FROM grid g LEFT JOIN vol v USING (user_id, idx)),
+        {lvl_block}
+        SELECT l4.user_id,
+               ROUND(CAST(l4.v AS DOUBLE), 6) AS approx,
+               ROUND(e1.e1, 6) AS e1, ROUND(e2.e2, 6) AS e2,
+               ROUND(e3.e3, 6) AS e3, ROUND(e4.e4, 6) AS e4
+        FROM l4 JOIN e1 USING (user_id) JOIN e2 USING (user_id)
+                JOIN e3 USING (user_id) JOIN e4 USING (user_id)
+        ORDER BY l4.user_id
+    """
+
 QUERIES = {
+    "events-haar-wavelet": q_events_haar,
     "agg-incremental-merge": q_agg_incremental_merge,
     "events-changepoint-cusum": q_events_changepoint,
     "events-forecast-backtest": q_events_forecast_backtest,
@@ -451,6 +557,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-haar-wavelet": None,  # filled below from the generator
     "agg-incremental-merge": """
         WITH pd AS (
           SELECT CAST(ts AS DATE) AS day, event_type,
@@ -618,3 +725,5 @@ ORACLES = {
         FROM j ORDER BY user_id, hr
     """,
 }
+
+ORACLES["events-haar-wavelet"] = _haar_oracle()
