@@ -375,6 +375,29 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the
+    labeled ``lang`` column — the eval readout that turns `text-langid`
+    from a feature into a measured classifier (per-cell counts +
+    row-normalized rates).  One groupBy on the (actual, predicted)
+    pair; the rate join is labels×labels rows."""
+    pred = docs.select(F.col("lang").alias("actual"), language_guess().alias("predicted"))
+    cells = pred.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = cells.groupBy("actual").agg(F.sum("n").alias("t"))
+    return (
+        cells.join(row_tot, "actual")
+        .select(
+            "actual", "predicted", "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("rate"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_confusion(load(spark, sf_dir, "documents"))
+
+
 def zipf_fit(docs: DataFrame) -> DataFrame:
     """Zipf-law fit over the corpus rank-frequency curve: OLS of
     ``ln(freq)`` on ``ln(rank)`` — the slope's magnitude is the Zipf
@@ -693,6 +716,7 @@ QUERIES = {
     "text-hashing-vectorizer": q_text_hashing_vectorizer,
     "text-naive-bayes": q_text_naive_bayes,
     "text-zipf-fit": q_text_zipf_fit,
+    "text-langid-confusion": q_text_langid_confusion,
     "text-length-histogram": q_text_length_histogram,
     "text-repetition": q_text_repetition,
     "text-rare-token-ratio": q_text_rare_token_ratio,
@@ -717,6 +741,22 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "text-langid-confusion": f"""
+        WITH pred AS (
+          SELECT lang AS actual,
+                 CASE WHEN len(list_filter({_TOKS}, x -> x IN {_SW_SQL}))
+                           / CAST(len({_TOKS}) AS DOUBLE) >= 0.08
+                      THEN 'en' ELSE 'other' END AS predicted
+          FROM documents),
+        cells AS (
+          SELECT actual, predicted, COUNT(*) AS n
+          FROM pred GROUP BY 1, 2),
+        rt AS (SELECT actual, SUM(n) AS t FROM cells GROUP BY actual)
+        SELECT c.actual, c.predicted, c.n,
+               ROUND(c.n / CAST(rt.t AS DOUBLE), 6) AS rate
+        FROM cells c JOIN rt USING (actual)
+        ORDER BY c.actual, c.predicted
+    """,
     "text-zipf-fit": f"""
         WITH freq AS (
           SELECT tok, COUNT(*) AS n

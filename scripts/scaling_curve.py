@@ -30,6 +30,9 @@ KEYS = [
     "skyline-pareto",              # two-phase windowed dominance
     "join-interval-overlap",       # bucketed interval×interval join
     "sketch-heavy-hitters",        # candidate+verify top-k tokens
+    "text-bigram-lm-score",        # corpus LM train + broadcast score
+    "events-pattern-match",        # CEP lead-window sequence detection
+    "text-naive-bayes",            # relational NB train + score
 ]
 
 
