@@ -476,6 +476,23 @@ def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events-sliding-agg``: overlapping 2h/1h
+    windows over the stream — each event updates BOTH windows covering
+    it, watermark-bounded state, complete-mode drain; shares the batch
+    key's oracle (per-window counts and decimal sums are positional-
+    pick-free, so micro-batch boundaries can't reorder anything)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+    name, _ = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)
+
+
 def q_events_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``events-ohlc``: the same struct-extreme
     open/high/low/close aggregation as a Structured Streaming query —
@@ -825,6 +842,7 @@ QUERIES = {
     "events-retention": q_events_retention,
     "events-gapfill": q_events_gapfill,
     "events-streaming-tumbling": q_events_streaming_tumbling,
+    "events-streaming-sliding": q_events_streaming_sliding,
     "events-streaming-ohlc": q_events_streaming_ohlc,
     "events-streaming-session": q_events_streaming_session,
     "events-streaming-join": q_events_streaming_join,
@@ -1005,6 +1023,8 @@ ORACLES = {
 ORACLES["events-session-two-phase"] = ORACLES["events-session-agg"]
 # the streaming session_window drain must equal the batch session_window
 ORACLES["events-streaming-session"] = ORACLES["events-session-window-native"]
+# the sliding-window stream drain must equal the batch sliding agg
+ORACLES["events-streaming-sliding"] = ORACLES["events-sliding-agg"]
 # the streaming CEP state machine must equal the batch lead-window form
 from pandasqlite_spark.functions.analytics import ORACLES as _AN_ORACLES  # noqa: E402
 
