@@ -751,6 +751,48 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_ci(load(spark, sf_dir, "orders"))
 
 
+def open_backlog(orders: DataFrame) -> DataFrame:
+    """Daily open-order backlog via the SWEEP-LINE formulation — the
+    scalable answer to "how many intervals are active on each day":
+    each interval contributes a +1 event at its start and a −1 the day
+    after it ends (deterministic synthetic duration ``1 +
+    o_custkey % 30`` days), deltas aggregate per day, and a running sum
+    over the CALENDAR (not the data) yields the active count.
+
+    The naive days×intervals stabbing join is O(days·n); the sweep-line
+    is one row-local 2-event explode + a partial-aggregated groupBy on
+    day + a window over |days| rows.  Restricted to one year so the
+    result (and the running-sum window) stays calendar-bounded."""
+    dur = (F.col("o_custkey") % 30 + 1).cast("int")
+    iv = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    ).select(
+        F.col("o_orderdate").alias("lo"),
+        F.date_add(F.col("o_orderdate"), dur).alias("hi_excl"),
+    )
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.col("hi_excl").alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.day", "e.d")
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("open_orders", F.sum("delta").over(w))
+        .filter(F.col("day") < F.lit("1996-01-01").cast("date"))
+        .select(F.col("day").cast("string").alias("day"), "delta", "open_orders")
+        .orderBy("day")
+    )
+
+
+def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return open_backlog(load(spark, sf_dir, "orders"))
+
+
 def cohort_ltv(orders: DataFrame) -> DataFrame:
     """Cohort lifetime-value matrix — the acquisition-quality readout:
     customers cohorted by first-order month, revenue accumulated per
@@ -1566,6 +1608,7 @@ QUERIES = {
     "events-bot-score": q_events_bot_score,
     "events-psi-drift": q_events_psi_drift,
     "orders-cohort-ltv": q_orders_cohort_ltv,
+    "orders-open-backlog": q_orders_open_backlog,
     "agg-bootstrap-ci": q_agg_bootstrap_ci,
     "agg-rfm-segmentation": q_rfm_segmentation,
     "agg-gini": q_agg_gini,
@@ -1851,6 +1894,27 @@ ORACLES = {
                ROUND((SELECT mean_r FROM ranked WHERE rk = 2), 6) AS ci_lo,
                ROUND((SELECT mean_r FROM ranked WHERE rk = 19), 6) AS ci_hi
         FROM pt
+    """,
+    "orders-open-backlog": """
+        WITH iv AS (
+          SELECT o_orderdate AS lo,
+                 o_orderdate + INTERVAL (CAST(o_custkey % 30 + 1 AS INTEGER)) DAY
+                   AS hi_excl
+          FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1996-01-01'),
+        deltas AS (
+          SELECT lo AS day, 1 AS d FROM iv
+          UNION ALL
+          SELECT CAST(hi_excl AS DATE) AS day, -1 AS d FROM iv),
+        daily AS (SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY day)
+        SELECT CAST(day AS VARCHAR) AS day, delta,
+               CAST(SUM(delta) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS open_orders
+        FROM daily
+        WHERE day < DATE '1996-01-01'
+        ORDER BY day
     """,
     "orders-cohort-ltv": """
         WITH m AS (
