@@ -68,6 +68,7 @@ NESTED_LOOP_OK = {
     "scan-csv-malformed",  # 1-row permissive-counts × 1-row dropmalformed-counts
     "rank-similarity-join",  # users × broadcast 5-row type set (dense grid build)
     "events-trajectory-topk",  # users × broadcast 24-row hour grid
+    "events-haar-wavelet",  # users × broadcast 16-slot grid build
     "embedding-assign",
     "text-quality-score",
     "pipeline-compose",
