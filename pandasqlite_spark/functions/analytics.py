@@ -751,6 +751,75 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_ci(load(spark, sf_dir, "orders"))
 
 
+def kaplan_meier(events: DataFrame) -> DataFrame:
+    """Kaplan–Meier survival estimate of time-to-first-purchase after
+    each user's first signup (right-censored at the observation end,
+    2024-01-31) — THE estimator for "how long until users convert /
+    churn / fail" under censoring, which a naive mean-of-durations gets
+    wrong.
+
+    At each distinct event day t: ``n_risk`` = users still under
+    observation, ``d`` = conversions that day, survival =
+    ``Π (1 − d/n)`` accumulated in LOG space with an ordered window
+    (deterministic), exp'd and rounded once.  The duration build is two
+    groupBys on user_id; the risk-set join is |event-days| ×
+    |subjects| — calendar-bounded on one side, so broadcastable."""
+    signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("s_day"))
+    )
+    purchase = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("p_day")
+    )
+    first_conv = (
+        signup.join(purchase, "user_id", "left")
+        .filter(F.col("p_day").isNull() | (F.col("p_day") >= F.col("s_day")))
+        .groupBy("user_id", "s_day")
+        .agg(F.min("p_day").alias("conv_day"))
+    )
+    end = F.lit("2024-01-31").cast("date")
+    subjects = first_conv.select(
+        "user_id",
+        F.when(
+            F.col("conv_day").isNotNull(), F.datediff("conv_day", F.col("s_day"))
+        )
+        .otherwise(F.datediff(end, F.col("s_day")))
+        .alias("dur"),
+        F.col("conv_day").isNotNull().alias("converted"),
+    )
+    times = (
+        subjects.filter("converted")
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    risk = (
+        times.crossJoin(F.broadcast(subjects.select("dur")))
+        .filter(F.col("dur") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).alias("n_risk"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # d == n_risk (everyone remaining converts) sends survival to exactly
+    # 0 — keep that term out of log space and latch zero from there on
+    term = F.when(F.col("d") < F.col("n_risk"), F.log(1 - F.col("d") / F.col("n_risk"))).otherwise(F.lit(0.0))
+    hit_zero = F.sum((F.col("d") >= F.col("n_risk")).cast("int")).over(w)
+    return (
+        risk.withColumn(
+            "survival",
+            F.when(hit_zero > 0, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum(term).over(w)), 6)
+            ),
+        )
+        .select(F.col("t").cast("int").alias("t_days"), "n_risk", "d", "survival")
+        .orderBy("t_days")
+    )
+
+
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kaplan_meier(load_events(spark, sf_dir))
+
+
 def open_backlog(orders: DataFrame) -> DataFrame:
     """Daily open-order backlog via the SWEEP-LINE formulation — the
     scalable answer to "how many intervals are active on each day":
@@ -1609,6 +1678,7 @@ QUERIES = {
     "events-psi-drift": q_events_psi_drift,
     "orders-cohort-ltv": q_orders_cohort_ltv,
     "orders-open-backlog": q_orders_open_backlog,
+    "events-kaplan-meier": q_events_kaplan_meier,
     "agg-bootstrap-ci": q_agg_bootstrap_ci,
     "agg-rfm-segmentation": q_rfm_segmentation,
     "agg-gini": q_agg_gini,
@@ -1894,6 +1964,40 @@ ORACLES = {
                ROUND((SELECT mean_r FROM ranked WHERE rk = 2), 6) AS ci_lo,
                ROUND((SELECT mean_r FROM ranked WHERE rk = 19), 6) AS ci_hi
         FROM pt
+    """,
+    "events-kaplan-meier": """
+        WITH signup AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS s_day
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (
+          SELECT s.user_id, s.s_day, MIN(p.p_day) AS conv_day
+          FROM signup s
+          LEFT JOIN (SELECT user_id, CAST(ts AS DATE) AS p_day
+                     FROM events WHERE event_type = 'purchase') p
+            ON p.user_id = s.user_id AND p.p_day >= s.s_day
+          GROUP BY s.user_id, s.s_day),
+        subj AS (
+          SELECT user_id,
+                 CASE WHEN conv_day IS NOT NULL
+                      THEN date_diff('day', s_day, conv_day)
+                      ELSE date_diff('day', s_day, DATE '2024-01-31') END AS dur,
+                 conv_day IS NOT NULL AS converted
+          FROM conv),
+        times AS (
+          SELECT dur AS t, COUNT(*) AS d FROM subj WHERE converted GROUP BY dur),
+        risk AS (
+          SELECT times.t, times.d, COUNT(*) AS n_risk
+          FROM times JOIN subj ON subj.dur >= times.t
+          GROUP BY times.t, times.d)
+        SELECT CAST(t AS INTEGER) AS t_days, n_risk, d,
+               CASE WHEN SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w > 0
+                    THEN 0.0
+                    ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+                           THEN LN(1 - d / CAST(n_risk AS DOUBLE))
+                           ELSE 0 END) OVER w), 6) END AS survival
+        FROM risk
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t_days
     """,
     "orders-open-backlog": """
         WITH iv AS (

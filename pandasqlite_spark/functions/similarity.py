@@ -512,6 +512,23 @@ def q_simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simsearch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — vector search under a metadata predicate ("top-5
+    nearest WHERE label = 1"), the retrieval mode every production
+    vector store needs and naive ANN indexes fumble (post-filtering
+    top-k can return < k).  Composition: push the attribute filter
+    BEFORE candidate generation (pre-filtering — exactness preserved,
+    and the candidate set shrinks by the filter's selectivity), then
+    the exact decimal cosine top-k.  At 100 TB the filter prunes with
+    the parquet scan (predicate pushdown), so selective filters make
+    filtered search CHEAPER than unfiltered — the opposite of
+    post-filter designs."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = emb.filter((F.col("vec_id") != 0) & (F.col("label") == 1))
+    return cosine_topk_exact(cand, query, k=5)
+
+
 MMR_LAMBDA = 0.7
 MMR_POOL = 20
 MMR_K = 5
@@ -766,6 +783,7 @@ QUERIES = {
     "simsearch-knn-join": q_simsearch_knn_join,
     "simsearch-recall-eval": q_simsearch_recall_eval,
     "simsearch-mmr-rerank": q_simsearch_mmr,
+    "simsearch-filtered": q_simsearch_filtered,
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
     "dedup-embedding-bucketed": q_dedup_embedding_bucketed,
@@ -883,6 +901,25 @@ ORACLES = {
         FROM per_vec, nq
         ORDER BY cosine DESC, vec_id
         LIMIT 10
+    """,
+    "simsearch-filtered": """
+        WITH e AS (
+          SELECT e.vec_id, t.i AS pos,
+                 CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings e, generate_series(1, 64) t(i)
+          WHERE e.vec_id <> 0 AND e.label = 1),
+        q AS (
+          SELECT t.i AS pos,
+                 CAST(CAST(qe.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS qx
+          FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qe,
+               generate_series(1, 64) t(i)),
+        nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+        pv AS (
+          SELECT e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+                 CAST(SUM(e.x * e.x) AS DOUBLE) AS ne
+          FROM e JOIN q USING (pos) GROUP BY e.vec_id)
+        SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+        FROM pv, nq ORDER BY cosine DESC, vec_id LIMIT 5
     """,
     "simsearch-recall-eval": """
         WITH allv AS (

@@ -40,6 +40,8 @@ NESTED_LOOP_OK = {
     "dedup-embedding-cosine",  # declared all-pairs oracle baseline
     "dedup-jaccard-verify",
     "simsearch-topk",  # 1-row broadcast query vector
+    "simsearch-filtered",  # same 1-row query broadcast, pre-filtered corpus
+    "events-kaplan-meier",  # |event-days| × subject-durations risk-set join
     "simsearch-ivf",
     "simsearch-ivf-kmeans",
     "simsearch-sq-rerank",
