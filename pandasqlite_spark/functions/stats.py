@@ -1,0 +1,387 @@
+"""Distribution / dependence / autocorrelation statistics (SURVEY.md
+§2.D extensions).
+
+The moment-based and information-theoretic statistics every corpus or
+product-analytics triage runs before training: shape of a numeric
+distribution (skewness/kurtosis), dependence between two categorical
+columns (pointwise mutual information, chi-square residuals), serial
+dependence of a counting process (autocorrelation function), and a
+robust trend smoother (rolling median).
+
+Reference parity note: the reference (IBM/pandasqlite) delegates all
+analytics to SQLite (`pandasqlite/pandasqlite.py:231-266` executes
+arbitrary generated SQL); these keys extend that delegated surface with
+the statistics its users would ask the LLM for, re-expressed as
+Catalyst-friendly Spark plans.
+
+Cross-engine determinism (driver value-hash contract):
+
+- **Exact integer/decimal accumulation, double only at the end.**
+  Every SUM here is over BIGINT/DECIMAL(38,0) — order-free and
+  bit-exact in any engine at any partitioning.  The final formula is a
+  fixed, fully-parenthesized sequence of IEEE double ops evaluated on
+  identical inputs, so both engines produce identical bits (`sqrt`,
+  `+`, `*`, `/` are exactly rounded; the only libm call is ``ln`` in
+  PMI, absorbed by ROUND(…, 6) like the entropy/lift keys).
+- **`m2*sqrt(m2)` instead of `pow(m2, 1.5)`** — `pow` is NOT
+  exactly-rounded and differs between Java's Math.pow and libm;
+  multiply and sqrt are exact.
+- **Marginals via window sums over the aggregated cell table**, not
+  scalar-subquery broadcasts: the contingency table is ≤ |types|×|buckets|
+  rows, so the unpartitioned window is a constant-size post-aggregation
+  step, and the plan has no nested-loop join to allowlist.
+
+Scale notes (100 TB):
+
+- skew-kurtosis: ONE partial-aggregated groupBy; the map side reduces
+  every partition to 5 numbers per group before the shuffle — the
+  classic one-pass moment sketch.  Power sums accumulate in
+  DECIMAL(38,0): exact at 10^12 rows (x ≤ 50 ⇒ Σx⁴ ≤ 6.25e18 ≪ 1e38),
+  where a raw BIGINT would sit near its 9.2e18 edge.
+- pmi / chi-square: the raw stream collapses to a bounded contingency
+  table (|event types| × |buckets| cells) in one partial-aggregated
+  groupBy; marginals + total are window sums over those few rows.
+- acf: the series is an AGGREGATE (one row per hour) — even 10 years
+  of 100 TB telemetry is < 10^5 hours, so the unpartitioned lag window
+  runs on a trivially small post-shuffle frame.  Deviations are scaled
+  by n (``n·x − S``) to stay integral: no float sums anywhere.
+- rolling-median: same shape — the window runs over one row per day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load, load_events
+
+
+# ------------------------------------------------- skewness / kurtosis
+
+def moment_shape_by_group(
+    df: DataFrame, group_col: str, value_col
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from exact power sums.
+
+    One groupBy computes (n, Σx, Σx², Σx³, Σx⁴) with map-side partial
+    aggregation; the central moments come from the standard expansions
+    m₂ = r₂−m², m₃ = r₃−3m·r₂+2m³, m₄ = r₄−4m·r₃+6m²·r₂−3m⁴ evaluated
+    in double on the exact sums."""
+    base = df.select(F.col(group_col).alias("grp"), value_col.alias("x"))
+    x = F.col("x")
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(x.cast("decimal(38,0)")).alias("s1"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,0)")).alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,0)")).alias("s4"),
+    )
+    n = F.col("cnt").cast("double")
+    m = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m * m
+    m3 = (r3 - (F.lit(3.0) * m) * r2) + F.lit(2.0) * ((m * m) * m)
+    m4 = ((r4 - (F.lit(4.0) * m) * r3) + (F.lit(6.0) * (m * m)) * r2) - F.lit(
+        3.0
+    ) * ((m * m) * (m * m))
+    return (
+        agg.select(
+            F.col("grp"),
+            F.col("cnt").alias("n_rows"),
+            F.round(m, 6).alias("mean_x"),
+            F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+            F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_ex"),
+        )
+        .orderBy("grp")
+    )
+
+
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = moment_shape_by_group(
+        li, "l_returnflag", F.col("l_quantity").cast("bigint")
+    )
+    return out.withColumnRenamed("grp", "l_returnflag")
+
+
+# ------------------------------------------- pointwise mutual information
+
+def pmi_cells(events: DataFrame) -> DataFrame:
+    """PMI of (event_type × day-part) — the dependence probe between a
+    categorical label and a derived bucket (do errors cluster at
+    night?).  Cell/marginal counts are exact; the log ratio is taken on
+    a DECIMAL-exact rational, rounded."""
+    e = events.select(
+        "event_type", F.expr("hour(ts) div 6").cast("int").alias("day_part")
+    )
+    cells = e.groupBy("event_type", "day_part").agg(F.count(F.lit(1)).alias("c_xy"))
+    wx = Window.partitionBy("event_type")
+    wy = Window.partitionBy("day_part")
+    w0 = Window.partitionBy()
+    cells = (
+        cells.withColumn("c_x", F.sum("c_xy").over(wx))
+        .withColumn("c_y", F.sum("c_xy").over(wy))
+        .withColumn("n", F.sum("c_xy").over(w0))
+    )
+    dec = "decimal(19,0)"
+    num = (F.col("c_xy").cast(dec) * F.col("n").cast(dec)).cast("double")
+    den = (F.col("c_x").cast(dec) * F.col("c_y").cast(dec)).cast("double")
+    p_xy = F.col("c_xy").cast("double") / F.col("n").cast("double")
+    pmi = F.log(num / den)
+    return cells.select(
+        "event_type",
+        "day_part",
+        "c_xy",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(p_xy * pmi, 6).alias("mi_term"),
+    ).orderBy("event_type", "day_part")
+
+
+def q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_cells(load_events(spark, sf_dir))
+
+
+# ------------------------------------------------- chi-square residuals
+
+def chisq_residuals(events: DataFrame) -> DataFrame:
+    """Standardized residuals (obs−exp)/√exp of the event_type × weekday
+    contingency table — the per-cell view of the χ² independence test
+    (|resid| > 2 flags the anomalous cells).  Weekday is
+    ``datediff(anchor) % 7`` — pure integer arithmetic, identical in
+    any engine/timezone."""
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+    ).alias("dow")
+    cells = (
+        events.select("event_type", dow)
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    cells = (
+        cells.withColumn("rt", F.sum("obs").over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum("obs").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+    )
+    dec = "decimal(19,0)"
+    exp = (F.col("rt").cast(dec) * F.col("ct").cast(dec)).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    resid = (F.col("obs").cast("double") - exp) / F.sqrt(exp)
+    return cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.round(exp, 6).alias("expected"),
+        F.round(resid, 6).alias("std_resid"),
+    ).orderBy("event_type", "dow")
+
+
+def q_events_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chisq_residuals(load_events(spark, sf_dir))
+
+
+# ------------------------------------------------------ autocorrelation
+
+ACF_MAX_LAG = 6
+
+
+def hourly_acf(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """ACF of the hourly event-count series at lags 1..``max_lag`` —
+    the seasonality detector (a daily cycle shows as a bump at lag 24).
+
+    Deviations are scaled integral: ``dev_t = n·x_t − S`` (so no float
+    mean is ever subtracted); numerators Σ dev_t·dev_{t−k} and the
+    denominator Σ dev² accumulate in DECIMAL(38,0), and only the final
+    ratio is a double."""
+    hc = (
+        events.select(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w0 = Window.partitionBy()
+    hc = hc.withColumn(
+        "dev",
+        (F.sum(F.lit(1)).over(w0) * F.col("x") - F.sum("x").over(w0)).cast(
+            "decimal(18,0)"
+        ),
+    )
+    wlag = Window.orderBy("hr")
+    for k in range(1, max_lag + 1):
+        hc = hc.withColumn(f"lag{k}", F.lag("dev", k).over(wlag))
+    aggs = [F.sum(F.col("dev") * F.col("dev")).alias("den")]
+    for k in range(1, max_lag + 1):
+        aggs.append(F.sum(F.col("dev") * F.col(f"lag{k}")).alias(f"num{k}"))
+    one = hc.agg(*aggs)
+    pairs = ", ".join(
+        f"{k}, round(cast(num{k} as double) / cast(den as double), 6)"
+        for k in range(1, max_lag + 1)
+    )
+    return one.selectExpr(f"stack({max_lag}, {pairs}) as (lag, acf)").orderBy("lag")
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_acf(load_events(spark, sf_dir))
+
+
+# ------------------------------------------------------- rolling median
+
+def rolling_daily_median(events: DataFrame, half_window: int = 3) -> DataFrame:
+    """Centered 7-day rolling median of the daily event count — the
+    robust trend line (one spiky day cannot drag it, unlike a moving
+    average).  Median over ≤ 7 integer-valued doubles is selection + at
+    most one exact midpoint interpolation: bit-identical anywhere.
+    Spark disallows ``median()`` over a framed window, so the frame is
+    materialized with ``collect_list`` (≤ 2·half_window+1 values — a
+    constant-size row-local array) and the midpoint picked exactly."""
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(-half_window, half_window)
+    arr = F.array_sort(F.collect_list(F.col("cnt").cast("double")).over(w))
+    med = F.expr(
+        "CASE WHEN size(win) % 2 = 1 THEN win[CAST(size(win) / 2 AS INT)] "
+        "ELSE (win[CAST(size(win) / 2 AS INT) - 1] "
+        "      + win[CAST(size(win) / 2 AS INT)]) / 2.0 END"
+    )
+    return (
+        daily.withColumn("win", arr)
+        .withColumn("med", med)
+        .select(F.col("day").cast("string").alias("day"), "cnt", "med")
+        .orderBy("day")
+    )
+
+
+def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_daily_median(load_events(spark, sf_dir))
+
+
+QUERIES = {
+    "agg-skew-kurtosis": q_agg_skew_kurtosis,
+    "events-pmi-cells": q_events_pmi,
+    "events-chisq-residuals": q_events_chisq,
+    "events-acf-hourly": q_events_acf,
+    "events-rolling-median": q_events_rolling_median,
+}
+
+ORACLES = {
+    "agg-skew-kurtosis": """
+        WITH b AS (
+          SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+          FROM lineitem),
+        a AS (
+          SELECT grp, COUNT(*) AS cnt,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(x*x AS DECIMAL(38,0))) AS s2,
+                 SUM(CAST(x*x*x AS DECIMAL(38,0))) AS s3,
+                 SUM(CAST(x*x*x*x AS DECIMAL(38,0))) AS s4
+          FROM b GROUP BY grp),
+        d AS (
+          SELECT grp, cnt,
+                 CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS m,
+                 CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE) AS r2,
+                 CAST(s3 AS DOUBLE) / CAST(cnt AS DOUBLE) AS r3,
+                 CAST(s4 AS DOUBLE) / CAST(cnt AS DOUBLE) AS r4
+          FROM a),
+        c AS (
+          SELECT grp, cnt, m,
+                 r2 - m*m AS m2,
+                 (r3 - (3.0*m)*r2) + 2.0*((m*m)*m) AS m3,
+                 ((r4 - (4.0*m)*r3) + (6.0*(m*m))*r2) - 3.0*((m*m)*(m*m)) AS m4
+          FROM d)
+        SELECT grp AS l_returnflag, cnt AS n_rows,
+               ROUND(m, 6) AS mean_x,
+               ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+               ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_ex
+        FROM c ORDER BY grp
+    """,
+    "events-pmi-cells": """
+        WITH e AS (
+          SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS day_part
+          FROM events),
+        cells AS (
+          SELECT event_type, day_part, COUNT(*) AS c_xy
+          FROM e GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, day_part, c_xy,
+                 SUM(c_xy) OVER (PARTITION BY event_type) AS c_x,
+                 SUM(c_xy) OVER (PARTITION BY day_part) AS c_y,
+                 SUM(c_xy) OVER () AS n
+          FROM cells)
+        SELECT event_type, day_part, c_xy,
+               ROUND(ln(CAST(CAST(c_xy AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+                        / CAST(CAST(c_x AS DECIMAL(19,0)) * CAST(c_y AS DECIMAL(19,0)) AS DOUBLE)), 6)
+                 AS pmi,
+               ROUND((CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(CAST(c_xy AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+                          / CAST(CAST(c_x AS DECIMAL(19,0)) * CAST(c_y AS DECIMAL(19,0)) AS DOUBLE)), 6)
+                 AS mi_term
+        FROM m ORDER BY event_type, day_part
+    """,
+    "events-chisq-residuals": """
+        WITH e AS (
+          SELECT event_type,
+                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow
+          FROM events),
+        cells AS (
+          SELECT event_type, dow, COUNT(*) AS obs FROM e GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, dow, obs,
+                 SUM(obs) OVER (PARTITION BY event_type) AS rt,
+                 SUM(obs) OVER (PARTITION BY dow) AS ct,
+                 SUM(obs) OVER () AS n
+          FROM cells),
+        x AS (
+          SELECT event_type, dow, obs,
+                 CAST(CAST(rt AS DECIMAL(19,0)) * CAST(ct AS DECIMAL(19,0)) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS exp
+          FROM m)
+        SELECT event_type, dow, obs,
+               ROUND(exp, 6) AS expected,
+               ROUND((CAST(obs AS DOUBLE) - exp) / sqrt(exp), 6) AS std_resid
+        FROM x ORDER BY event_type, dow
+    """,
+    "events-acf-hourly": """
+        WITH hc AS (
+          SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS x
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT hr,
+                 CAST(SUM(1) OVER () * x - SUM(x) OVER () AS DECIMAL(18,0)) AS dev
+          FROM hc),
+        l AS (
+          SELECT dev,
+                 LAG(dev, 1) OVER (ORDER BY hr) AS lag1,
+                 LAG(dev, 2) OVER (ORDER BY hr) AS lag2,
+                 LAG(dev, 3) OVER (ORDER BY hr) AS lag3,
+                 LAG(dev, 4) OVER (ORDER BY hr) AS lag4,
+                 LAG(dev, 5) OVER (ORDER BY hr) AS lag5,
+                 LAG(dev, 6) OVER (ORDER BY hr) AS lag6
+          FROM d),
+        a AS (
+          SELECT SUM(dev * dev) AS den,
+                 SUM(dev * lag1) AS num1, SUM(dev * lag2) AS num2,
+                 SUM(dev * lag3) AS num3, SUM(dev * lag4) AS num4,
+                 SUM(dev * lag5) AS num5, SUM(dev * lag6) AS num6
+          FROM l)
+        SELECT v.lag,
+               ROUND(CAST(CASE v.lag
+                            WHEN 1 THEN num1 WHEN 2 THEN num2 WHEN 3 THEN num3
+                            WHEN 4 THEN num4 WHEN 5 THEN num5 WHEN 6 THEN num6
+                          END AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        FROM a, (VALUES (1),(2),(3),(4),(5),(6)) AS v(lag)
+        ORDER BY v.lag
+    """,
+    "events-rolling-median": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+          FROM events GROUP BY 1)
+        SELECT CAST(day AS VARCHAR) AS day, cnt,
+               median(CAST(cnt AS DOUBLE)) OVER (
+                 ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+        FROM daily ORDER BY day
+    """,
+}

@@ -702,8 +702,69 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load(spark, sf_dir, "documents"))
 
 
+BM25_TERMS = ("spark", "window")  # query terms for the ranking key
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents for a bag of query terms — the
+    standard lexical-retrieval scorer (quality filtering by topicality,
+    eval-set retrieval baselines).
+
+    Scale shape: one explode → (doc, term) partial-aggregated tf
+    groupBy restricted to the |terms| query tokens, a broadcast join of
+    the |terms|-row df table, and one 1-row (N, avgdl) broadcast; the
+    final top-k is TakeOrderedAndProject.  tf/dl/df/N are exact
+    integers; the idf's ``ln`` is the only libm call, absorbed by
+    ROUND(…, 6) (same contract as the entropy/lift keys)."""
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    ).crossJoin(F.broadcast(dl.agg(F.sum("dl").alias("sum_dl"))))
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * ((tfd * F.lit(k1 + 1.0)) / (tfd + norm))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top)
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "pipeline-compose": q_pipeline_compose,
+    "text-bm25": q_text_bm25,
     "text-chunk-overlap": q_text_chunk_overlap,
     "text-tokenize": q_text_tokenize,
     "text-langid": q_text_langid,
@@ -934,6 +995,32 @@ ORACLES = {
                CAST(n_tokens - COALESCE(n_frequent, 0) AS DOUBLE) / n_tokens
                  AS rare_ratio
         FROM totals LEFT JOIN per_doc ON totals.doc_id = per_doc.doc_id
+    """,
+    "text-bm25": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+          WHERE tok IN ('spark', 'window') GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        corpus AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT SUM(dl) FROM dl) AS sum_dl)
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5))
+                 * ((CAST(tf AS DOUBLE) * 2.2)
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dfreq USING (tok)
+        JOIN dl USING (doc_id), corpus
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
     "text-tfidf": f"""
         WITH toks AS (

@@ -21,6 +21,7 @@ def _modules():
     from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
     from pandasqlite_spark.functions import (
         analytics,
+        stats,
         geo,
         clustering,
         curate,
@@ -55,6 +56,7 @@ def _modules():
         graph,
         geo,
         analytics,
+        stats,
         text,
         timeseries,
         udfs,

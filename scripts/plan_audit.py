@@ -52,6 +52,7 @@ NESTED_LOOP_OK = {
     "tpch-q22",  # 1-row avg-balance broadcast
     "corpus-length-quantiles",
     "text-tfidf",  # 1-row corpus-count broadcast
+    "text-bm25",  # 1-row (N, avgdl) corpus broadcast
     "join-bloom-prune",  # 1-row broadcast Bloom bitmap (the point of the operator)
     "graph-pagerank",  # 1-row broadcast node count N
     "mixture-token-weighted",  # 1-row min-total broadcast
