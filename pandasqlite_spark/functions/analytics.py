@@ -1295,6 +1295,56 @@ def validate_expectations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile of the whole schema: one row per
+    declared FK relationship with child cardinality and orphan count —
+    the first audit run against any newly-landed warehouse drop (and
+    the one that catches partial loads: orphans ≠ 0 on a relationship
+    that was clean yesterday).
+
+    Scale shape: each relationship is ONE left join of the child
+    against the parent's distinct key (dims broadcast at real fact/dim
+    ratios; the fact-fact case shuffles on the key with AQE), with row
+    and orphan counts collapsing in the same aggregate pass — the child
+    is never scanned twice per relationship.  The 7 one-row results
+    union into the report."""
+    rels = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    parts = []
+    for name, child_t, ck, parent_t, pk in rels:
+        child = load(spark, sf_dir, child_t).select(F.col(ck).alias("ck"))
+        parent = (
+            load(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        parts.append(
+            child.join(parent, child.ck == parent.pk, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)).alias(
+                    "n_orphans"
+                ),
+            )
+            .select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("intact", F.col("n_orphans") == 0).orderBy("relationship")
+
+
+def q_validate_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return referential_profile(spark, sf_dir)
+
+
 def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_expectations(
         load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
@@ -1668,6 +1718,7 @@ QUERIES = {
     "table-checksum": q_table_checksum,
     "profile-table": q_profile_table,
     "validate-expectations": q_validate_expectations,
+    "validate-referential": q_validate_referential,
     "skyline-pareto": q_skyline_pareto,
     "rank-similarity-join": q_rank_similarity_join,
     "agg-linreg-exact": q_agg_linreg_exact,
@@ -1696,6 +1747,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "validate-referential": """
+        WITH rels AS (
+          SELECT 'customer.c_nationkey->nation' AS relationship,
+                 (SELECT COUNT(*) FROM customer) AS n_child,
+                 (SELECT COUNT(*) FROM customer c LEFT JOIN
+                    (SELECT DISTINCT n_nationkey AS pk FROM nation) p
+                    ON c.c_nationkey = p.pk WHERE p.pk IS NULL) AS n_orphans
+          UNION ALL
+          SELECT 'events.user_id->customer',
+                 (SELECT COUNT(*) FROM events),
+                 (SELECT COUNT(*) FROM events e LEFT JOIN
+                    (SELECT DISTINCT c_custkey AS pk FROM customer) p
+                    ON e.user_id = p.pk WHERE p.pk IS NULL)
+          UNION ALL
+          SELECT 'lineitem.l_orderkey->orders',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l LEFT JOIN
+                    (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+                    ON l.l_orderkey = p.pk WHERE p.pk IS NULL)
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l LEFT JOIN
+                    (SELECT DISTINCT p_partkey AS pk FROM part) p
+                    ON l.l_partkey = p.pk WHERE p.pk IS NULL)
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l LEFT JOIN
+                    (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+                    ON l.l_suppkey = p.pk WHERE p.pk IS NULL)
+          UNION ALL
+          SELECT 'nation.n_regionkey->region',
+                 (SELECT COUNT(*) FROM nation),
+                 (SELECT COUNT(*) FROM nation n LEFT JOIN
+                    (SELECT DISTINCT r_regionkey AS pk FROM region) p
+                    ON n.n_regionkey = p.pk WHERE p.pk IS NULL)
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+                 (SELECT COUNT(*) FROM orders),
+                 (SELECT COUNT(*) FROM orders o LEFT JOIN
+                    (SELECT DISTINCT c_custkey AS pk FROM customer) p
+                    ON o.o_custkey = p.pk WHERE p.pk IS NULL)
+        )
+        SELECT relationship, n_child, n_orphans,
+               n_orphans = 0 AS intact
+        FROM rels ORDER BY relationship
+    """,
     "events-dau-cumulative": """
         WITH by_day AS (
           SELECT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -777,7 +777,146 @@ def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load(spark, sf_dir, "embeddings"))
 
 
+# ------------------------------------------------ embedding health stats
+
+LOW_VAR_EPS = 0.001
+
+
+def embedding_dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension mean/variance across the corpus — the embedding
+    health check (a collapsed dimension carries no information; a
+    drifting mean breaks cosine assumptions).  posexplode → ONE
+    partial-aggregated groupBy on the dimension index (64 groups
+    regardless of corpus size); decimal(8,6) components keep the power
+    sums exact and order-free, double only in the final variance."""
+    e = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").cast(_DEC).alias("x")
+    )
+    agg = e.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    nd = F.col("n_vecs").cast("double")
+    m = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - m * m
+    return (
+        agg.select(
+            F.col("pos").alias("dim"),
+            "n_vecs",
+            F.round(m, 6).alias("mean_x"),
+            F.round(var, 6).alias("variance"),
+            (F.round(var, 6) < F.lit(LOW_VAR_EPS)).alias("low_var"),
+        )
+        .orderBy("dim")
+    )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dim_stats(load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- Matryoshka truncation
+
+MRL_PREFIX = 16  # retained leading dimensions
+
+
+def matryoshka_recall(emb: DataFrame, prefix: int = MRL_PREFIX, k: int = 5) -> DataFrame:
+    """Recall@k of PREFIX-dimension cosine search against full-dimension
+    exact search — the Matryoshka-truncation eval: how many dimensions
+    can be dropped (4× cheaper dot products, 4× smaller index) before
+    ranking quality degrades.
+
+    One posexplode feeds BOTH scorings: full and prefix dot/norm sums
+    come out of the same (query, vec) groupBy via conditional decimal
+    sums, both ranks are windows partitioned by query, and recall is
+    the count of rows inside both top-k sets — no second scan, no
+    re-join of candidate lists."""
+    e = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "pos", F.col("xf").cast("double").cast(_DEC).alias("x")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx"))
+    )
+    c = e.filter(F.col("vec_id") >= 8)
+    zero = F.lit(0).cast("decimal(17,12)")
+    pre = F.col("pos") < prefix
+
+    norms_c = c.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).alias("ne_full"),
+        F.sum(F.when(pre, F.col("x") * F.col("x")).otherwise(zero)).alias("ne_pre"),
+    )
+    norms_q = q.groupBy("query_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).alias("nq_full"),
+        F.sum(F.when(pre, F.col("qx") * F.col("qx")).otherwise(zero)).alias("nq_pre"),
+    )
+    dots = (
+        c.join(F.broadcast(q), "pos")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("qx")).alias("dot_full"),
+            F.sum(F.when(pre, F.col("x") * F.col("qx")).otherwise(zero)).alias(
+                "dot_pre"
+            ),
+        )
+    )
+    s = (
+        dots.join(norms_c, "vec_id")
+        .join(F.broadcast(norms_q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.col("dot_full").cast("double")
+                / (
+                    F.sqrt(F.col("ne_full").cast("double"))
+                    * F.sqrt(F.col("nq_full").cast("double"))
+                )
+            ).alias("cos_full"),
+            (
+                F.col("dot_pre").cast("double")
+                / (
+                    F.sqrt(F.col("ne_pre").cast("double"))
+                    * F.sqrt(F.col("nq_pre").cast("double"))
+                )
+            ).alias("cos_pre"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pre").desc(), F.col("vec_id")
+    )
+    ranked = s.withColumn("rn_full", F.row_number().over(w_full)).withColumn(
+        "rn_pre", F.row_number().over(w_pre)
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rn_full") <= k) & (F.col("rn_pre") <= k), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_hit")
+        )
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_recall(load(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
+    "embedding-dim-stats": q_embedding_dim_stats,
+    "embedding-matryoshka-recall": q_embedding_matryoshka,
     "simsearch-topk": q_simsearch_topk,
     "simsearch-pq-adc": q_simsearch_pq,
     "simsearch-knn-join": q_simsearch_knn_join,
@@ -876,6 +1015,72 @@ _EMB_DUP_ORACLE = f"""
 """
 
 ORACLES = {
+    "embedding-dim-stats": """
+        WITH e AS (
+          SELECT t.i - 1 AS dim,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        a AS (
+          SELECT dim, COUNT(*) AS n_vecs, SUM(x) AS s1, SUM(x * x) AS s2
+          FROM e GROUP BY 1)
+        SELECT dim, n_vecs,
+               ROUND(CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS mean_x,
+               ROUND(CAST(s2 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 6)
+                 AS variance,
+               ROUND(CAST(s2 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 6) < 0.001
+                 AS low_var
+        FROM a ORDER BY dim
+    """,
+    "embedding-matryoshka-recall": """
+        WITH allv AS (
+          SELECT vec_id, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        q AS (SELECT vec_id AS query_id, pos, x AS qx FROM allv WHERE vec_id < 8),
+        c AS (SELECT vec_id, pos, x FROM allv WHERE vec_id >= 8),
+        nc AS (
+          SELECT vec_id, SUM(x * x) AS ne_full,
+                 SUM(CASE WHEN pos <= 16 THEN x * x
+                          ELSE CAST(0 AS DECIMAL(16,12)) END) AS ne_pre
+          FROM c GROUP BY 1),
+        nq AS (
+          SELECT query_id, SUM(qx * qx) AS nq_full,
+                 SUM(CASE WHEN pos <= 16 THEN qx * qx
+                          ELSE CAST(0 AS DECIMAL(16,12)) END) AS nq_pre
+          FROM q GROUP BY 1),
+        d AS (
+          SELECT q.query_id, c.vec_id,
+                 SUM(c.x * q.qx) AS dot_full,
+                 SUM(CASE WHEN c.pos <= 16 THEN c.x * q.qx
+                          ELSE CAST(0 AS DECIMAL(16,12)) END) AS dot_pre
+          FROM c JOIN q ON c.pos = q.pos GROUP BY 1, 2),
+        s AS (
+          SELECT d.query_id, d.vec_id,
+                 CAST(dot_full AS DOUBLE)
+                   / (sqrt(CAST(ne_full AS DOUBLE)) * sqrt(CAST(nq_full AS DOUBLE)))
+                   AS cos_full,
+                 CAST(dot_pre AS DOUBLE)
+                   / (sqrt(CAST(ne_pre AS DOUBLE)) * sqrt(CAST(nq_pre AS DOUBLE)))
+                   AS cos_pre
+          FROM d JOIN nc USING (vec_id) JOIN nq USING (query_id)),
+        r AS (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_full DESC, vec_id) AS rn_full,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_pre DESC, vec_id) AS rn_pre
+          FROM s)
+        SELECT query_id,
+               CAST(SUM(CASE WHEN rn_full <= 5 AND rn_pre <= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               ROUND(CAST(SUM(CASE WHEN rn_full <= 5 AND rn_pre <= 5 THEN 1 ELSE 0 END)
+                          AS BIGINT) / 5.0, 6) AS recall_at_5
+        FROM r GROUP BY 1 ORDER BY 1
+    """,
     "simsearch-ivf": _IVF_ORACLE,
     "dedup-embedding-cosine": _EMB_DUP_ORACLE,
     "dedup-embedding-bucketed": _EMB_BUCKETED_ORACLE,

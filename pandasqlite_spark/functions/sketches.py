@@ -211,7 +211,64 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(load(spark, sf_dir, "documents"))
 
 
+CMS_W = 64  # counters per row
+CMS_D = 3  # hash rows
+
+
+def countmin_estimates(events: DataFrame, w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact counts, per user —
+    the OTHER mergeable frequency sketch (HLL answers "how many
+    distinct", CMS answers "how often is key k", in d·w counters that
+    merge by plain addition across partitions/days).
+
+    The build runs on the (key, count) AGGREGATE, not the raw stream:
+    one partial-aggregated groupBy collapses 100 TB of events to |keys|
+    rows, the d-row explode fans those out to d·|keys| counter updates,
+    and a second groupBy onto the d·w counter grid is the sketch.
+    Estimates probe the same md5 column hash (portable: no engine RNG)
+    and take ``min`` over the d rows; CMS guarantees est ≥ true, which
+    the ``overcount`` column exhibits and the unit test asserts.
+    """
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    upd = counts.withColumn(
+        "r", F.explode(F.array(*[F.lit(i) for i in range(d)]))
+    ).withColumn(
+        "c",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % w,
+    )
+    sketch = upd.groupBy("r", "c").agg(F.sum("true_cnt").alias("cnt"))
+    est = (
+        upd.join(sketch, ["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        counts.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_cnt",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandasqlite_spark.operators.common import load_events
+
+    return countmin_estimates(load_events(spark, sf_dir))
+
+
 QUERIES = {
+    "sketch-countmin": q_sketch_countmin,
     "sketch-heavy-hitters": q_sketch_heavy_hitters,
     "sketch-hll-merge": q_sketch_hll_merge,
     "sketch-hll-overlap": q_sketch_hll_overlap,
@@ -219,6 +276,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch-countmin": """
+        WITH counts AS (
+          SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1),
+        upd AS (
+          SELECT user_id, true_cnt, r.range AS r,
+                 ('0x' || substr(md5(r.range || ':' || user_id), 1, 8))::BIGINT % 64
+                   AS c
+          FROM counts, range(3) r),
+        sketch AS (SELECT r, c, SUM(true_cnt) AS cnt FROM upd GROUP BY 1, 2),
+        est AS (
+          SELECT u.user_id, MIN(s.cnt) AS cms_est
+          FROM upd u JOIN sketch s ON s.r = u.r AND s.c = u.c
+          GROUP BY 1)
+        SELECT c.user_id, c.true_cnt,
+               CAST(e.cms_est AS BIGINT) AS cms_est,
+               CAST(e.cms_est - c.true_cnt AS BIGINT) AS overcount
+        FROM counts c JOIN est e USING (user_id)
+        ORDER BY c.user_id
+    """,
     "sketch-heavy-hitters": r"""
         WITH tok AS (
           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
