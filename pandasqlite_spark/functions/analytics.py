@@ -1295,6 +1295,144 @@ def validate_expectations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def state_dwell_times(events: DataFrame) -> DataFrame:
+    """Time-weighted state occupancy: how long users SIT in each
+    event-type state (the gap to their next event), not how often they
+    enter it — the telemetry view that separates a frequent-but-brief
+    state from a rare-but-sticky one.
+
+    Scale shape: one `lead` window partitioned on user_id (the same
+    single user-key shuffle as sessionization), then one partial-
+    aggregated groupBy on the 5-value type key.  Gap micros are exact
+    integers; totals accumulate in DECIMAL(38,0) (10¹² rows × hour-long
+    gaps overflows BIGINT); mean becomes double only at the end."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("gap_us", F.lead(us).over(w) - us)
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("total_us"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            F.col("total_us").cast("bigint").alias("total_us"),
+            F.round(
+                (F.col("total_us").cast("double") / F.col("n_intervals").cast("double"))
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_dwell_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return state_dwell_times(load_events(spark, sf_dir))
+
+
+def pareto_coverage(orders: DataFrame) -> DataFrame:
+    """Revenue-concentration curve (the 80/20 readout): customers
+    ranked by spend, bucketed into deciles by INTEGER arithmetic
+    (`((rank−1)·10) div n + 1` — no float percentile), with each
+    decile's exact decimal revenue and the cumulative share.
+
+    Scale shape: one groupBy collapses orders to per-customer totals;
+    the rank window and the 10-row decile aggregate run on the customer
+    aggregate, not the fact table; revenue stays DECIMAL end-to-end and
+    shares divide exact decimals only in the final projection."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    n = Window.partitionBy()
+    ranked = per_cust.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_cust", F.count(F.lit(1)).over(n)
+    )
+    deciles = (
+        ranked.withColumn("decile", F.expr("((rnk - 1) * 10) div n_cust + 1"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("rev"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return (
+        deciles.withColumn("cum_rev", F.sum("rev").over(wc))
+        .withColumn("total_rev", F.sum("rev").over(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(
+                F.col("rev").cast("double") / F.col("total_rev").cast("double"), 6
+            ).alias("rev_share"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("total_rev").cast("double"),
+                6,
+            ).alias("cum_rev_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pareto_coverage(load(spark, sf_dir, "orders"))
+
+
+ATTRIB_LOOKBACK_H = 72
+
+
+def last_touch_attribution(
+    events: DataFrame, lookback_h: int = ATTRIB_LOOKBACK_H
+) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING click within the lookback window — the
+    marketing-analytics join every conversion report starts from,
+    expressed as one window pass instead of a per-purchase range join.
+
+    Scale shape: one window partitioned on user_id over the
+    click∪purchase sub-stream (filter pushed to the scan) carrying the
+    last-click (ts, id) forward; gap arithmetic on exact epoch micros.
+    A mega-user key skews the window partition the same way
+    sessionization does — the two-phase salted pattern
+    (events-session-two-phase) applies unchanged."""
+    sub = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    is_click = F.col("event_type") == "click"
+    sub = sub.withColumn(
+        "click_us", F.last(F.when(is_click, F.unix_micros(F.col("ts"))), True).over(w)
+    ).withColumn("click_id", F.last(F.when(is_click, F.col("event_id")), True).over(w))
+    gap_us = F.unix_micros(F.col("ts")) - F.col("click_us")
+    in_window = F.col("click_us").isNotNull() & (
+        gap_us <= F.lit(lookback_h * 3600 * 1000000)
+    )
+    return (
+        sub.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(in_window, F.col("click_id")).alias("attributed_click_id"),
+            F.when(
+                in_window, F.expr("(unix_micros(ts) - click_us) div 1000000")
+            ).alias("gap_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(load_events(spark, sf_dir))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -1719,6 +1857,9 @@ QUERIES = {
     "profile-table": q_profile_table,
     "validate-expectations": q_validate_expectations,
     "validate-referential": q_validate_referential,
+    "events-state-dwell": q_events_state_dwell,
+    "agg-pareto-coverage": q_agg_pareto_coverage,
+    "events-attribution": q_events_attribution,
     "skyline-pareto": q_skyline_pareto,
     "rank-similarity-join": q_rank_similarity_join,
     "agg-linreg-exact": q_agg_linreg_exact,
@@ -1747,6 +1888,78 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-state-dwell": """
+        WITH g AS (
+          SELECT event_type,
+                 LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                   - epoch_us(ts) AS gap_us
+          FROM events),
+        f AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+        a AS (
+          SELECT event_type, COUNT(*) AS n_intervals,
+                 SUM(CAST(gap_us AS DECIMAL(38,0))) AS total_us
+          FROM f GROUP BY 1)
+        SELECT event_type, n_intervals,
+               CAST(total_us AS BIGINT) AS total_us,
+               ROUND((CAST(total_us AS DOUBLE) / CAST(n_intervals AS DOUBLE))
+                     / 1000000.0, 6) AS mean_dwell_s
+        FROM a ORDER BY event_type
+    """,
+    "agg-pareto-coverage": """
+        WITH pc AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT o_custkey, rev,
+                 ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+                 COUNT(*) OVER () AS n_cust
+          FROM pc),
+        d AS (
+          SELECT ((rnk - 1) * 10) // n_cust + 1 AS decile,
+                 COUNT(*) AS n_customers, SUM(rev) AS rev
+          FROM r GROUP BY 1),
+        c AS (
+          SELECT decile, n_customers, rev,
+                 SUM(rev) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rev,
+                 SUM(rev) OVER () AS total_rev
+          FROM d)
+        SELECT decile, n_customers,
+               ROUND(CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+                 AS rev_share,
+               ROUND(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+                 AS cum_rev_share
+        FROM c ORDER BY decile
+    """,
+    "events-attribution": """
+        WITH sub AS (
+          SELECT user_id, event_id, ts, event_type FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        w AS (
+          SELECT user_id, event_id, ts, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'click'
+                                 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_us,
+                 LAST_VALUE(CASE WHEN event_type = 'click'
+                                 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_id
+          FROM sub)
+        SELECT event_id AS purchase_id, user_id,
+               CASE WHEN click_us IS NOT NULL
+                         AND epoch_us(ts) - click_us <= 259200000000
+                    THEN click_id END AS attributed_click_id,
+               CASE WHEN click_us IS NOT NULL
+                         AND epoch_us(ts) - click_us <= 259200000000
+                    THEN (epoch_us(ts) - click_us) // 1000000 END AS gap_s
+        FROM w WHERE event_type = 'purchase'
+        ORDER BY purchase_id
+    """,
     "validate-referential": """
         WITH rels AS (
           SELECT 'customer.c_nationkey->nation' AS relationship,
