@@ -33,6 +33,11 @@ KEYS = [
     "text-bigram-lm-score",        # corpus LM train + broadcast score
     "events-pattern-match",        # CEP lead-window sequence detection
     "text-naive-bayes",            # relational NB train + score
+    "agg-skew-kurtosis",           # one-pass decimal moment sketch
+    "sketch-countmin",             # mergeable d×w frequency sketch
+    "embedding-matryoshka-recall", # dual-dimension rank overlap
+    "events-attribution",          # carry-forward window credit
+    "text-bm25",                   # query-restricted tf + broadcast stats
 ]
 
 
