@@ -1337,6 +1337,117 @@ def q_events_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_dwell_times(load_events(spark, sf_dir))
 
 
+def winsorized_mean(orders: DataFrame) -> DataFrame:
+    """Per-group winsorized mean (clip at the exact P5/P95 order
+    statistics, then average) — the robust center that keeps every row,
+    unlike a trimmed mean, and resists the fat tails a plain AVG
+    doesn't.
+
+    The percentile is SELECTION, not interpolation: bound ranks come
+    from integer arithmetic (``ceil(q·n) = (q·n + 99) div 100``), the
+    bound VALUES from one rank window per group, so no float percentile
+    enters the clip.  Clipped sums stay DECIMAL; only the final means
+    are doubles.
+
+    Scale shape: the rank window partitions on the 5-value group key —
+    an exact per-group percentile needs that per-group sort; at extreme
+    group sizes substitute the equi-depth histogram key
+    (histogram-equi-depth) and clip at approximate bounds instead."""
+    base = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("p", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = base.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    lo_rank = F.expr("(cnt * 5 + 99) div 100")
+    hi_rank = F.expr("(cnt * 95 + 99) div 100")
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("p"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("p"))).alias("hi"),
+    )
+    clipped = base.join(F.broadcast(bounds), "o_orderpriority").withColumn(
+        "cp",
+        F.when(F.col("p") < F.col("lo"), F.col("lo"))
+        .when(F.col("p") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("p")),
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("lo").cast("double").alias("p5"),
+            F.min("hi").cast("double").alias("p95"),
+            F.sum("cp").alias("s_clip"),
+            F.sum("p").alias("s_raw"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.col("p5").cast("double").alias("p5"),
+            F.col("p95").cast("double").alias("p95"),
+            F.round(
+                F.col("s_clip").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("winsorized_mean"),
+            F.round(
+                F.col("s_raw").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("raw_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorized_mean(load(spark, sf_dir, "orders"))
+
+
+PATH_LEN = 5
+PATH_TOPK = 10
+
+
+def top_user_paths(
+    events: DataFrame, depth: int = PATH_LEN, k: int = PATH_TOPK
+) -> DataFrame:
+    """Top-k user journeys: each user's first ``depth`` event types
+    joined into a path string, counted across users — the
+    journey-mining readout behind funnel design (which flows actually
+    happen vs the one you instrumented for).
+
+    Scale shape: one rank window on the user key keeps only ``depth``
+    rows per user (filter BEFORE the path build), the path assembles
+    row-locally via sort-by-rank structs, and the path groupBy
+    partial-aggregates — the shuffle carries ≤ one short string per
+    user, then one row per distinct path."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= depth)
+    )
+    paths = first_n.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(k)
+    )
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_user_paths(load_events(spark, sf_dir))
+
+
 def pareto_coverage(orders: DataFrame) -> DataFrame:
     """Revenue-concentration curve (the 80/20 readout): customers
     ranked by spend, bucketed into deciles by INTEGER arithmetic
@@ -1858,6 +1969,8 @@ QUERIES = {
     "validate-expectations": q_validate_expectations,
     "validate-referential": q_validate_referential,
     "events-state-dwell": q_events_state_dwell,
+    "agg-winsorized-mean": q_agg_winsorized_mean,
+    "events-top-paths": q_events_top_paths,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
     "skyline-pareto": q_skyline_pareto,
@@ -1888,6 +2001,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg-winsorized-mean": """
+        WITH base AS (
+          SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                 o_orderkey
+          FROM orders),
+        ranked AS (
+          SELECT o_orderpriority, p,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY p, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+          FROM base),
+        bounds AS (
+          SELECT o_orderpriority,
+                 MAX(CASE WHEN rn = (cnt * 5 + 99) // 100 THEN p END) AS lo,
+                 MAX(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN p END) AS hi
+          FROM ranked GROUP BY 1),
+        clipped AS (
+          SELECT b.o_orderpriority, b.p, o.lo, o.hi,
+                 CASE WHEN b.p < o.lo THEN o.lo
+                      WHEN b.p > o.hi THEN o.hi
+                      ELSE b.p END AS cp
+          FROM base b JOIN bounds o USING (o_orderpriority))
+        SELECT o_orderpriority, COUNT(*) AS n_rows,
+               CAST(MIN(lo) AS DOUBLE) AS p5, CAST(MIN(hi) AS DOUBLE) AS p95,
+               ROUND(CAST(SUM(cp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS winsorized_mean,
+               ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS raw_mean
+        FROM clipped GROUP BY 1 ORDER BY 1
+    """,
+    "events-top-paths": """
+        WITH r AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        p AS (
+          SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 5 GROUP BY user_id)
+        SELECT path, COUNT(*) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_users DESC, path LIMIT 10
+    """,
     "events-state-dwell": """
         WITH g AS (
           SELECT event_type,
