@@ -1404,6 +1404,34 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_mean(load(spark, sf_dir, "orders"))
 
 
+def log2_histogram(orders: DataFrame) -> DataFrame:
+    """Power-of-two (HDR-style) histogram of order values — the
+    latency/size-distribution view with constant bucket count over any
+    range.  The bucket index is ``floor(log2(v))+1`` computed as the
+    BINARY DIGIT COUNT of the floored integer (`length(bin(x))`) —
+    pure integer arithmetic, immune to the 1-ulp `log2()` boundary
+    drift that flips ``floor`` at exact powers of two.  One row-local
+    projection + one ≤64-group partial-aggregated groupBy."""
+    dollars = F.expr("CAST(floor(o_totalprice) AS BIGINT)")
+    bucket = F.length(F.bin(dollars)).alias("bucket")
+    return (
+        orders.select(bucket, F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("p").alias("rev"))
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").alias("lo_dollars"),
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return log2_histogram(load(spark, sf_dir, "orders"))
+
+
 PATH_LEN = 5
 PATH_TOPK = 10
 
@@ -1970,6 +1998,7 @@ QUERIES = {
     "validate-referential": q_validate_referential,
     "events-state-dwell": q_events_state_dwell,
     "agg-winsorized-mean": q_agg_winsorized_mean,
+    "agg-log2-histogram": q_agg_log2_histogram,
     "events-top-paths": q_events_top_paths,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2001,6 +2030,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg-log2-histogram": """
+        WITH b AS (
+          SELECT length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS bucket,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders)
+        SELECT bucket,
+               CAST(1 AS BIGINT) << (bucket - 1) AS lo_dollars,
+               COUNT(*) AS n_orders,
+               CAST(SUM(p) AS DOUBLE) AS revenue
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
     "agg-winsorized-mean": """
         WITH base AS (
           SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,

@@ -543,7 +543,113 @@ def _haar_oracle(day: str = "2024-01-15") -> str:
         ORDER BY l4.user_id
     """
 
+LTTB_BUCKETS = 100
+
+
+def lttb_downsample(events: DataFrame, buckets: int = LTTB_BUCKETS) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the (ts, value)
+    stream to ``buckets`` representative points — the standard
+    shape-preserving reduction for plotting million-point series.
+
+    The strict LTTB recurrence is sequential (each pick depends on the
+    previous); this is the parallel anchor variant every distributed
+    implementation uses: the triangle anchors are the NEIGHBOR BUCKET
+    AVERAGES, so every bucket's argmax is independent.  First and last
+    points are kept exactly (the LTTB contract for the edges).
+
+    Cross-engine exactness: time rides as integral micros relative to
+    min (1-row broadcast bounds), values as integral cents; the
+    triangle area is compared by its cross-product NUMERATOR — the
+    rational area scaled by n_prev·n_next — in DECIMAL(38,0), so no
+    division or float enters the argmax, and the picked point per
+    bucket hash-matches any engine.
+
+    Scale shape: one pass assigns buckets by integer arithmetic, one
+    B-row stats aggregate broadcasts to the candidate scoring, and the
+    per-bucket argmax is a rank window partitioned on the bucket key
+    (B partitions — raise ``buckets`` with data size to bound
+    per-bucket rows)."""
+    pts = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = pts.agg(
+        F.min("us").alias("min_us"),
+        (F.max("us") - F.min("us") + F.lit(1)).alias("span"),
+    )
+    pb = (
+        pts.crossJoin(F.broadcast(bounds))
+        .withColumn("rel", F.col("us") - F.col("min_us"))
+        .withColumn("bucket", F.expr(f"(rel * {buckets}) div span"))
+        .select("event_id", "rel", "cents", "bucket")
+    )
+    dec = "decimal(19,0)"
+    stats = pb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("rel").cast(dec)).alias("sx"),
+        F.sum(F.col("cents").cast(dec)).alias("sy"),
+    )
+    prev = stats.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("cnt").alias("pn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+    )
+    nxt = stats.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("cnt").alias("nn"),
+        F.col("sx").alias("nsx"),
+        F.col("sy").alias("nsy"),
+    )
+    interior = (
+        pb.filter((F.col("bucket") > 0) & (F.col("bucket") < buckets - 1))
+        .join(F.broadcast(prev), "bucket")
+        .join(F.broadcast(nxt), "bucket")
+    )
+    f1 = (F.col("psx") - (F.col("pn") * F.col("rel")).cast(dec)).cast(dec)
+    f2 = (F.col("nsy") - (F.col("nn") * F.col("cents")).cast(dec)).cast(dec)
+    f3 = (F.col("nsx") - (F.col("nn") * F.col("rel")).cast(dec)).cast(dec)
+    f4 = (F.col("psy") - (F.col("pn") * F.col("cents")).cast(dec)).cast(dec)
+    scored = interior.withColumn("num", F.abs(f1 * f2 - f3 * f4))
+    w = W.partitionBy("bucket").orderBy(F.col("num").desc(), F.col("event_id"))
+    picked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "event_id", "rel", "cents")
+    )
+    w_first = W.partitionBy("bucket").orderBy("rel", "event_id")
+    w_last = W.partitionBy("bucket").orderBy(F.col("rel").desc(), F.col("event_id").desc())
+    edges = (
+        pb.filter(F.col("bucket") == 0)
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "event_id", "rel", "cents")
+        .unionByName(
+            pb.filter(F.col("bucket") == buckets - 1)
+            .withColumn("rn", F.row_number().over(w_last))
+            .filter(F.col("rn") == 1)
+            .select("bucket", "event_id", "rel", "cents")
+        )
+    )
+    return (
+        picked.unionByName(edges)
+        .select(
+            "bucket",
+            "event_id",
+            F.col("rel").alias("rel_us"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lttb_downsample(load_events(spark, sf_dir))
+
+
 QUERIES = {
+    "events-downsample-lttb": q_events_lttb,
     "events-haar-wavelet": q_events_haar,
     "agg-incremental-merge": q_agg_incremental_merge,
     "events-changepoint-cusum": q_events_changepoint,
@@ -557,6 +663,56 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-downsample-lttb": """
+        WITH pts AS (
+          SELECT event_id, epoch_us(ts) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        bounds AS (
+          SELECT MIN(us) AS min_us, MAX(us) - MIN(us) + 1 AS span FROM pts),
+        pb AS (
+          SELECT event_id, us - min_us AS rel, cents,
+                 ((us - min_us) * 100) // span AS bucket
+          FROM pts, bounds),
+        stats AS (
+          SELECT bucket, COUNT(*) AS cnt,
+                 SUM(CAST(rel AS DECIMAL(19,0))) AS sx,
+                 SUM(CAST(cents AS DECIMAL(19,0))) AS sy
+          FROM pb GROUP BY 1),
+        scored AS (
+          SELECT p.bucket, p.event_id, p.rel, p.cents,
+                 abs(CAST(pr.sx - CAST(pr.cnt * p.rel AS DECIMAL(19,0)) AS DECIMAL(19,0))
+                     * CAST(nx.sy - CAST(nx.cnt * p.cents AS DECIMAL(19,0)) AS DECIMAL(19,0))
+                     - CAST(nx.sx - CAST(nx.cnt * p.rel AS DECIMAL(19,0)) AS DECIMAL(19,0))
+                       * CAST(pr.sy - CAST(pr.cnt * p.cents AS DECIMAL(19,0)) AS DECIMAL(19,0)))
+                   AS num
+          FROM pb p
+          JOIN stats pr ON pr.bucket = p.bucket - 1
+          JOIN stats nx ON nx.bucket = p.bucket + 1
+          WHERE p.bucket > 0 AND p.bucket < 99),
+        picked AS (
+          SELECT bucket, event_id, rel, cents FROM (
+            SELECT bucket, event_id, rel, cents,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY num DESC, event_id) AS rn
+            FROM scored) WHERE rn = 1),
+        edges AS (
+          SELECT bucket, event_id, rel, cents FROM (
+            SELECT bucket, event_id, rel, cents,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY rel, event_id) AS rn
+            FROM pb WHERE bucket = 0) WHERE rn = 1
+          UNION ALL
+          SELECT bucket, event_id, rel, cents FROM (
+            SELECT bucket, event_id, rel, cents,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY rel DESC, event_id DESC) AS rn
+            FROM pb WHERE bucket = 99) WHERE rn = 1)
+        SELECT bucket, event_id, rel AS rel_us,
+               CAST(cents AS DOUBLE) / 100.0 AS value
+        FROM (SELECT * FROM picked UNION ALL SELECT * FROM edges)
+        ORDER BY bucket
+    """,
     "events-haar-wavelet": None,  # filled below from the generator
     "agg-incremental-merge": """
         WITH pd AS (

@@ -637,6 +637,19 @@ def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution driven to completion: per-user
+    last-click state credits purchases as they arrive; the result must
+    hash-match the BATCH window formulation (functions/analytics.py
+    last_touch_attribution) via the shared oracle.  evict=False for the
+    finite drain (timers block availableNow termination)."""
+    from pandasqlite_spark.streaming.stateful import attribution_stream
+
+    stream = attribution_stream(read_events_stream(spark, sf_dir), evict=False)
+    name, _ = run_stream_to_memory(stream, mode="append")
+    return spark.table(name).orderBy("purchase_id")
+
+
 def q_events_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data semantics PROVEN, not just configured: the
     stream arrives as three ordered files — days 1-20, days 21-25,
@@ -831,6 +844,7 @@ QUERIES = {
     "events-streaming-enrich": q_events_streaming_enrich,
     "events-streaming-rate-limit": q_events_streaming_rate_limit,
     "events-stateful-profiles": q_events_stateful_profiles,
+    "events-streaming-attribution": q_events_streaming_attribution,
     "events-streaming-pattern": q_events_streaming_pattern,
     "events-streaming-late-drop": q_events_streaming_late_drop,
     "events-tumbling-agg": q_events_tumbling,
@@ -1046,4 +1060,33 @@ ORACLES["events-stateful-profiles"] = """
     SELECT user_id, COUNT(*) AS n_events,
            MAX(epoch_ms(ts)) AS last_ms
     FROM events GROUP BY user_id
+"""
+
+
+ORACLES["events-streaming-attribution"] = """
+    WITH sub AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_us,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_id
+      FROM sub)
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN click_us IS NOT NULL
+                     AND epoch_us(ts) - click_us <= 259200000000
+                THEN click_id END AS attributed_click_id,
+           CASE WHEN click_us IS NOT NULL
+                     AND epoch_us(ts) - click_us <= 259200000000
+                THEN (epoch_us(ts) - click_us) // 1000000 END AS gap_s
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY purchase_id
 """

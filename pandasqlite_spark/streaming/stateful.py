@@ -179,3 +179,76 @@ def sequence_match_stream(events: DataFrame, evict: bool = True) -> DataFrame:
         if evict
         else GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_OUT_SCHEMA = (
+    "purchase_id bigint, user_id bigint, attributed_click_id bigint, gap_s bigint"
+)
+ATTR_STATE_SCHEMA = "click_us bigint, click_id bigint"
+ATTR_LOOKBACK_US = 72 * 3600 * 1_000_000
+
+
+def _attribute(key, pdfs, state: GroupState):
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    click_us, click_id = state.get if state.exists else (None, None)
+    out_p, out_c, out_g = [], [], []
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["us", "event_id"]).iterrows():
+            if row["event_type"] == "click":
+                click_us, click_id = int(row["us"]), int(row["event_id"])
+            else:  # purchase
+                if click_us is not None and row["us"] - click_us <= ATTR_LOOKBACK_US:
+                    out_c.append(click_id)
+                    out_g.append((int(row["us"]) - click_us) // 1_000_000)
+                else:
+                    out_c.append(None)
+                    out_g.append(None)
+                out_p.append(int(row["event_id"]))
+    if click_us is not None:
+        state.update((click_us, click_id))
+    try:
+        state.setTimeoutDuration(ATTR_LOOKBACK_US // 1000)  # evict after lookback
+    except Exception:
+        pass  # NoTimeout finite drains reject timer registration
+    if out_p:
+        yield pd.DataFrame(
+            {
+                "purchase_id": pd.array(out_p, dtype="Int64"),
+                "user_id": pd.array([user_id] * len(out_p), dtype="Int64"),
+                "attributed_click_id": pd.array(out_c, dtype="Int64"),
+                "gap_s": pd.array(out_g, dtype="Int64"),
+            }
+        )
+
+
+def attribution_stream(events: DataFrame, evict: bool = True) -> DataFrame:
+    """Streaming twin of :func:`pandasqlite_spark.functions.analytics.
+    last_touch_attribution` — per-user last-click state (TWO bigints per
+    key, constant regardless of history length: the whole point of the
+    stateful form vs re-windowing the history) credits each purchase as
+    it arrives.  State evicts after the 72 h lookback (an older click
+    could never be credited anyway), which bounds the store at
+    |active users|.  Batch equivalence holds when each user's events
+    arrive in event-time order (finite-drain harness guarantees it;
+    production fronts an event-time sorter or accepts late-reorder
+    misses, like the CEP twin)."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(events.sparkSession)
+    sub = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    return sub.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=ATTR_OUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -53,6 +53,7 @@ NESTED_LOOP_OK = {
     "corpus-length-quantiles",
     "text-tfidf",  # 1-row corpus-count broadcast
     "text-bm25",  # 1-row (N, avgdl) corpus broadcast
+    "events-downsample-lttb",  # 1-row (min, span) bounds broadcast
     "join-bloom-prune",  # 1-row broadcast Bloom bitmap (the point of the operator)
     "graph-pagerank",  # 1-row broadcast node count N
     "mixture-token-weighted",  # 1-row min-total broadcast

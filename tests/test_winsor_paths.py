@@ -53,3 +53,39 @@ def test_top_paths_truncates_at_depth(spark):
     )
     out = top_user_paths(ev).collect()
     assert out[0].path == ">".join(["view"] * 5)
+
+
+def test_log2_histogram_exact_power_boundaries(spark):
+    from pandasqlite_spark.functions.analytics import log2_histogram
+
+    orders = spark.createDataFrame(
+        [(float(v),) for v in [1.0, 1.99, 2.0, 3.5, 4.0, 7.99, 8.0]],
+        "o_totalprice double",
+    )
+    out = {r.bucket: r for r in log2_histogram(orders).collect()}
+    # bucket b covers [2^(b-1), 2^b): exact powers of two land in the
+    # HIGHER bucket with no log() boundary drift
+    assert out[1].n_orders == 2 and out[1].lo_dollars == 1  # 1.0, 1.99
+    assert out[2].n_orders == 2 and out[2].lo_dollars == 2  # 2.0, 3.5
+    assert out[3].n_orders == 2 and out[3].lo_dollars == 4  # 4.0, 7.99
+    assert out[4].n_orders == 1 and out[4].lo_dollars == 8  # 8.0
+
+
+def test_lttb_keeps_edges_and_picks_spike(spark):
+    import datetime as dt
+
+    from pandasqlite_spark.functions.timeseries import lttb_downsample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 400 seconds of flat signal with one huge spike at t=150
+    for i in range(400):
+        v = 100.0 if i == 150 else 1.0
+        rows.append((i, t0 + dt.timedelta(seconds=i), v))
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double")
+    out = lttb_downsample(ev, buckets=4).collect()
+    by_bucket = {r.bucket: r for r in out}
+    assert by_bucket[0].event_id == 0      # first point kept exactly
+    assert by_bucket[3].event_id == 399    # last point kept exactly
+    # the spike lives in bucket 1 (t in [100, 200)) and must be picked
+    assert by_bucket[1].event_id == 150 and by_bucket[1].value == 100.0
