@@ -113,6 +113,63 @@ FROM seq
 """
 
 
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (Spark 4 native `xml` format — the
+    spark-xml package folded into core): nation written as <row>
+    elements, read back with an explicit rowTag.  XML files are not
+    line-splittable (like multiLine CSV/JSON, one task per file), so at
+    scale many medium files beat one giant document — the writer's
+    natural per-partition output already has that shape."""
+    out = _tmp(sf_dir, "nation_xml")
+    src = load(spark, sf_dir, "nation")
+    if not (Path(out) / "_SUCCESS").exists():
+        src.coalesce(1).write.mode("overwrite").format("xml").option(
+            "rootTag", "nations"
+        ).option("rowTag", "nation").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning PROOF: the Hive-partitioned orders
+    copy (partitioned by order year) joins a dim whose qualifying years
+    are only known at RUNTIME (distinct ship years of filtered
+    lineitem).  Catalyst injects a DynamicPruningExpression subquery
+    into the fact scan, so only the qualifying year partitions are ever
+    read — the mechanism that keeps star joins over 100 TB
+    time-partitioned facts proportional to the dim selection, with no
+    hand-written predicate.  `tests/test_scale.py` asserts the pruning
+    subquery is present in the plan (and that disabling the feature
+    removes it, proving the assert bites)."""
+    out = _tmp(sf_dir, "orders_by_year")
+    src = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    if not (Path(out) / "_SUCCESS").exists():
+        src.write.mode("overwrite").partitionBy("yr").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .filter(F.year("l_shipdate") >= 1997)
+        .select(F.year("l_shipdate").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "yr")
+        .groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("yr")
+    )
+
+
 def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_SQL)
 
@@ -371,6 +428,8 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "scan-json": q_scan_json,
     "scan-orc": q_scan_orc,
+    "scan-xml": q_scan_xml,
+    "join-dpp-prune": q_join_dpp,
     "scan-partitioned": q_scan_partitioned,
     "scan-binaryfile": q_scan_binaryfile,
     "cte-recursive": q_cte_recursive,
@@ -386,6 +445,18 @@ QUERIES = {
 ORACLES = {
     "scan-json": "SELECT * FROM nation",
     "scan-orc": "SELECT * FROM nation",
+    "scan-xml": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "join-dpp-prune": """
+        WITH f AS (
+          SELECT year(o_orderdate) AS yr, o_totalprice FROM orders),
+        d AS (
+          SELECT DISTINCT year(l_shipdate) AS yr FROM lineitem
+          WHERE l_returnflag = 'R' AND year(l_shipdate) >= 1997)
+        SELECT CAST(f.yr AS INTEGER) AS yr, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM f JOIN d USING (yr)
+        GROUP BY 1 ORDER BY 1
+    """,
     "scan-partitioned": """
         SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS yr
         FROM orders WHERE year(o_orderdate) = 1997

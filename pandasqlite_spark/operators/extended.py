@@ -552,6 +552,30 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a TIMESTAMP ORDER BY with an interval bound:
+    each event sees its user's trailing-1-hour activity (count + cents
+    sum) — the time-decayed feature window every fraud/abuse model
+    consumes.  Unlike a ROWS frame, peers are defined by event TIME, so
+    burst traffic widens the frame's row count but never its state
+    bound (O(events-in-1h) per partition cursor).  Cents stay integral
+    for the cross-engine hash."""
+    from pandasqlite_spark.operators.common import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+        FROM events_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
+
+
 def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a numeric ORDER BY key: peers within a value
     distance (vs ROWS' positional distance).  State per partition is a
@@ -749,6 +773,16 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    "window-range-interval": """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS cents_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
     "window-range-between": """
         SELECT c_custkey, c_nationkey, c_acctbal,
                COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
@@ -846,6 +880,7 @@ QUERIES = {
     "string-funcs-extra": q_string_funcs_extra,
     "agg-cube": q_agg_cube,
     "window-range-between": q_window_range_between,
+    "window-range-interval": q_window_range_interval,
     "values-inline": q_values_inline,
     "sort-nulls-last": q_sort_nulls_last,
     "catalog-insert-select": q_catalog_insert_select,

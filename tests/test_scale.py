@@ -544,3 +544,21 @@ def test_skyline_two_phase_no_pairwise_join(spark, sf_dir):
     two_phase = q_skyline_pareto(spark, sf_dir).collect()
     n_total = p.count()
     assert 0 < len(two_phase) < n_total
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """join-dpp-prune must trigger dynamic partition pruning: the fact
+    scan carries a dynamicpruning subquery on the partition column; with
+    the feature disabled the subquery disappears (the assert bites)."""
+    from pandasqlite_spark.operators.advanced import q_join_dpp
+
+    def plan_text():
+        df = q_join_dpp(spark, sf_dir)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "dynamicpruning" in plan_text().lower()
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        assert "dynamicpruning" not in plan_text().lower()
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
