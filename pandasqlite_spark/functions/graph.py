@@ -66,6 +66,63 @@ def pagerank_scaled(
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
+BFS_MAX_HOPS = 3
+
+
+def bfs_hops(edges, seeds, max_hops: int = BFS_MAX_HOPS):
+    """Bounded breadth-first distances from a seed set (≤ ``max_hops``)
+    — the "blast radius" / n-degrees-of-separation query, unrolled into
+    ``max_hops`` frontier-expansion rounds: each round is ONE equi-join
+    of the current frontier against the edge list plus one anti-join
+    against the visited set, so the plan is static and every step is a
+    key-partitioned hash join (frontiers stay small relative to edges;
+    the visited anti-join is the classic iterative-BFS dedup).
+
+    For unbounded diameters this becomes the usual iterate-to-fixpoint
+    driver loop (like pagerank_scaled); the bounded form is the one
+    product queries actually run."""
+    from pyspark.sql import functions as F
+
+    visited = seeds.select("node", F.lit(0).alias("dist"))
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        cand = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cand.join(visited.select("node"), "node", "left_anti").select(
+            "node", F.lit(k).alias("dist")
+        )
+        visited = visited.unionByName(new)
+        frontier = new.select("node")
+    return visited.orderBy("dist", "node")
+
+
+def q_graph_bfs_hops(spark, sf_dir):
+    """3-hop BFS over the symmetrized customer↔supplier trade graph
+    from the two lowest-id customer nodes; summarized as nodes-per-
+    distance (the full frontier list is the intermediate)."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(2,), (4,)], "node bigint")
+    d = bfs_hops(sym, seeds)
+    return d.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("dist")
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the symmetrized customer↔supplier trade graph
     (edge iff the customer ordered a line from the supplier); top-20
@@ -196,12 +253,44 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "graph-bfs-hops": q_graph_bfs_hops,
     "graph-pagerank": q_graph_pagerank,
     "graph-triangles": q_graph_triangles,
     "graph-label-propagation": q_graph_label_propagation,
 }
 
 ORACLES = {
+    "graph-bfs-hops": """
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (
+          SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        d0 AS (SELECT node, 0 AS dist FROM (VALUES (2), (4)) v(node)),
+        f1 AS (
+          SELECT DISTINCT e.dst AS node FROM sym e
+          JOIN d0 ON e.src = d0.node),
+        n1 AS (
+          SELECT node, 1 AS dist FROM f1
+          WHERE node NOT IN (SELECT node FROM d0)),
+        v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM n1),
+        f2 AS (
+          SELECT DISTINCT e.dst AS node FROM sym e
+          JOIN n1 ON e.src = n1.node),
+        n2 AS (
+          SELECT node, 2 AS dist FROM f2
+          WHERE node NOT IN (SELECT node FROM v1)),
+        v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+        f3 AS (
+          SELECT DISTINCT e.dst AS node FROM sym e
+          JOIN n2 ON e.src = n2.node),
+        n3 AS (
+          SELECT node, 3 AS dist FROM f3
+          WHERE node NOT IN (SELECT node FROM v2)),
+        v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+        SELECT dist, COUNT(*) AS n_nodes FROM v3 GROUP BY dist ORDER BY dist
+    """,
     # same integer-scaled iterations unrolled as CTEs; // is integer
     # division in DuckDB as div is in Spark (all operands positive)
     "graph-pagerank": f"""

@@ -76,6 +76,42 @@ def q_grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third pandas-UDF flavor, GROUPED_AGG: a whole group's column
+    arrives as one pandas Series and reduces to a scalar — the shape
+    for custom aggregates Spark lacks (here: per-type cents total,
+    integer-summed so the result is partitioning-order-free and
+    hash-exact; a float reduction would need a sort-or-compensated
+    sum).  Arrow-batched like the scalar flavor; the aggregation
+    shuffles once on the group key with NO map-side combine (the UDF is
+    a black box to Catalyst) — prefer built-in aggregates when they
+    exist, reach for GROUPED_AGG only for semantics they can't express."""
+    from pandasqlite_spark.operators.common import load_events
+
+    @pandas_udf("long")
+    def cents_total(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    # NOTE: a GROUPED_AGG UDF cannot mix with built-in aggregates in
+    # the same agg() (INVALID_PANDAS_UDF_PLACEMENT under ANSI/arrow
+    # sessions) — the count is a second pandas aggregate.
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            cents_total(F.col("cents")).alias("cents_total"),
+            n_rows(F.col("cents")).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _arrow_quantize(batches):
     """mapInArrow body: int8-quantize embeddings batch-by-batch in
     pyarrow/numpy — zero pandas conversion.  floor(x·127 + 0.5) clamped
@@ -155,6 +191,13 @@ def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "pandas-udf-grouped-agg": """
+        SELECT event_type,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "udtf-split-sentences": r"""
         WITH raw AS (
           SELECT doc_id,
@@ -193,6 +236,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "pandas-udf-grouped-agg": q_pandas_udf_grouped_agg,
     "pandas-udf-score": q_pandas_udf_score,
     "grouped-pandas-rank": q_grouped_pandas_rank,
     "arrow-batch-quantize": q_arrow_batch_quantize,

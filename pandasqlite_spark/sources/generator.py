@@ -26,8 +26,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -104,6 +106,74 @@ class DetGenStreamReader(SimpleDataSourceStreamReader):
         return iter([_row(i) for i in range(int(start["pos"]), int(end["pos"]))])
 
 
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Task-side writer: each partition streams its rows into one
+    JSON-lines file under the target directory.  Files are named by
+    uuid (task-unique); exactly-once lands via the commit protocol —
+    uncommitted files from failed attempts are ignored by readers that
+    honor the manifest the driver writes on commit()."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(fn, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(os.path.basename(m.path) for m in messages),
+            "rows": sum(m.n for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """Python DataSource WRITER (Spark 4 API) — the sink counterpart of
+    DetGenDataSource: df.write.format("pyjsonl").option("path", dir)
+    lands JSON-lines with a driver-side commit manifest.  The escape
+    hatch for sinks Spark lacks a connector for (internal services,
+    bespoke formats) without leaving the DataFrame writer API."""
+
+    @classmethod
+    def name(cls):
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite):
+        return JsonlSinkWriter(self.options)
+
+
 def register(spark) -> None:
     from pandasqlite_spark.operators.common import ensure_package_on_workers
 
@@ -120,6 +190,37 @@ def register(spark) -> None:
     except Exception:
         pass
     spark.dataSource.register(DetGenDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def q_write_python_datasource(spark, sf_dir: str):
+    """Writer round trip: nation flows out through the pyjsonl Python
+    sink (per-partition task files + commit manifest) and back in via
+    spark.read.json with an explicit schema; the oracle is the source
+    table itself, so the value hash proves write fidelity."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.operators.common import load
+
+    register(spark)
+    out = str(
+        Path(tempfile.gettempdir())
+        / "pandasqlite_spark_io"
+        / Path(sf_dir).name
+        / "nation_pyjsonl"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src.write.format("pyjsonl").option("path", out).mode("append").save()
+    return (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .json(out + "/part-*.jsonl")
+        .orderBy("n_nationkey")
+    )
 
 
 def q_scan_python_datasource(spark, sf_dir: str):
@@ -197,11 +298,14 @@ def q_scan_python_stream_source(spark, sf_dir: str):
 
 
 QUERIES = {
+    "write-python-datasource": q_write_python_datasource,
     "scan-python-datasource": q_scan_python_datasource,
     "scan-python-stream-source": q_scan_python_stream_source,
 }
 
 ORACLES = {
+    "write-python-datasource":
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "scan-python-stream-source": """
         WITH g AS (
           SELECT i.range AS id,
