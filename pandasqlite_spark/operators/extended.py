@@ -552,6 +552,83 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named markers): the injection-safe
+    form of templated queries — values bind as literals at analysis,
+    never string-spliced.  The text2sql layer's generated SQL stays
+    dynamic, but user-supplied constants (thresholds, ids) belong in
+    ``args``."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders
+        WHERE o_totalprice > :minprice AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"minprice": 150000.0, "status": "F"},
+    )
+
+
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE/SET VARIABLE): procedural
+    scripting state without a client round trip — the thing dashboards
+    and migration scripts use for shared thresholds."""
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE price_floor = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_above
+        FROM orders WHERE o_totalprice > price_floor
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+def q_agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates: interpolated (CONT) and exact-row
+    (DISC) percentiles per group.  Integral cents make CONT's single
+    ``lower + frac·(upper−lower)`` interpolation bit-exact in any
+    engine; DISC picks an actual data value."""
+    from pandasqlite_spark.operators.common import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS p50,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY cents) AS p90,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS DOUBLE)
+                 AS p50_disc
+        FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events_v)
+        GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+def q_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive equality as a COLUMN
+    property instead of wrapping every comparison in lower().  A
+    mixed-case part-type column (upper for even keys, lower for odd)
+    collapses under UTF8_LCASE but not under the default binary
+    collation — both distinct counts emitted."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE lower(p_type) END AS t
+          FROM part)
+        SELECT COUNT(DISTINCT t) AS n_binary,
+               COUNT(DISTINCT COLLATE(t, 'UTF8_LCASE')) AS n_lcase
+        FROM mixed
+        """
+    )
+
+
 def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a TIMESTAMP ORDER BY with an interval bound:
     each event sees its user's trailing-1-hour activity (count + cents
@@ -773,6 +850,37 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    "sql-named-parameters": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders
+        WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "sql-session-variables": """
+        SELECT o_orderstatus, COUNT(*) AS n_above
+        FROM orders WHERE o_totalprice > 150000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "agg-percentile-cont-disc": """
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS p50,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY cents) AS p90,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS DOUBLE)
+                 AS p50_disc
+        FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "string-collation": """
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE lower(p_type) END AS t
+          FROM part)
+        SELECT COUNT(DISTINCT t) AS n_binary,
+               COUNT(DISTINCT lower(t)) AS n_lcase
+        FROM mixed
+    """,
     "window-range-interval": """
         SELECT event_id, user_id,
                COUNT(*) OVER w AS n_1h,
@@ -881,6 +989,10 @@ QUERIES = {
     "agg-cube": q_agg_cube,
     "window-range-between": q_window_range_between,
     "window-range-interval": q_window_range_interval,
+    "sql-named-parameters": q_sql_named_parameters,
+    "sql-session-variables": q_sql_session_variables,
+    "agg-percentile-cont-disc": q_agg_percentile_cont_disc,
+    "string-collation": q_string_collation,
     "values-inline": q_values_inline,
     "sort-nulls-last": q_sort_nulls_last,
     "catalog-insert-select": q_catalog_insert_select,
