@@ -23,7 +23,7 @@ what ``bench.py`` exercises.  Same algorithm, cheaper hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandasqlite_spark.functions.text import tokens
@@ -46,6 +46,52 @@ def normalize_text(col: str = "text"):
     c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+SNM_WINDOW = 3  # neighbors compared per side
+SNM_KEY_LEN = 16
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, w: int = SNM_WINDOW) -> DataFrame:
+    """Sorted-neighborhood candidate generation — the OTHER classic
+    entity-resolution blocking strategy (vs LSH banding): sort the
+    corpus by a normalized blocking key and compare each record only to
+    its ``w`` sort-neighbors, so candidates are O(n·w), not O(n²).
+
+    Spark shape: one rank over the sort key, then ``w`` lag columns
+    unpivoted into (doc_a, doc_b) pairs — no self-join at all.  The
+    global sort is the METHOD's cost (production uses
+    repartitionByRange with boundary overlap of w rows, the documented
+    multi-pass variant); candidates then flow through the same exact
+    Jaccard verification as the LSH path."""
+    keyed = docs.select(
+        "doc_id", F.substring(normalize_text(), 1, SNM_KEY_LEN).alias("k")
+    )
+    wr = Window.orderBy("k", "doc_id")
+    ranked = keyed.withColumn("rn", F.row_number().over(wr))
+    for j in range(1, w + 1):
+        ranked = ranked.withColumn(f"nb{j}", F.lag("doc_id", j).over(wr))
+    pairs = None
+    for j in range(1, w + 1):
+        p = ranked.filter(F.col(f"nb{j}").isNotNull()).select(
+            F.least(F.col("doc_id"), F.col(f"nb{j}")).alias("doc_a"),
+            F.greatest(F.col("doc_id"), F.col(f"nb{j}")).alias("doc_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM candidates → exact Jaccard → near-dup pairs at ≥ 0.5, the
+    full sorted-neighborhood dedup path."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(docs)
+    j = jaccard_verify(docs, pairs)
+    return (
+        j.filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def dedup_exact(df: DataFrame, key) -> DataFrame:
@@ -576,6 +622,7 @@ def q_text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dedup-sorted-neighborhood": q_dedup_sorted_neighborhood,
     "text-boilerplate-spans": q_text_boilerplate_spans,
     "dedup-exact": q_dedup_exact,
     "dedup-jaccard-verify": q_dedup_jaccard_verify,
@@ -621,6 +668,38 @@ _CC_CTES = f"""pairs AS (
 
 
 ORACLES = {
+    "dedup-sorted-neighborhood": f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 substr(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 16) AS k
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+          FROM keyed),
+        pairs AS (
+          SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                 GREATEST(a.doc_id, b.doc_id) AS doc_b
+          FROM ranked a JOIN ranked b
+            ON b.rn BETWEEN a.rn - 3 AND a.rn - 1),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS l
+          FROM toks WHERE len(t) >= 3),
+        j AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                   / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l)))
+                   AS jaccard
+          FROM pairs p
+          JOIN shl a ON a.doc_id = p.doc_a
+          JOIN shl b ON b.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+        FROM j WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
     # per-doc DISTINCT inside `s` mirrors shingles()'s array_distinct,
     # so a span repeated within one doc counts that doc once
     "text-boilerplate-spans": r"""

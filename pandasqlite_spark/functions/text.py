@@ -283,6 +283,49 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_encode(load(spark, sf_dir, "documents"))
 
 
+def quantile_normalize(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Cross-source quantile normalization: map each document's
+    within-source rank onto the GLOBAL value distribution, so a quality
+    threshold means the same thing for every source — the calibration
+    step before mixing heterogeneous corpora (each crawl/source scores
+    on its own scale).
+
+    Entirely integer arithmetic: within-source rank r of n_g maps to
+    global rank ``1 + (r−1)(N−1) div (n_g−1)`` and picks that order
+    statistic — no float percentile anywhere, so the result hash-exact.
+    The global rank is one unpartitioned window (the exact method's
+    cost — at extreme N substitute the equi-depth histogram bounds and
+    map ranks onto bucket representatives instead)."""
+    from pyspark.sql import Window as W
+
+    d = docs.select("doc_id", "source", F.col(col).alias("x"))
+    ws = W.partitionBy("source").orderBy("x", "doc_id")
+    wsc = W.partitionBy("source")
+    wg = W.orderBy("x", "doc_id")
+    ranked = (
+        d.withColumn("r", F.row_number().over(ws))
+        .withColumn("n_g", F.count(F.lit(1)).over(wsc))
+        .withColumn("n_all", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    target = F.expr(
+        "CASE WHEN n_g = 1 THEN 1 + (n_all - 1) div 2 "
+        "ELSE 1 + ((r - 1) * (n_all - 1)) div (n_g - 1) END"
+    )
+    glob = d.select("x", "doc_id").withColumn("gr", F.row_number().over(wg)).select(
+        F.col("gr").alias("target"), F.col("x").alias("norm_x")
+    )
+    return (
+        ranked.withColumn("target", target)
+        .join(glob, "target")
+        .select("doc_id", "source", "x", "norm_x")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantile_normalize(load(spark, sf_dir, "documents"))
+
+
 def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A composed training-data curation pipeline — the operators above
     chained the way a 100 TB corpus job would run them: language filter
@@ -763,6 +806,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus-quantile-normalize": q_corpus_quantile_normalize,
     "pipeline-compose": q_pipeline_compose,
     "text-bm25": q_text_bm25,
     "text-chunk-overlap": q_text_chunk_overlap,
@@ -802,6 +846,27 @@ _SPLICED = (
 )
 
 ORACLES = {
+    "corpus-quantile-normalize": """
+        WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents),
+        ranked AS (
+          SELECT doc_id, source, x,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS r,
+                 COUNT(*) OVER (PARTITION BY source) AS n_g,
+                 COUNT(*) OVER () AS n_all
+          FROM d),
+        g_ranks AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY x, doc_id) AS target, x AS norm_x
+          FROM d),
+        t AS (
+          SELECT doc_id, source, x,
+                 CASE WHEN n_g = 1 THEN 1 + (n_all - 1) // 2
+                      ELSE 1 + ((r - 1) * (n_all - 1)) // (n_g - 1) END AS target
+          FROM ranked)
+        SELECT t.doc_id, t.source, t.x, g.norm_x
+        FROM t JOIN g_ranks g USING (target)
+        ORDER BY t.doc_id
+    """,
+
     "text-langid-confusion": f"""
         WITH pred AS (
           SELECT lang AS actual,

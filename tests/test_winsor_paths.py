@@ -89,3 +89,37 @@ def test_lttb_keeps_edges_and_picks_spike(spark):
     assert by_bucket[3].event_id == 399    # last point kept exactly
     # the spike lives in bucket 1 (t in [100, 200)) and must be picked
     assert by_bucket[1].event_id == 150 and by_bucket[1].value == 100.0
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    from pandasqlite_spark.functions.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+            (3, "zzz completely different text here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in sorted_neighborhood_pairs(docs).collect()}
+    assert (1, 2) in pairs  # shared prefix sorts them adjacent
+
+
+def test_quantile_normalize_maps_source_rank_to_global_values(spark):
+    from pandasqlite_spark.functions.text import quantile_normalize
+
+    # source A has tiny docs (1..3), source B huge (101..103); after
+    # normalization both sources span the GLOBAL value range.
+    rows = [(i, "A", i) for i in (1, 2, 3)] + [(i, "B", 100 + i) for i in (1, 2, 3)]
+    docs = spark.createDataFrame(
+        [(10 * n + {"A": 0, "B": 1}[src], src, x) for n, (i, src, x) in enumerate(rows, 1)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    out = quantile_normalize(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.norm_x)
+    # each source's min/max rank maps to the global min/max value
+    assert min(by_src["A"]) == 1 and max(by_src["A"]) == 103
+    assert min(by_src["B"]) == 1 and max(by_src["B"]) == 103
