@@ -80,7 +80,12 @@ def bfs_hops(edges, seeds, max_hops: int = BFS_MAX_HOPS):
 
     For unbounded diameters this becomes the usual iterate-to-fixpoint
     driver loop (like pagerank_scaled); the bounded form is the one
-    product queries actually run."""
+    product queries actually run.  The unrolled lineage re-references
+    the edge subtree each round — AQE reuses the exchange at runtime
+    (ReusedExchange), and a production fixpoint loop would
+    ``persist()`` the edge list and each frontier instead (same note
+    as pagerank: lineage-heavy iteration trades plan size for
+    driver-side simplicity at bounded depth)."""
     from pyspark.sql import functions as F
 
     visited = seeds.select("node", F.lit(0).alias("dist"))
