@@ -296,6 +296,33 @@ def q_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(d, pairs)
 
 
+def q_dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap leakage readout: the verified near-dup pairs
+    aggregated by (source_a, source_b) — WITHIN-source pairs are
+    ordinary redundancy, CROSS-source pairs are the contamination
+    signal (mirrored content between crawls, or train/eval bleed when
+    sources are split boundaries).  Two broadcast-joined source lookups
+    onto the candidate-only pair set, one bounded |sources|² groupBy."""
+    d = load(spark, sf_dir, "documents")
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
+    near = jaccard_verify(d, pairs).filter(F.col("jaccard") >= 0.5)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        near.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") != F.col("sb")).alias("cross_source"),
+        )
+        .groupBy("source_a", "source_b", "cross_source")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return minhash_signatures(d)
@@ -623,6 +650,7 @@ def q_text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup-sorted-neighborhood": q_dedup_sorted_neighborhood,
+    "dedup-cross-source-leakage": q_dedup_cross_source_leakage,
     "text-boilerplate-spans": q_text_boilerplate_spans,
     "dedup-exact": q_dedup_exact,
     "dedup-jaccard-verify": q_dedup_jaccard_verify,
@@ -790,6 +818,32 @@ ORACLES = {
         JOIN shl b ON b.doc_id = p.doc_b
     """,
     "dedup-simhash": _simhash_sql("documents", "//"),
+    "dedup-cross-source-leakage": f"""
+        WITH pairs AS ({_minhash_oracle_pairs()}),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS l
+          FROM toks WHERE len(t) >= 3),
+        near AS (
+          SELECT p.doc_a, p.doc_b
+          FROM pairs p
+          JOIN shl a ON a.doc_id = p.doc_a
+          JOIN shl b ON b.doc_id = p.doc_b
+          WHERE CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                   / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= 0.5),
+        lbl AS (
+          SELECT n.doc_a, n.doc_b,
+                 LEAST(da.source, db.source) AS source_a,
+                 GREATEST(da.source, db.source) AS source_b,
+                 da.source <> db.source AS cross_source
+          FROM near n
+          JOIN documents da ON da.doc_id = n.doc_a
+          JOIN documents db ON db.doc_id = n.doc_b)
+        SELECT source_a, source_b, cross_source, COUNT(*) AS n_pairs
+        FROM lbl GROUP BY 1, 2, 3 ORDER BY source_a, source_b
+    """,
     "dedup-near": f"""
         WITH pairs AS ({_minhash_oracle_pairs()}),
         toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
