@@ -1572,6 +1572,101 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(load_events(spark, sf_dir))
 
 
+def welch_ttest(events: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase value, week 1 vs
+    week 4 — the drift significance test to PSI's magnitude readout
+    (and the t complement of the A/B z-test, correct when variances
+    differ).  Counts/sums accumulate exactly (integral cents, DECIMAL
+    sums); means, variances, the t statistic and Welch–Satterthwaite
+    df evaluate in a fixed double sequence on one conditional-aggregate
+    row — two partial-aggregated groupBy rows, NO scalar-broadcast
+    join."""
+    wk = F.when(
+        F.to_date("ts") < F.lit("2024-01-08").cast("date"), "a"
+    ).when(F.to_date("ts") >= F.lit("2024-01-22").cast("date"), "b")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    g = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(wk.alias("grp"), cents.alias("x"))
+        .filter(F.col("grp").isNotNull())
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("s2"),
+        )
+    )
+    one = g.agg(
+        *[
+            F.min(F.when(F.col("grp") == c, F.col(f))).alias(f"{f}_{c}")
+            for c in ("a", "b")
+            for f in ("n", "s1", "s2")
+        ]
+    )
+
+    def stats(c):
+        nd = F.col(f"n_{c}").cast("double")
+        s1 = F.col(f"s1_{c}").cast("double")
+        s2 = F.col(f"s2_{c}").cast("double")
+        m = s1 / nd
+        var = (s2 - (s1 * s1) / nd) / (nd - F.lit(1.0))
+        return nd, m, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (sea * sea) / (na - F.lit(1.0)) + (seb * seb) / (nb - F.lit(1.0))
+    )
+    return one.select(
+        F.col("n_a").alias("n_week1"),
+        F.col("n_b").alias("n_week4"),
+        F.round(ma - mb, 6).alias("mean_diff_cents"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return welch_ttest(load_events(spark, sf_dir))
+
+
+def class_balanced_sample(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Class-balanced downsampling: every class keeps exactly
+    min-class-size rows, picked by md5 rank (reproducible in any
+    engine/partitioning — no RNG stream) — the imbalance fix before
+    training a classifier, vs ``sample-stratified``'s proportional
+    draw.
+
+    One groupBy-free pass: a rank window per class orders by the md5
+    draw, a count window per class and a global-min window derive the
+    cap, and the filter keeps rank ≤ cap.  The only shuffle is the
+    class-key window partitioning."""
+    wall = Window.partitionBy()
+    ranked = (
+        docs.select("doc_id", F.col(label_col).alias("label"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ))
+        .withColumn("n_class", F.count(F.lit(1)).over(Window.partitionBy("label")))
+        .withColumn("cap", F.min("n_class").over(wall))
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.col("cap"))
+        .select("doc_id", "label")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return class_balanced_sample(load(spark, sf_dir, "documents"))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2000,6 +2095,8 @@ QUERIES = {
     "agg-winsorized-mean": q_agg_winsorized_mean,
     "agg-log2-histogram": q_agg_log2_histogram,
     "events-top-paths": q_events_top_paths,
+    "agg-ttest-welch": q_agg_ttest_welch,
+    "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
     "skyline-pareto": q_skyline_pareto,
@@ -2030,6 +2127,58 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg-ttest-welch": """
+        WITH base AS (
+          SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08' THEN 'a'
+                      WHEN CAST(ts AS DATE) >= DATE '2024-01-22' THEN 'b'
+                 END AS grp,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase'),
+        g AS (
+          SELECT grp, COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(x*x AS DECIMAL(38,0))) AS s2
+          FROM base WHERE grp IS NOT NULL GROUP BY grp),
+        one AS (
+          SELECT MIN(CASE WHEN grp = 'a' THEN n END) AS n_a,
+                 MIN(CASE WHEN grp = 'a' THEN s1 END) AS s1_a,
+                 MIN(CASE WHEN grp = 'a' THEN s2 END) AS s2_a,
+                 MIN(CASE WHEN grp = 'b' THEN n END) AS n_b,
+                 MIN(CASE WHEN grp = 'b' THEN s1 END) AS s1_b,
+                 MIN(CASE WHEN grp = 'b' THEN s2 END) AS s2_b
+          FROM g),
+        d AS (
+          SELECT n_a, n_b,
+                 CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                 CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                 (CAST(s2_a AS DOUBLE) - (CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+                 (CAST(s2_b AS DOUBLE) - (CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb,
+                 CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+          FROM one),
+        e AS (
+          SELECT n_a, n_b, ma, mb,
+                 va / nad AS sea, vb / nbd AS seb, nad, nbd
+          FROM d)
+        SELECT n_a AS n_week1, n_b AS n_week4,
+               ROUND(ma - mb, 6) AS mean_diff_cents,
+               ROUND((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+               ROUND(((sea + seb) * (sea + seb))
+                     / ((sea * sea) / (nad - 1.0) + (seb * seb) / (nbd - 1.0)), 6)
+                 AS welch_df
+        FROM e
+    """,
+    "sample-class-balanced": """
+        WITH ranked AS (
+          SELECT doc_id, lang AS label,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n_class
+          FROM documents),
+        capped AS (
+          SELECT doc_id, label, rn, MIN(n_class) OVER () AS cap FROM ranked)
+        SELECT doc_id, label FROM capped WHERE rn <= cap ORDER BY doc_id
+    """,
     "agg-log2-histogram": """
         WITH b AS (
           SELECT length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS bucket,

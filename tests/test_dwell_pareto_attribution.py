@@ -60,3 +60,40 @@ def test_attribution_respects_lookback_and_order(spark):
     assert out[3].attributed_click_id == 2 and out[3].gap_s == 3600
     assert out[5].attributed_click_id is None and out[5].gap_s is None
     assert out[6].attributed_click_id is None
+
+
+def test_welch_ttest_zero_for_identical_cohorts(spark):
+    import datetime as dt
+
+    from pandasqlite_spark.functions.analytics import welch_ttest
+
+    rows = []
+    eid = 0
+    for day, _grp in [(1, "a"), (25, "b")]:
+        for v in (1.0, 2.0, 3.0, 4.0):
+            rows.append((eid, dt.datetime(2024, 1, day), "purchase", v))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = welch_ttest(ev).collect()[0]
+    assert out.n_week1 == 4 and out.n_week4 == 4
+    assert out.mean_diff_cents == 0.0 and out.t_stat == 0.0
+    assert out.welch_df == 6.0  # equal n, equal var → df = n_a + n_b - 2
+
+
+def test_class_balanced_sample_equalizes_counts(spark):
+    from pandasqlite_spark.functions.analytics import class_balanced_sample
+
+    rows = [(i, "en") for i in range(10)] + [(100 + i, "fr") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = class_balanced_sample(docs).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.label, []).append(r.doc_id)
+    assert len(by["en"]) == 3 and len(by["fr"]) == 3
+    # deterministic: same pick on re-run
+    again = class_balanced_sample(docs).collect()
+    assert sorted((r.doc_id, r.label) for r in out) == sorted(
+        (r.doc_id, r.label) for r in again
+    )
