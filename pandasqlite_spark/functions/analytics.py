@@ -1667,6 +1667,69 @@ def q_sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return class_balanced_sample(load(spark, sf_dir, "documents"))
 
 
+def markov_accuracy(events: DataFrame) -> DataFrame:
+    """Backtest of the first-order Markov next-event model: transition
+    counts from weeks 1–3 pick an argmax prediction per from-state,
+    scored on week-4 transitions — the eval that turns the transition
+    matrix into a measured predictor (same pattern as the seasonal
+    forecast and Naive Bayes keys: model = tiny aggregate, inference =
+    broadcast join).
+
+    All counts exact; accuracy divides exact longs.  The model is
+    |types|² rows; the only fact-table work is the same single
+    user-key lag window the transition matrix uses."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select(
+            "from_type",
+            F.col("event_type").alias("to_type"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    split = F.lit("2024-01-22").cast("date")
+    counts = (
+        tr.filter(F.col("day") < split)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wbest = Window.partitionBy("from_type").orderBy(
+        F.col("c").desc(), F.col("to_type")
+    )
+    model = (
+        counts.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("pred"))
+    )
+    test = tr.filter(F.col("day") >= split)
+    return (
+        test.join(F.broadcast(model), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("to_type") == F.col("pred"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "n_test",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+def q_events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_accuracy(load_events(spark, sf_dir))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2096,6 +2159,7 @@ QUERIES = {
     "agg-log2-histogram": q_agg_log2_histogram,
     "events-top-paths": q_events_top_paths,
     "agg-ttest-welch": q_agg_ttest_welch,
+    "events-markov-accuracy": q_events_markov_accuracy,
     "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2127,6 +2191,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-markov-accuracy": """
+        WITH tr AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type, CAST(ts AS DATE) AS day
+          FROM events),
+        t2 AS (SELECT * FROM tr WHERE from_type IS NOT NULL),
+        counts AS (
+          SELECT from_type, to_type, COUNT(*) AS c
+          FROM t2 WHERE day < DATE '2024-01-22' GROUP BY 1, 2),
+        model AS (
+          SELECT from_type, to_type AS pred FROM (
+            SELECT from_type, to_type,
+                   ROW_NUMBER() OVER (PARTITION BY from_type
+                                      ORDER BY c DESC, to_type) AS rn
+            FROM counts) WHERE rn = 1),
+        test AS (SELECT * FROM t2 WHERE day >= DATE '2024-01-22')
+        SELECT t.from_type, COUNT(*) AS n_test,
+               CAST(SUM(CASE WHEN t.to_type = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN t.to_type = m.pred THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        FROM test t JOIN model m USING (from_type)
+        GROUP BY t.from_type ORDER BY t.from_type
+    """,
     "agg-ttest-welch": """
         WITH base AS (
           SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08' THEN 'a'

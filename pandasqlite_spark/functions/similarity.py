@@ -914,7 +914,82 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_recall(load(spark, sf_dir, "embeddings"))
 
 
+TRIPLET_ANCHORS = 16
+
+
+def triplet_mine(emb: DataFrame, n_anchors: int = TRIPLET_ANCHORS) -> DataFrame:
+    """Hard-triplet mining for metric learning: per anchor, the nearest
+    SAME-label vector (positive) and the nearest DIFFERENT-label vector
+    (hard negative), with the margin between them — the batch every
+    contrastive/triplet trainer wants, as a relational plan.
+
+    One posexplode feeds the anchor×corpus dot grid (anchor side
+    broadcasts); exact decimal sums → double cosines; two rank windows
+    per anchor (one over same-label, one over different-label) pick the
+    pair.  At corpus scale the grid restricts to ANN candidates first
+    (simsearch-ivf / lsh buckets) — the mining stage is unchanged."""
+    e = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "label", "pos", F.col("xf").cast("double").cast(_DEC).alias("x")
+    )
+    a = e.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        "pos",
+        F.col("x").alias("ax"),
+    )
+    norms = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nrm"))
+    dots = (
+        e.join(F.broadcast(a), "pos")
+        .filter(F.col("vec_id") != F.col("anchor"))
+        .groupBy("anchor", "a_label", "vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("ax")).alias("dot"))
+    )
+    an = norms.select(F.col("vec_id").alias("anchor"), F.col("nrm").alias("a_nrm"))
+    cos = (
+        dots.join(norms, "vec_id")
+        .join(F.broadcast(an), "anchor")
+        .select(
+            "anchor",
+            "a_label",
+            "vec_id",
+            "label",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("a_nrm").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    wpos = Window.partitionBy("anchor").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    pos = (
+        cos.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select("anchor", F.col("vec_id").alias("pos_id"), F.col("cos").alias("cos_pos"))
+    )
+    neg = (
+        cos.filter(F.col("label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select("anchor", F.col("vec_id").alias("neg_id"), F.col("cos").alias("cos_neg"))
+    )
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor",
+            "pos_id",
+            "neg_id",
+            F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
+        )
+        .orderBy("anchor")
+    )
+
+
+def q_embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triplet_mine(load(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
+    "embedding-triplet-mine": q_embedding_triplet_mine,
     "embedding-dim-stats": q_embedding_dim_stats,
     "embedding-matryoshka-recall": q_embedding_matryoshka,
     "simsearch-topk": q_simsearch_topk,
@@ -1015,6 +1090,42 @@ _EMB_DUP_ORACLE = f"""
 """
 
 ORACLES = {
+    "embedding-triplet-mine": """
+        WITH allv AS (
+          SELECT vec_id, label, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        norms AS (SELECT vec_id, SUM(x * x) AS nrm FROM allv GROUP BY 1),
+        a AS (SELECT vec_id AS anchor, label AS a_label, pos, x AS ax
+              FROM allv WHERE vec_id < 16),
+        dots AS (
+          SELECT a.anchor, a.a_label, e.vec_id, e.label, SUM(e.x * a.ax) AS dot
+          FROM allv e JOIN a ON e.pos = a.pos AND e.vec_id <> a.anchor
+          GROUP BY 1, 2, 3, 4),
+        cosn AS (
+          SELECT d.anchor, d.a_label, d.vec_id, d.label,
+                 CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(an.nrm AS DOUBLE)))
+                   AS cos
+          FROM dots d
+          JOIN norms n ON n.vec_id = d.vec_id
+          JOIN norms an ON an.vec_id = d.anchor),
+        p AS (
+          SELECT anchor, vec_id AS pos_id, cos AS cos_pos FROM (
+            SELECT anchor, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM cosn WHERE label = a_label) WHERE rn = 1),
+        ng AS (
+          SELECT anchor, vec_id AS neg_id, cos AS cos_neg FROM (
+            SELECT anchor, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM cosn WHERE label <> a_label) WHERE rn = 1)
+        SELECT p.anchor, p.pos_id, ng.neg_id,
+               ROUND(p.cos_pos - ng.cos_neg, 6) AS margin
+        FROM p JOIN ng USING (anchor) ORDER BY p.anchor
+    """,
     "embedding-dim-stats": """
         WITH e AS (
           SELECT t.i - 1 AS dim,

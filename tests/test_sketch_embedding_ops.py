@@ -80,3 +80,45 @@ def test_referential_profile_tpch_keys_intact(spark):
     for rel, r in out.items():
         assert r.n_orphans == 0 and r.intact, rel
         assert r.n_child > 0
+
+
+def test_triplet_mining_picks_hard_negative(spark):
+    from pandasqlite_spark.functions.similarity import triplet_mine
+
+    # anchor 0 (label 0): vec 16 same-label near, vec 17 diff-label
+    # nearer than vec 18 — the HARD negative must be 17.
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * 60
+    vecs = [
+        (0, 0, v(1, 0, 0, 0)),
+        (16, 0, v(0.9, 0.1, 0, 0)),   # positive
+        (17, 1, v(0.8, 0.2, 0, 0)),   # hard negative
+        (18, 1, v(0, 1, 0, 0)),       # easy negative
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id bigint, label int, embedding array<float>"
+    )
+    out = triplet_mine(emb, n_anchors=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.pos_id == 16 and r.neg_id == 17 and r.margin > 0
+
+
+def test_markov_accuracy_perfect_on_deterministic_chain(spark):
+    import datetime as dt
+
+    from pandasqlite_spark.functions.analytics import markov_accuracy
+
+    # one user cycles view→click→view→click... across all four weeks:
+    # the argmax model predicts perfectly on week 4.
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(28 * 4):
+        rows.append(
+            (1, i, t0 + dt.timedelta(hours=6 * i), "view" if i % 2 == 0 else "click")
+        )
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    out = {r.from_type: r for r in markov_accuracy(ev).collect()}
+    assert out["view"].accuracy == 1.0 and out["click"].accuracy == 1.0
