@@ -1730,6 +1730,40 @@ def q_events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_accuracy(load_events(spark, sf_dir))
 
 
+def wow_growth(events: DataFrame) -> DataFrame:
+    """Week-over-week growth — the BI pulse metric: weekly event counts
+    with the previous week and the relative change.  Week index is
+    integer `datediff div 7` (engine/timezone-neutral); growth divides
+    exact longs in double.  The stream collapses to |weeks| rows before
+    the 1-row-per-week lag window."""
+    weekly = (
+        events.select(F.expr(
+            "datediff(to_date(ts), DATE '2024-01-01') div 7"
+        ).alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("week")
+    return (
+        weekly.withColumn("prev", F.lag("n_events").over(w))
+        .select(
+            "week",
+            "n_events",
+            "prev",
+            F.round(
+                F.col("n_events").cast("double") / F.col("prev").cast("double")
+                - F.lit(1.0),
+                6,
+            ).alias("growth"),
+        )
+        .orderBy("week")
+    )
+
+
+def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wow_growth(load_events(spark, sf_dir))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2160,6 +2194,7 @@ QUERIES = {
     "events-top-paths": q_events_top_paths,
     "agg-ttest-welch": q_agg_ttest_welch,
     "events-markov-accuracy": q_events_markov_accuracy,
+    "events-wow-growth": q_events_wow_growth,
     "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2191,6 +2226,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-wow-growth": """
+        WITH weekly AS (
+          SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1)
+        SELECT week, n_events,
+               LAG(n_events) OVER (ORDER BY week) AS prev,
+               ROUND(CAST(n_events AS DOUBLE)
+                     / CAST(LAG(n_events) OVER (ORDER BY week) AS DOUBLE) - 1.0, 6)
+                 AS growth
+        FROM weekly ORDER BY week
+    """,
     "events-markov-accuracy": """
         WITH tr AS (
           SELECT LAG(event_type) OVER (PARTITION BY user_id

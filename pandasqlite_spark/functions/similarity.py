@@ -988,7 +988,78 @@ def q_embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triplet_mine(load(spark, sf_dir, "embeddings"))
 
 
+def centroid_accuracy(emb: DataFrame) -> DataFrame:
+    """Nearest-centroid classification readout: per-label centroid
+    directions score every vector, accuracy per true label — the
+    5-minute "are these embeddings separable?" probe (and the eval
+    companion to embedding-centroids/cluster-kmeans).
+
+    Exactness trick: cosine is invariant to positive scaling, so the
+    centroid NEVER divides by n — the per-label component SUM (exact
+    decimal) stands in for the mean, and every cosine computes from
+    exact sums.  The centroid table is |labels|×64 rows, broadcast;
+    argmax is a rank window per vector."""
+    e = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "label", "pos", F.col("xf").cast("double").cast(_DEC).alias("x")
+    )
+    cent = e.groupBy("label", "pos").agg(F.sum("x").alias("cx"))
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("cn")
+    )
+    vnorm = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("vn"))
+    dots = (
+        e.join(
+            F.broadcast(cent.select(F.col("label").alias("c_label"), "pos", "cx")),
+            "pos",
+        )
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    cos = (
+        dots.join(F.broadcast(cnorm.select(F.col("label").alias("c_label"), "cn")), "c_label")
+        .join(vnorm, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("vn").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label"))
+    pred = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("pred"))
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_vecs").cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroid_accuracy(load(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
+    "embedding-centroid-accuracy": q_embedding_centroid_accuracy,
     "embedding-triplet-mine": q_embedding_triplet_mine,
     "embedding-dim-stats": q_embedding_dim_stats,
     "embedding-matryoshka-recall": q_embedding_matryoshka,
@@ -1090,6 +1161,41 @@ _EMB_DUP_ORACLE = f"""
 """
 
 ORACLES = {
+    "embedding-centroid-accuracy": """
+        WITH allv AS (
+          SELECT vec_id, label, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        cent AS (
+          SELECT label AS c_label, pos, SUM(x) AS cx
+          FROM allv GROUP BY 1, 2),
+        cnorm AS (SELECT c_label, SUM(cx * cx) AS cn FROM cent GROUP BY 1),
+        vnorm AS (SELECT vec_id, SUM(x * x) AS vn FROM allv GROUP BY 1),
+        dots AS (
+          SELECT e.vec_id, e.label, c.c_label, SUM(e.x * c.cx) AS dot
+          FROM allv e JOIN cent c ON c.pos = e.pos
+          GROUP BY 1, 2, 3),
+        cosn AS (
+          SELECT d.vec_id, d.label, d.c_label,
+                 CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(cn.cn AS DOUBLE)) * sqrt(CAST(vn.vn AS DOUBLE)))
+                   AS cos
+          FROM dots d
+          JOIN cnorm cn ON cn.c_label = d.c_label
+          JOIN vnorm vn ON vn.vec_id = d.vec_id),
+        pred AS (
+          SELECT vec_id, label, c_label AS pred FROM (
+            SELECT vec_id, label, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, c_label) AS rn
+            FROM cosn) WHERE rn = 1)
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        FROM pred GROUP BY label ORDER BY label
+    """,
     "embedding-triplet-mine": """
         WITH allv AS (
           SELECT vec_id, label, t.i AS pos,

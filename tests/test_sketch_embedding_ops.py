@@ -122,3 +122,22 @@ def test_markov_accuracy_perfect_on_deterministic_chain(spark):
     )
     out = {r.from_type: r for r in markov_accuracy(ev).collect()}
     assert out["view"].accuracy == 1.0 and out["click"].accuracy == 1.0
+
+
+def test_centroid_accuracy_separable_labels(spark):
+    from pandasqlite_spark.functions.similarity import centroid_accuracy
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * 60
+
+    # two cleanly separated label clusters → 100% accuracy
+    vecs = [
+        (0, 0, v(1, 0.1, 0, 0)), (1, 0, v(0.9, 0, 0, 0)), (2, 0, v(1, 0, 0.1, 0)),
+        (3, 1, v(0, 1, 0, 0.1)), (4, 1, v(0.1, 0.9, 0, 0)), (5, 1, v(0, 1, 0.1, 0)),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id bigint, label int, embedding array<float>"
+    )
+    out = {r.label: r for r in centroid_accuracy(emb).collect()}
+    assert out[0].accuracy == 1.0 and out[1].accuracy == 1.0
+    assert out[0].n_vecs == 3 and out[1].n_vecs == 3
