@@ -1764,6 +1764,80 @@ def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wow_growth(load_events(spark, sf_dir))
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_feature_matrix(events: DataFrame) -> DataFrame:
+    """Feature-store materialization: ONE wide row per user with the
+    standard behavioral features (per-type counts pivoted, total,
+    active days, tenure, last-seen) — the assembly step between raw
+    events and any churn/propensity model, expressed as a single
+    partial-aggregated groupBy (conditional sums pivot the 5 types;
+    no join chain, no per-feature scans).
+
+    Everything is exact integer arithmetic (micros/days/counts), so
+    the row hash-matches any engine."""
+    day = F.to_date("ts")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            *aggs,
+            F.countDistinct(day).alias("active_days"),
+            F.datediff(F.max(day), F.min(day)).alias("tenure_days"),
+            F.max(F.unix_micros(F.col("ts"))).alias("last_seen_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_feature_matrix(load_events(spark, sf_dir))
+
+
+PEAK_NEIGHBORS = 2
+
+
+def hourly_peaks(events: DataFrame, w: int = PEAK_NEIGHBORS) -> DataFrame:
+    """Local-maximum detection on the hourly count series: an hour is a
+    peak when STRICTLY greater than its ``w`` neighbors on each side —
+    the alarm-worthy-spike primitive beside CUSUM (level shifts) and
+    MAD (point outliers).  Pure integer comparisons on the |hours|
+    aggregate; edge hours (fewer than w neighbors) are not peaks."""
+    hc = (
+        events.select(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    win = Window.orderBy("hr")
+    cond = None
+    out = hc
+    for j in range(1, w + 1):
+        out = out.withColumn(f"p{j}", F.lag("x", j).over(win)).withColumn(
+            f"n{j}", F.lead("x", j).over(win)
+        )
+        c = (
+            F.col(f"p{j}").isNotNull()
+            & F.col(f"n{j}").isNotNull()
+            & (F.col("x") > F.col(f"p{j}"))
+            & (F.col("x") > F.col(f"n{j}"))
+        )
+        cond = c if cond is None else (cond & c)
+    return (
+        out.filter(cond)
+        .select(F.col("hr").cast("string").alias("hr"), "x")
+        .orderBy("hr")
+    )
+
+
+def q_events_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_peaks(load_events(spark, sf_dir))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2195,6 +2269,8 @@ QUERIES = {
     "agg-ttest-welch": q_agg_ttest_welch,
     "events-markov-accuracy": q_events_markov_accuracy,
     "events-wow-growth": q_events_wow_growth,
+    "events-feature-matrix": q_events_feature_matrix,
+    "events-peak-detect": q_events_peak_detect,
     "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2226,6 +2302,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-feature-matrix": """
+        SELECT user_id,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+               datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                 AS tenure_days,
+               MAX(epoch_us(ts)) AS last_seen_us
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "events-peak-detect": """
+        WITH hc AS (
+          SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS x
+          FROM events GROUP BY 1),
+        l AS (
+          SELECT hr, x,
+                 LAG(x, 1) OVER (ORDER BY hr) AS p1,
+                 LAG(x, 2) OVER (ORDER BY hr) AS p2,
+                 LEAD(x, 1) OVER (ORDER BY hr) AS n1,
+                 LEAD(x, 2) OVER (ORDER BY hr) AS n2
+          FROM hc)
+        SELECT CAST(hr AS VARCHAR) AS hr, x
+        FROM l
+        WHERE p1 IS NOT NULL AND n1 IS NOT NULL AND x > p1 AND x > n1
+          AND p2 IS NOT NULL AND n2 IS NOT NULL AND x > p2 AND x > n2
+        ORDER BY hr
+    """,
     "events-wow-growth": """
         WITH weekly AS (
           SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,

@@ -97,3 +97,42 @@ def test_class_balanced_sample_equalizes_counts(spark):
     assert sorted((r.doc_id, r.label) for r in out) == sorted(
         (r.doc_id, r.label) for r in again
     )
+
+
+def test_feature_matrix_one_wide_row_per_user(spark):
+    import datetime as dt
+
+    from pandasqlite_spark.functions.analytics import user_feature_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "view"),
+        (1, 2, t0 + dt.timedelta(days=2), "click"),
+        (1, 3, t0 + dt.timedelta(days=2, hours=1), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    out = user_feature_matrix(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_total == 3 and r.n_view == 1 and r.n_click == 1 and r.n_purchase == 1
+    assert r.n_error == 0 and r.active_days == 2 and r.tenure_days == 2
+
+
+def test_peak_detect_requires_strict_dominance_over_both_sides(spark):
+    import datetime as dt
+
+    from pandasqlite_spark.functions.analytics import hourly_peaks
+
+    t0 = dt.datetime(2024, 1, 1)
+    counts = [1, 1, 5, 1, 1, 3, 3, 1, 1]  # index 2 is a peak; the 3,3 plateau is not
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + dt.timedelta(hours=h)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    out = hourly_peaks(ev).collect()
+    assert len(out) == 1 and out[0].x == 5
