@@ -1838,6 +1838,57 @@ def q_events_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_peaks(load_events(spark, sf_dir))
 
 
+BOUNCE_GAP_MIN = 30
+
+
+def bounce_rate(events: DataFrame, gap_min: int = BOUNCE_GAP_MIN) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one
+    event — the engagement KPI layered on gap-based sessionization
+    (30-min inactivity splits sessions, the analytics-industry
+    convention).  Same single user-key window as events-session-agg;
+    session counts collapse to |days| rows before the final ratio of
+    exact longs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = gap_min * 60 * 1_000_000
+    marked = events.select("user_id", "event_id", "ts").withColumn(
+        "new_s",
+        F.when(
+            (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.to_date("ts")).alias("day"),
+    )
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_sessions",
+            "n_bounces",
+            F.round(
+                F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bounce_rate(load_events(spark, sf_dir))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2271,6 +2322,7 @@ QUERIES = {
     "events-wow-growth": q_events_wow_growth,
     "events-feature-matrix": q_events_feature_matrix,
     "events-peak-detect": q_events_peak_detect,
+    "events-bounce-rate": q_events_bounce_rate,
     "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2302,6 +2354,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-bounce-rate": """
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                      OR LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_no, COUNT(*) AS n_events,
+                 MIN(CAST(ts AS DATE)) AS day
+          FROM sess GROUP BY 1, 2)
+        SELECT CAST(day AS VARCHAR) AS day,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+        FROM per_session GROUP BY day ORDER BY day
+    """,
     "events-feature-matrix": """
         SELECT user_id,
                COUNT(*) AS n_total,

@@ -331,6 +331,58 @@ def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perm_counts.crossJoin(dropped)
 
 
+_JSONL_ROWS = [
+    '{"a": 1, "b": 10}',            # valid
+    '{"a": 2}',                     # missing field is VALID json → b NULL
+    '{"a": "x", "b": 20}',          # type mismatch on a → corrupt
+    '{"a": 4, "b": 40',             # broken syntax → corrupt
+    '{"a": 5, "b": "y"}',           # type mismatch on b → corrupt
+    '{"a": 6, "b": 60}',            # valid
+]
+
+
+def q_scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record discipline on the JSON-lines source — the JSON
+    sibling of scan-csv-malformed, with JSON's own distinctions: a
+    MISSING field is valid (NULL), a TYPE-MISMATCHED field corrupts the
+    row in Spark's PERMISSIVE accounting, broken syntax corrupts it
+    everywhere.  Same two engine pitfalls defeated: the aggregate
+    references every data column (corrupt-record contents depend on
+    the parsed projection) and counts parsed VALUES, never raw lines."""
+    base = tempfile.mkdtemp(prefix="pqs_json_bad_")
+    path = os.path.join(base, "rows.jsonl")
+    with open(path, "w") as f:
+        f.write("\n".join(_JSONL_ROWS) + "\n")
+    schema = "a INT, b INT, _corrupt_record STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    perm_counts = permissive.agg(
+        F.count(F.lit(1)).alias("n_permissive"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.when(F.col("a").isNotNull(), 1).otherwise(0)).alias("n_a_parsed"),
+        F.sum(
+            F.when(F.col("b").isNull() & F.col("_corrupt_record").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_null_b_valid"),
+    )
+    dropped = (
+        spark.read.schema("a INT, b INT")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .agg(
+            F.count("a").alias("n_dropmalformed"),
+            F.sum("b").alias("b_total"),
+        )
+    )
+    return perm_counts.crossJoin(dropped)
+
+
 def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bool_and/bool_or and bit_and/bit_or/bit_xor aggregates — all
     partial-aggregatable (map-side combine), so the shuffle carries one
@@ -780,6 +832,14 @@ ORACLES: dict[str, str] = {
           (4, 4, 1)) AS t(id, note_len, n_lines)
         ORDER BY id
     """,
+    "scan-json-malformed": """
+        SELECT CAST(6 AS BIGINT) AS n_permissive,
+               CAST(3 AS BIGINT) AS n_corrupt,
+               CAST(4 AS BIGINT) AS n_a_parsed,
+               CAST(1 AS BIGINT) AS n_null_b_valid,
+               CAST(3 AS BIGINT) AS n_dropmalformed,
+               CAST(70 AS BIGINT) AS b_total
+    """,
     "scan-csv-malformed": """
         SELECT CAST(8 AS BIGINT) AS n_permissive,
                CAST(4 AS BIGINT) AS n_corrupt,
@@ -979,6 +1039,7 @@ QUERIES = {
     "json-schema-parse": q_json_schema_parse,
     "json-variant-parse": q_json_variant,
     "scan-csv-malformed": q_scan_csv_malformed,
+    "scan-json-malformed": q_scan_json_malformed,
     "scan-csv-multiline": q_scan_csv_multiline,
     "agg-bool-bitwise": q_agg_bool_bitwise,
     "approx-distinct-ok": q_approx_distinct_ok,

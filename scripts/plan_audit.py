@@ -70,6 +70,7 @@ NESTED_LOOP_OK = {
     "sketch-hll-merge",  # 1-row merged-sketch × 1-row direct-sketch join
     "sketch-hll-overlap",  # 1-row sketch estimates × 1-row exact overlap
     "scan-csv-malformed",  # 1-row permissive-counts × 1-row dropmalformed-counts
+    "scan-json-malformed",  # same 1-row × 1-row shape, JSON sibling
     "rank-similarity-join",  # users × broadcast 5-row type set (dense grid build)
     "events-trajectory-topk",  # users × broadcast 24-row hour grid
     "events-haar-wavelet",  # users × broadcast 16-slot grid build
