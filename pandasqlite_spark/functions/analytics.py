@@ -1889,6 +1889,49 @@ def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounce_rate(load_events(spark, sf_dir))
 
 
+WILSON_Z = 1.96  # 95% — identical literal in both engines
+
+
+def wilson_intervals(events: DataFrame, z: float = WILSON_Z) -> DataFrame:
+    """Wilson score interval for the daily purchase rate — the
+    correct small-n confidence band for proportions (a normal
+    approximation goes negative near 0 and degenerates at tiny daily
+    counts; Wilson stays inside [0,1]).  Completes the uncertainty
+    trio: bootstrap (means), Welch t (differences), Wilson
+    (proportions).
+
+    Counts are exact longs from one partial-aggregated groupBy; the
+    interval evaluates in a fixed double sequence per |days| row."""
+    day = F.to_date("ts")
+    g = events.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    p = kd / nd
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt((p * (F.lit(1.0) - p)) / nd + z2 / ((F.lit(4.0) * nd) * nd))
+        / denom
+    )
+    return g.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("day")
+
+
+def q_events_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wilson_intervals(load_events(spark, sf_dir))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2323,6 +2366,7 @@ QUERIES = {
     "events-feature-matrix": q_events_feature_matrix,
     "events-peak-detect": q_events_peak_detect,
     "events-bounce-rate": q_events_bounce_rate,
+    "events-wilson-interval": q_events_wilson_interval,
     "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2354,6 +2398,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-wilson-interval": """
+        WITH g AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS k
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT day, n, k,
+                 CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 CAST(n AS DOUBLE) AS nd
+          FROM g),
+        e AS (
+          SELECT day, n, k, p, nd,
+                 (p + (1.96 * 1.96) / (2.0 * nd)) / (1.0 + (1.96 * 1.96) / nd) AS center,
+                 1.96 * sqrt((p * (1.0 - p)) / nd
+                             + (1.96 * 1.96) / ((4.0 * nd) * nd))
+                   / (1.0 + (1.96 * 1.96) / nd) AS half
+          FROM d)
+        SELECT CAST(day AS VARCHAR) AS day, n, k,
+               ROUND(p, 6) AS rate,
+               ROUND(center - half, 6) AS wilson_lo,
+               ROUND(center + half, 6) AS wilson_hi
+        FROM e ORDER BY day
+    """,
     "events-bounce-rate": """
         WITH marked AS (
           SELECT user_id, event_id, ts,
