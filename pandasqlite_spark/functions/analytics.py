@@ -1932,6 +1932,81 @@ def q_events_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_intervals(load_events(spark, sf_dir))
 
 
+def supplier_scorecard(lineitem: DataFrame) -> DataFrame:
+    """Supplier scorecard — the multi-metric vendor report: exact
+    decimal revenue, return share, and average discount per supplier,
+    ranked by revenue (top 20).  ONE partial-aggregated groupBy over
+    the fact table; revenue accumulates as DECIMAL(22,4) (the TPC-H Q1
+    discipline — a double sum is partitioning-order-dependent), ratios
+    divide exact counts, and the top-k is TakeOrderedAndProject."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    rev = (price * (F.lit(1).cast("decimal(3,2)") - disc)).alias("rev")
+    g = lineitem.select(
+        "l_suppkey",
+        rev,
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        disc.alias("d"),
+    ).groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev").alias("revenue"),
+        F.sum("ret").alias("n_returned"),
+        F.sum("d").alias("d_sum"),
+    )
+    return (
+        g.select(
+            "l_suppkey",
+            "n_lines",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines").cast("double"),
+                6,
+            ).alias("return_share"),
+            F.round(
+                F.col("d_sum").cast("double") / F.col("n_lines").cast("double"), 6
+            ).alias("avg_discount"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_scorecard(load(spark, sf_dir, "lineitem"))
+
+
+def monthly_seasonality(orders: DataFrame) -> DataFrame:
+    """Calendar-month seasonality index of order revenue across all
+    years: index > 1 means the month over-performs the flat-calendar
+    expectation (12·month_share).  Exact decimal revenue per month (12
+    groups), total via a window sum over the 12-row aggregate, one
+    double ratio at the end."""
+    m = F.month(F.col("o_orderdate")).alias("month")
+    g = orders.select(
+        m, F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    ).groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("p").alias("rev")
+    )
+    total = Window.partitionBy()
+    return (
+        g.withColumn("total", F.sum("rev").over(total))
+        .select(
+            "month",
+            "n_orders",
+            F.round(
+                F.lit(12.0)
+                * (F.col("rev").cast("double") / F.col("total").cast("double")),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return monthly_seasonality(load(spark, sf_dir, "orders"))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2367,6 +2442,8 @@ QUERIES = {
     "events-peak-detect": q_events_peak_detect,
     "events-bounce-rate": q_events_bounce_rate,
     "events-wilson-interval": q_events_wilson_interval,
+    "supplier-scorecard": q_supplier_scorecard,
+    "orders-monthly-seasonality": q_orders_monthly_seasonality,
     "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2398,6 +2475,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier-scorecard": """
+        WITH g AS (
+          SELECT l_suppkey, COUNT(*) AS n_lines,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                   AS revenue,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returned,
+                 SUM(CAST(l_discount AS DECIMAL(3,2))) AS d_sum
+          FROM lineitem GROUP BY 1)
+        SELECT l_suppkey, n_lines,
+               CAST(revenue AS DOUBLE) AS revenue,
+               ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+                 AS return_share,
+               ROUND(CAST(d_sum AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+                 AS avg_discount
+        FROM g ORDER BY revenue DESC, l_suppkey LIMIT 20
+    """,
+    "orders-monthly-seasonality": """
+        WITH g AS (
+          SELECT month(o_orderdate) AS month, COUNT(*) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        t AS (SELECT month, n_orders, rev, SUM(rev) OVER () AS total FROM g)
+        SELECT month, n_orders,
+               ROUND(12.0 * (CAST(rev AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                 AS seasonality_index
+        FROM t ORDER BY month
+    """,
     "events-wilson-interval": """
         WITH g AS (
           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
