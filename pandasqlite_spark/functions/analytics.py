@@ -2007,6 +2007,36 @@ def q_orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly_seasonality(load(spark, sf_dir, "orders"))
 
 
+def daily_type_mix(events: DataFrame) -> DataFrame:
+    """Daily event-type composition — the stacked-area/mix-shift feed
+    (the day-granular companion to the PSI drift alarm: PSI says THAT
+    the mix moved, this shows WHERE).  One partial-aggregated groupBy
+    to |days|×|types| cells, day totals as window sums over those
+    cells, exact-long shares."""
+    cells = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("day")
+    return (
+        cells.withColumn("day_total", F.sum("n").over(tot))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("day_total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def q_events_daily_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_type_mix(load_events(spark, sf_dir))
+
+
 def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of the whole schema: one row per
     declared FK relationship with child cardinality and orphan count —
@@ -2444,6 +2474,7 @@ QUERIES = {
     "events-wilson-interval": q_events_wilson_interval,
     "supplier-scorecard": q_supplier_scorecard,
     "orders-monthly-seasonality": q_orders_monthly_seasonality,
+    "events-daily-type-mix": q_events_daily_type_mix,
     "sample-class-balanced": q_sample_class_balanced,
     "agg-pareto-coverage": q_agg_pareto_coverage,
     "events-attribution": q_events_attribution,
@@ -2475,6 +2506,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events-daily-type-mix": """
+        WITH cells AS (
+          SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT CAST(day AS VARCHAR) AS day, event_type, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY day) AS DOUBLE), 6) AS share
+        FROM cells ORDER BY day, event_type
+    """,
     "supplier-scorecard": """
         WITH g AS (
           SELECT l_suppkey, COUNT(*) AS n_lines,
