@@ -1515,3 +1515,140 @@ def _pq_oracle() -> str:
 
 
 ORACLES["simsearch-pq-adc"] = _pq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical (BM25) and dense
+# (embedding-cosine) rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # standard RRF damping constant (Cormack et al.)
+RRF_LIST_N = 50     # depth of each input ranking
+RRF_TOP = 20
+
+
+def rrf_hybrid(
+    docs: DataFrame,
+    emb: DataFrame,
+    list_n: int = RRF_LIST_N,
+    rrf_k: int = RRF_K,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Hybrid search: fuse a lexical BM25 ranking and a dense
+    embedding-cosine ranking with reciprocal-rank fusion
+    ``score(d) = Σ_r 1/(k + rank_r(d))`` — the standard way to combine
+    sparse and dense retrieval without score calibration (RAG context
+    retrieval, eval-set mining).
+
+    Scale shape: each input list is a distributed score-and-reduce
+    (BM25: explode → tf groupBy restricted to the query terms; dense:
+    decimal dot-product reduction) ending in a ``TakeOrderedAndProject``
+    shortlist of ``list_n`` rows.  Only the two shortlists — O(list_n),
+    not O(corpus) — pass through the single-partition ``row_number``
+    windows and the fusion join, so the unpartitioned windows are
+    bounded by contract, like the MMR pool.  Ranks are integers and the
+    RRF score is the same IEEE expression over those integers in both
+    engines — no float ever feeds the ordering ambiguously.
+    """
+    from pandasqlite_spark.functions.text import bm25_scores
+
+    lex = bm25_scores(docs, top=list_n)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense = cosine_topk_exact(emb.filter(F.col("vec_id") != 0), query, k=list_n)
+    w_dense = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    dense_ranked = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_dense).alias("dense_rank"),
+    )
+
+    fused = lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+    contrib = lambda rank: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k).cast("double") + F.col(rank).cast("double")),
+        F.lit(0.0),
+    )
+    rrf = contrib("lex_rank") + contrib("dense_rank")
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(top)
+    )
+
+
+def q_simsearch_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_hybrid(load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["simsearch-rrf-hybrid"] = q_simsearch_rrf_hybrid
+
+ORACLES["simsearch-rrf-hybrid"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    corpus AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(dl) FROM dl) AS sum_dl),
+    lex AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+             ), 6) AS bm25
+      FROM tf
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id), corpus
+      GROUP BY tf.doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT {RRF_LIST_N}),
+    lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM lex),
+    e AS (
+      SELECT vec_id, t.i AS pos,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings, generate_series(1, 64) t(i) WHERE vec_id <> 0),
+    q AS (
+      SELECT t.i AS pos,
+             CAST(CAST(qe.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS qx
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qe,
+           generate_series(1, 64) t(i)),
+    nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+    pv AS (
+      SELECT e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+             CAST(SUM(e.x * e.x) AS DOUBLE) AS ne
+      FROM e JOIN q USING (pos) GROUP BY e.vec_id),
+    dense AS (
+      SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+      FROM pv, nq ORDER BY cosine DESC, vec_id LIMIT {RRF_LIST_N}),
+    denser AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS dense_rank
+      FROM dense),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank
+      FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
+    SELECT doc_id, lex_rank, dense_rank,
+           ROUND(COALESCE(1.0 / (CAST({RRF_K} AS DOUBLE) + CAST(lex_rank AS DOUBLE)), 0.0)
+                 + COALESCE(1.0 / (CAST({RRF_K} AS DOUBLE) + CAST(dense_rank AS DOUBLE)), 0.0),
+                 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP}
+"""
