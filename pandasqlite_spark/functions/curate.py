@@ -172,3 +172,114 @@ def _oracles() -> dict[str, str]:
 
 
 ORACLES = _oracles()
+
+
+COVERAGE_K = 5
+
+
+def coverage_select(docs: DataFrame, k: int = COVERAGE_K) -> DataFrame:
+    """Greedy max-coverage data selection: pick ``k`` documents, each
+    round choosing the doc that covers the most not-yet-covered distinct
+    tokens (facility-location/submodular selection — the classic
+    pick-a-diverse-subset pass for instruction-tuning and eval-set
+    construction).  Stops early once every token is covered.
+
+    Scale shape: the distributed work each round is one left-anti join
+    of the (doc, token) pair table against the covered-token set plus a
+    count-distinct groupBy — all partial-aggregated; only the 1-row
+    argmax is collected per round (the same per-round driver pull as
+    k-means/MMR).  The covered set is bounded by |vocabulary|, not by
+    corpus size, so the anti-join side broadcasts.  Gains are integers
+    and ties break on doc_id — the selection sequence is
+    engine-reproducible, and the emitted (step, doc_id, gain) rows are
+    all integers, so no float reaches the hash."""
+    from pandasqlite_spark.functions.text import tokens
+
+    pairs = docs.select(
+        "doc_id", F.explode(tokens()).alias("tok")
+    ).distinct()
+    pairs.cache()
+    spark = docs.sparkSession
+    selected: list[tuple[int, int, int]] = []
+    covered = None  # DataFrame[tok] of covered tokens
+    remaining = pairs
+    for step in range(1, k + 1):
+        cand = remaining
+        if selected:
+            sel_ids = [d for _, d, _ in selected]
+            cand = cand.filter(~F.col("doc_id").isin(sel_ids))
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0].doc_id, top[0].gain
+        selected.append((step, doc, gain))
+        new_toks = pairs.filter(F.col("doc_id") == doc).select("tok")
+        covered = new_toks if covered is None else covered.union(new_toks).distinct()
+        remaining = remaining.join(F.broadcast(covered), "tok", "left_anti")
+    pairs.unpersist()
+    return spark.createDataFrame(
+        selected, "step int, doc_id bigint, gain bigint"
+    )
+
+
+def q_corpus_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return coverage_select(load(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus-coverage-select"] = q_corpus_coverage_select
+
+
+def _coverage_oracle(k: int = COVERAGE_K) -> str:
+    """Unrolled greedy max-coverage: CTE s_i is the argmax of distinct
+    not-yet-covered tokens among unselected docs; c_i accumulates the
+    covered-token set.  Docs whose tokens are all covered contribute no
+    rows and so cannot be selected — the same early-stop contract as
+    the Spark loop."""
+    ctes = [
+        "s1 AS (SELECT doc_id, COUNT(*) AS gain FROM pairs GROUP BY 1"
+        " ORDER BY gain DESC, doc_id LIMIT 1)",
+        "c1 AS (SELECT DISTINCT tok FROM pairs"
+        " WHERE doc_id IN (SELECT doc_id FROM s1))",
+    ]
+    sel_union = "SELECT doc_id FROM s1"
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"""s{i} AS (
+              SELECT p.doc_id, COUNT(*) AS gain FROM pairs p
+              WHERE p.doc_id NOT IN ({sel_union})
+                AND p.tok NOT IN (SELECT tok FROM c{p})
+              GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+              SELECT tok FROM c{p}
+              UNION
+              SELECT DISTINCT tok FROM pairs
+              WHERE doc_id IN (SELECT doc_id FROM s{i}))"""
+        )
+        sel_union += f" UNION ALL SELECT doc_id FROM s{i}"
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, doc_id, gain FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)),
+    {cte_block}
+    {final}
+    ORDER BY step
+"""
+
+
+ORACLES["corpus-coverage-select"] = _coverage_oracle()

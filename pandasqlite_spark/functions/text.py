@@ -1174,3 +1174,127 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# BPE merge derivation — the pair-counting core of tokenizer training
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Derive the first ``n_merges`` BPE merge rules from the corpus:
+    start from character symbols, repeatedly count adjacent symbol
+    pairs weighted by word frequency, and merge the most frequent pair
+    (ties → lexicographic).  This is the distributed pair-counting loop
+    at the heart of tokenizer training; ``n_merges`` here is the
+    operator contract, production runs raise it.
+
+    Scale shape: each round is one explode → partial-aggregated pair
+    groupBy over the word-frequency table (|vocab| rows — the corpus
+    collapses to distinct words FIRST, so round cost is bound by
+    vocabulary, not corpus size); only the 1-row argmax is collected
+    per round (the k-means/MMR per-round pull).  Pair application uses
+    leftmost non-overlapping ``replace`` applied twice — deterministic
+    and identical in both engines (documented approximation of
+    textbook run-pairing for degenerate ``aaa…`` runs).  Counts are
+    integers, symbols are strings: nothing floating reaches the hash."""
+    words = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    w = words.select(seq.alias("seq"), "freq")
+    w.cache()
+    out: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = w.select(F.split(F.trim("seq"), " ").alias("l"), "freq").filter(
+            F.size("l") >= 2
+        )
+        pair = F.expr(
+            "transform(sequence(1, size(l)-1),"
+            " i -> struct(element_at(l, i) AS a, element_at(l, i+1) AS b))"
+        )
+        top = (
+            syms.select(F.explode(pair).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        out.append((step, a, b, a + b, cnt))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        w = w.select(
+            F.replace(F.replace(F.col("seq"), F.lit(pat), F.lit(rep)),
+                      F.lit(pat), F.lit(rep)).alias("seq"),
+            "freq",
+        )
+    return docs.sparkSession.createDataFrame(
+        out, "step int, left_sym string, right_sym string, merged string, cnt bigint"
+    )
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merges(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text-bpe-merges"] = q_text_bpe_merges
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled pair-count/merge rounds mirroring :func:`bpe_merges`:
+    w{i} is the symbolized vocabulary after i merges, m{i} the i-th
+    selected pair (argmax of frequency-weighted adjacent-pair counts,
+    lexicographic tie-break), applied with the same double ``replace``."""
+    ctes = [
+        """w0 AS (
+          SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+                 COUNT(*) AS freq
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                FROM documents)
+          GROUP BY 1)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""pc{i} AS (
+              SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+              FROM (SELECT string_split(trim(seq), ' ') AS l,
+                           unnest(range(1, len(string_split(trim(seq), ' ')))) AS i,
+                           freq
+                    FROM w{p}) s
+              GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+              SELECT a, b, a || b AS merged, cnt FROM pc{i}
+              ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+              SELECT replace(replace(seq, ' ' || a || ' ' || b || ' ',
+                                          ' ' || a || b || ' '),
+                             ' ' || a || ' ' || b || ' ',
+                             ' ' || a || b || ' ') AS seq, freq
+              FROM w{p}, m{i})"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, a AS left_sym, b AS right_sym,"
+        f" merged, cnt FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    {final}
+    ORDER BY step
+"""
+
+
+ORACLES["text-bpe-merges"] = _bpe_oracle()

@@ -883,3 +883,96 @@ ORACLES = {
 }
 
 ORACLES["events-haar-wavelet"] = _haar_oracle()
+
+
+def seasonal_decompose_daily(events: DataFrame) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event-count
+    series: ``trend`` = centered 7-day moving average (full windows
+    only), ``seasonal`` = per-day-of-week mean of the detrended series,
+    ``residual`` = detrended − seasonal.  The moving-average + seasonal-
+    means formulation is the decomposition step of STL-style monitoring
+    (capacity dashboards, anomaly baselines).
+
+    Scale shape: the raw stream collapses to |days| rows FIRST (one
+    partial-aggregated groupBy), so the unpartitioned calendar window is
+    bounded by contract; the 7-row day-of-week seasonal table joins back
+    as a broadcast.  Every aggregate stays integer (counts and 7-day
+    count sums), and trend/seasonal/residual derive from those integers
+    through the identical IEEE expression in both engines — the division
+    happens once, after all sums, so no float is ever accumulated."""
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = W.orderBy("day").rowsBetween(-3, 3)
+    d = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(win).alias("s7"),
+        F.count(F.lit(1)).over(win).alias("c7"),
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7).alias("dow"),
+    )
+    seas = (
+        d.filter(F.col("c7") == 7)
+        .groupBy("dow")
+        .agg(
+            F.sum("n").alias("sn"),
+            F.sum("s7").alias("ss7"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "dow",
+            (
+                F.col("sn").cast("double") / F.col("cnt")
+                - F.col("ss7").cast("double") / (F.lit(7.0) * F.col("cnt"))
+            ).alias("seasonal_raw"),
+        )
+    )
+    trend = F.when(F.col("c7") == 7, F.col("s7").cast("double") / F.lit(7.0))
+    detrended = F.col("n").cast("double") - F.col("s7").cast("double") / F.lit(7.0)
+    return (
+        d.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n",
+            F.round(trend, 6).alias("trend"),
+            F.round(F.col("seasonal_raw"), 6).alias("seasonal"),
+            F.round(
+                F.when(F.col("c7") == 7, detrended - F.col("seasonal_raw")), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_decompose_daily(load_events(spark, sf_dir))
+
+
+QUERIES["events-seasonal-decompose"] = q_events_seasonal_decompose
+
+ORACLES["events-seasonal-decompose"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n,
+             SUM(n) OVER win AS s7,
+             COUNT(*) OVER win AS c7,
+             date_diff('day', DATE '2024-01-01', day) % 7 AS dow
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*)
+               - CAST(SUM(s7) AS DOUBLE) / (7.0 * COUNT(*)) AS seasonal_raw
+      FROM w WHERE c7 = 7 GROUP BY 1)
+    SELECT CAST(w.day AS VARCHAR) AS day, w.n,
+           ROUND(CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 END, 6) AS trend,
+           ROUND(seasonal_raw, 6) AS seasonal,
+           ROUND(CASE WHEN c7 = 7
+                 THEN (CAST(w.n AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) - seasonal_raw
+                 END, 6) AS residual
+    FROM w JOIN seas USING (dow)
+    ORDER BY day
+"""
