@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "dedup-jaccard-verify",
     "simsearch-topk",  # 1-row broadcast query vector
     "simsearch-filtered",  # same 1-row query broadcast, pre-filtered corpus
+    "simsearch-rrf-hybrid",  # 1-row query-norm + 1-row (N, avgdl) corpus broadcasts
     "events-kaplan-meier",  # |event-days| × subject-durations risk-set join
     "simsearch-ivf",
     "simsearch-ivf-kmeans",
