@@ -38,6 +38,10 @@ KEYS = [
     "embedding-matryoshka-recall", # dual-dimension rank overlap
     "events-attribution",          # carry-forward window credit
     "text-bm25",                   # query-restricted tf + broadcast stats
+    "simsearch-rrf-hybrid",        # fused lexical+dense shortlists
+    "events-seasonal-decompose",   # |days|-bounded trend/seasonal split
+    "corpus-coverage-select",      # per-round anti-join greedy coverage
+    "text-bpe-merges",             # |vocab|-bounded pair-count rounds
 ]
 
 
