@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandasqlite_spark.operators.common import load
@@ -319,3 +319,61 @@ ORACLES: dict = {
         FROM documents, (SELECT unnest(generate_series(0, 3)) AS w)
     """,
 }
+
+
+N_SHARDS = 8
+
+
+def q_multimodal_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment for multimodal/WebDataset export:
+    rank assets by payload size (desc, doc_id tie-break) and deal them
+    serpentine (boustrophedon) across ``N_SHARDS`` shards — rank-row
+    ``r`` goes to shard ``r%N`` on even passes and ``N-1-(r%N)`` on odd
+    passes, the classic greedy-balance approximation that keeps every
+    shard within one max-asset of optimal without any driver loop.
+
+    Scale shape: ONE global size rank (a sort-based window — at 100 TB
+    you'd range-partition by size instead, same assignment) feeding a
+    pure integer shard expression, then a partial-aggregated per-shard
+    rollup to 8 rows.  Everything is integer arithmetic, so assignment
+    and totals are engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select(
+        "doc_id", "n_chars", (F.row_number().over(w) - 1).alias("r")
+    )
+    row, col = F.col("r") / N_SHARDS, F.col("r") % N_SHARDS
+    shard = F.when(
+        (F.floor(row) % 2) == 0, col
+    ).otherwise(F.lit(N_SHARDS - 1) - col)
+    return (
+        ranked.select("doc_id", "n_chars", shard.cast("int").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["multimodal-shard-assign"] = q_multimodal_shard_assign
+
+ORACLES["multimodal-shard-assign"] = f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+      FROM documents),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CAST(CASE WHEN (r // {N_SHARDS}) % 2 = 0
+                  THEN r % {N_SHARDS}
+                  ELSE {N_SHARDS} - 1 - (r % {N_SHARDS}) END AS INTEGER) AS shard
+      FROM ranked)
+    SELECT shard, COUNT(*) AS n_assets,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MAX(n_chars) AS max_chars, MIN(doc_id) AS min_doc_id
+    FROM assigned GROUP BY shard ORDER BY shard
+"""

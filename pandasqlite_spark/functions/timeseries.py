@@ -976,3 +976,117 @@ ORACLES["events-seasonal-decompose"] = """
     FROM w JOIN seas USING (dow)
     ORDER BY day
 """
+
+
+HOLT_ALPHA = 0.5  # exact binary fractions keep the recurrence products clean
+HOLT_BETA = 0.5
+
+
+def holt_linear_daily(events: DataFrame) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) of the daily
+    event-count series — the forecasting upgrade of ``events-ewma``
+    when the series drifts: ``l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})``,
+    ``b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}``, seeded with ``l_1 = y_1``,
+    ``b_1 = y_2 − y_1``.
+
+    The recurrence is inherently sequential, but the SERIES is bounded:
+    the raw stream collapses to |days| rows first (one partial-
+    aggregated groupBy), so the whole recurrence folds over a calendar-
+    bounded array in one task — the same bounded-by-contract shape as
+    the CUSUM/changepoint keys, with the distributed work in the
+    collapse.  The Spark fold (``aggregate`` with a struct accumulator)
+    and the DuckDB recursive CTE execute the IDENTICAL double-precision
+    step expression left-to-right, so every (level, trend) pair is
+    bit-reproducible across engines."""
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("s")
+    ).select(
+        F.expr("transform(s, r -> CAST(r.n AS DOUBLE))").alias("ys"),
+        F.expr("transform(s, r -> r.day)").alias("days"),
+        F.expr("transform(s, r -> r.n)").alias("ns"),
+    )
+    hist = F.expr(f"""
+        aggregate(
+          slice(ys, 3, size(ys) - 2),
+          named_struct(
+            'l', CAST(0.5 * ys[1] + 0.5 * (ys[0] + (ys[1] - ys[0])) AS DOUBLE),
+            'b', CAST(0.5 * ((0.5 * ys[1] + 0.5 * (ys[0] + (ys[1] - ys[0]))) - ys[0])
+                      + 0.5 * (ys[1] - ys[0]) AS DOUBLE),
+            'hist', array(
+              named_struct('l', CAST(ys[0] AS DOUBLE), 'b', CAST(ys[1] - ys[0] AS DOUBLE)),
+              named_struct(
+                'l', CAST(0.5 * ys[1] + 0.5 * (ys[0] + (ys[1] - ys[0])) AS DOUBLE),
+                'b', CAST(0.5 * ((0.5 * ys[1] + 0.5 * (ys[0] + (ys[1] - ys[0]))) - ys[0])
+                          + 0.5 * (ys[1] - ys[0]) AS DOUBLE)))),
+          (acc, y) -> named_struct(
+            'l', CAST(0.5 * y + 0.5 * (acc.l + acc.b) AS DOUBLE),
+            'b', CAST(0.5 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l)
+                      + 0.5 * acc.b AS DOUBLE),
+            'hist', array_append(acc.hist, named_struct(
+              'l', CAST(0.5 * y + 0.5 * (acc.l + acc.b) AS DOUBLE),
+              'b', CAST(0.5 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l)
+                        + 0.5 * acc.b AS DOUBLE)))),
+          acc -> acc.hist)
+    """)
+    rows = series.select(
+        F.posexplode(F.expr(
+            "zip_with(days, ys, (d, y) -> named_struct('day', d, 'y', y))"
+        )).alias("i", "r"),
+        hist.alias("h"),
+        F.col("ns"),
+    )
+    return rows.select(
+        F.col("r.day").cast("string").alias("day"),
+        F.expr("element_at(ns, i + 1)").alias("n"),
+        F.round(F.expr("element_at(h, i + 1).l"), 6).alias("level"),
+        F.round(F.expr("element_at(h, i + 1).b"), 6).alias("trend"),
+    ).orderBy("day")
+
+
+def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_linear_daily(load_events(spark, sf_dir))
+
+
+QUERIES["events-holt-linear"] = q_events_holt_linear
+
+ORACLES["events-holt-linear"] = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+    idx AS (
+      SELECT day, n, CAST(n AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (ORDER BY day) AS i
+      FROM daily),
+    rec(i, l, b) AS (
+      SELECT 2,
+             0.5 * (SELECT y FROM idx WHERE i = 2)
+               + 0.5 * ((SELECT y FROM idx WHERE i = 1)
+                        + ((SELECT y FROM idx WHERE i = 2)
+                           - (SELECT y FROM idx WHERE i = 1))),
+             0.5 * ((0.5 * (SELECT y FROM idx WHERE i = 2)
+                     + 0.5 * ((SELECT y FROM idx WHERE i = 1)
+                              + ((SELECT y FROM idx WHERE i = 2)
+                                 - (SELECT y FROM idx WHERE i = 1))))
+                    - (SELECT y FROM idx WHERE i = 1))
+               + 0.5 * ((SELECT y FROM idx WHERE i = 2)
+                        - (SELECT y FROM idx WHERE i = 1))
+      UNION ALL
+      SELECT r.i + 1,
+             0.5 * x.y + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * x.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN idx x ON x.i = r.i + 1),
+    path AS (
+      SELECT 1 AS i,
+             (SELECT y FROM idx WHERE i = 1) AS l,
+             (SELECT y FROM idx WHERE i = 2) - (SELECT y FROM idx WHERE i = 1) AS b
+      UNION ALL
+      SELECT i, l, b FROM rec)
+    SELECT CAST(x.day AS VARCHAR) AS day, x.n,
+           ROUND(p.l, 6) AS level, ROUND(p.b, 6) AS trend
+    FROM idx x JOIN path p USING (i)
+    ORDER BY day
+"""

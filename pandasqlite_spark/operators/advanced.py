@@ -539,3 +539,87 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag
     """,
 }
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: for each error, the click with the SMALLEST
+    absolute time distance in either direction (ties → the earlier,
+    i.e. backward, match) — completing the as-of direction matrix
+    (backward / forward / tolerance / nearest).
+
+    Composed from the same single-shuffle union+window primitive run
+    once per direction (no nested loop): each side attaches its
+    candidate and the per-row winner is a pure integer comparison of
+    microsecond distances, so the pick is engine-deterministic.  DuckDB
+    oracles it with two native ASOF joins and the identical CASE."""
+    e = load_events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("e_us")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.unix_micros("ts").alias("c_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    back = asof_join(
+        errors,
+        clicks.select("user_id", "c_ts", F.col("c_us").alias("b_us"),
+                      F.col("click_id").alias("b_click")),
+        on="user_id", left_ts="ts", right_ts="c_ts", payload=["b_us", "b_click"],
+    ).select("event_id", "e_us", "b_us", "b_click")
+    fwd_errors = errors.withColumn("nts", -F.col("e_us"))
+    fwd_clicks = clicks.select(
+        "user_id", (-F.col("c_us")).alias("c_nts"),
+        F.col("c_us").alias("f_us"), F.col("click_id").alias("f_click"),
+    )
+    fwd = asof_join(
+        fwd_errors, fwd_clicks,
+        on="user_id", left_ts="nts", right_ts="c_nts", payload=["f_us", "f_click"],
+    ).select("event_id", F.col("user_id").alias("u"), "f_us", "f_click")
+    j = back.join(fwd, back.event_id == fwd.event_id).select(
+        back.event_id.alias("event_id"), F.col("u").alias("user_id"),
+        "e_us", "b_us", "b_click", "f_us", "f_click",
+    )
+    bdist = F.col("e_us") - F.col("b_us")
+    fdist = F.col("f_us") - F.col("e_us")
+    pick_back = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull() | (bdist <= fdist)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(pick_back, F.col("b_click")).otherwise(F.col("f_click")).alias("click_id"),
+        F.when(pick_back & F.col("b_us").isNotNull(), F.lit("backward"))
+        .when(F.col("f_us").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+QUERIES["asof-join-nearest"] = q_asof_join_nearest
+
+ORACLES["asof-join-nearest"] = """
+    WITH errors AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS e_us
+      FROM events WHERE event_type = 'error'),
+    clicks AS (
+      SELECT user_id, ts, epoch_us(ts) AS c_us, event_id AS click_id
+      FROM events WHERE event_type = 'click'),
+    back AS (
+      SELECT e.event_id, e.user_id, e.e_us, c.c_us AS b_us, c.click_id AS b_click
+      FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts),
+    fwd AS (
+      SELECT e.event_id, c.c_us AS f_us, c.click_id AS f_click
+      FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts <= c.ts)
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b.b_us IS NOT NULL
+                     AND (f.f_us IS NULL OR b.e_us - b.b_us <= f.f_us - b.e_us)
+                THEN b.b_click ELSE f.f_click END AS click_id,
+           CASE WHEN b.b_us IS NOT NULL
+                     AND (f.f_us IS NULL OR b.e_us - b.b_us <= f.f_us - b.e_us)
+                THEN 'backward'
+                WHEN f.f_us IS NOT NULL THEN 'forward' END AS direction
+    FROM back b JOIN fwd f USING (event_id)
+"""
