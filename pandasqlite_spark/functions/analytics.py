@@ -3607,3 +3607,92 @@ ORACLES = {
         ORDER BY norm2_scaled DESC, vec_id LIMIT 20
     """,
 }
+
+
+DID_CUT = "2024-01-21"
+
+
+def did_uplift(events: DataFrame) -> DataFrame:
+    """Difference-in-differences uplift readout: users hash-split into
+    arms (md5 parity, the same deterministic assignment as
+    ``events-abtest-lift``), outcomes compared PRE vs POST a launch
+    date — ``DiD = (b_post − b_pre) − (a_post − a_pre)`` removes both
+    the between-arm baseline gap and the common time trend, the
+    standard causal readout when treatment switches on at a date.
+
+    Scale shape: one conditional aggregation over the purchase stream
+    collapses everything to a single 4-cell row (map-side combinable);
+    sums are exact decimals, counts exact longs, and the cell means /
+    DiD are one fixed IEEE expression on that row."""
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    cut = F.lit(DID_CUT).cast("date")
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            arm.alias("arm"),
+            (F.to_date("ts") >= cut).alias("post"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+    )
+    cell = lambda a, post: (  # noqa: E731
+        F.sum(F.when((F.col("arm") == a) & (F.col("post") == post), F.col("v"))),
+        F.count(F.when((F.col("arm") == a) & (F.col("post") == post), 1)),
+    )
+    (sa0, na0), (sa1, na1) = cell(0, False), cell(0, True)
+    (sb0, nb0), (sb1, nb1) = cell(1, False), cell(1, True)
+    g = p.agg(
+        sa0.alias("s_a_pre"), na0.alias("n_a_pre"),
+        sa1.alias("s_a_post"), na1.alias("n_a_post"),
+        sb0.alias("s_b_pre"), nb0.alias("n_b_pre"),
+        sb1.alias("s_b_post"), nb1.alias("n_b_post"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    m_a_pre, m_a_post = mean("s_a_pre", "n_a_pre"), mean("s_a_post", "n_a_post")
+    m_b_pre, m_b_post = mean("s_b_pre", "n_b_pre"), mean("s_b_post", "n_b_post")
+    return g.select(
+        "n_a_pre", "n_a_post", "n_b_pre", "n_b_post",
+        F.round(m_a_pre, 6).alias("mean_a_pre"),
+        F.round(m_a_post, 6).alias("mean_a_post"),
+        F.round(m_b_pre, 6).alias("mean_b_pre"),
+        F.round(m_b_post, 6).alias("mean_b_post"),
+        F.round((m_b_post - m_b_pre) - (m_a_post - m_a_pre), 6).alias("did"),
+    )
+
+
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return did_uplift(load_events(spark, sf_dir))
+
+
+QUERIES["events-did-uplift"] = q_events_did
+
+ORACLES["events-did-uplift"] = f"""
+    WITH arms AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS arm,
+             CAST(ts AS DATE) >= DATE '{DID_CUT}' AS post,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events WHERE event_type = 'purchase'),
+    g AS (
+      SELECT
+        SUM(CASE WHEN arm = 0 AND NOT post THEN v END) AS s_a_pre,
+        COUNT(CASE WHEN arm = 0 AND NOT post THEN 1 END) AS n_a_pre,
+        SUM(CASE WHEN arm = 0 AND post THEN v END) AS s_a_post,
+        COUNT(CASE WHEN arm = 0 AND post THEN 1 END) AS n_a_post,
+        SUM(CASE WHEN arm = 1 AND NOT post THEN v END) AS s_b_pre,
+        COUNT(CASE WHEN arm = 1 AND NOT post THEN 1 END) AS n_b_pre,
+        SUM(CASE WHEN arm = 1 AND post THEN v END) AS s_b_post,
+        COUNT(CASE WHEN arm = 1 AND post THEN 1 END) AS n_b_post
+      FROM arms)
+    SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+           ROUND(CAST(s_a_pre AS DOUBLE) / n_a_pre, 6) AS mean_a_pre,
+           ROUND(CAST(s_a_post AS DOUBLE) / n_a_post, 6) AS mean_a_post,
+           ROUND(CAST(s_b_pre AS DOUBLE) / n_b_pre, 6) AS mean_b_pre,
+           ROUND(CAST(s_b_post AS DOUBLE) / n_b_post, 6) AS mean_b_post,
+           ROUND((CAST(s_b_post AS DOUBLE) / n_b_post - CAST(s_b_pre AS DOUBLE) / n_b_pre)
+                 - (CAST(s_a_post AS DOUBLE) / n_a_post - CAST(s_a_pre AS DOUBLE) / n_a_pre),
+                 6) AS did
+    FROM g
+"""

@@ -1090,3 +1090,63 @@ ORACLES["events-holt-linear"] = """
     FROM idx x JOIN path p USING (i)
     ORDER BY day
 """
+
+
+ANOM_K = 2.0
+
+
+def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: flag days whose
+    decomposition RESIDUAL exceeds ``k``× the MAD of all residuals —
+    the STL-residual monitoring pass that catches a spike on a quiet
+    weekday that a raw-count threshold (``events-anomaly-mad``'s
+    per-user cousin) would miss, and ignores the weekly swing it would
+    false-positive on.
+
+    Composes :func:`seasonal_decompose_daily` (|days|-bounded, integer
+    partials) with a 1-row MAD broadcast; residuals are 6-dp-rounded
+    before the median, so the threshold comparison sees identical
+    doubles in both engines."""
+    dec = seasonal_decompose_daily(load_events(spark, sf_dir))
+    r = dec.filter(F.col("residual").isNotNull()).select("day", "n", "residual")
+    mad = r.agg(F.round(F.median(F.abs(F.col("residual"))), 6).alias("mad"))
+    return (
+        r.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n",
+            "residual",
+            "mad",
+            (F.abs(F.col("residual")) > F.lit(ANOM_K) * F.col("mad")).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events-anomaly-seasonal"] = q_events_anomaly_seasonal
+
+ORACLES["events-anomaly-seasonal"] = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n,
+             SUM(n) OVER win AS s7,
+             COUNT(*) OVER win AS c7,
+             date_diff('day', DATE '2024-01-01', day) % 7 AS dow
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*)
+               - CAST(SUM(s7) AS DOUBLE) / (7.0 * COUNT(*)) AS seasonal_raw
+      FROM w WHERE c7 = 7 GROUP BY 1),
+    r AS (
+      SELECT CAST(w.day AS VARCHAR) AS day, w.n,
+             ROUND((CAST(w.n AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) - seasonal_raw,
+                   6) AS residual
+      FROM w JOIN seas USING (dow) WHERE c7 = 7),
+    m AS (SELECT ROUND(median(abs(residual)), 6) AS mad FROM r)
+    SELECT day, n, residual, mad,
+           abs(residual) > {ANOM_K} * mad AS is_anomaly
+    FROM r, m ORDER BY day
+"""
