@@ -1150,3 +1150,133 @@ ORACLES["events-anomaly-seasonal"] = f"""
            abs(residual) > {ANOM_K} * mad AS is_anomaly
     FROM r, m ORDER BY day
 """
+
+
+BURST_GAMMA = 4.0   # state-entry cost (discourages flip-flopping)
+BURST_SCALE = 3     # burst rate = BURST_SCALE × base rate
+
+
+def q_events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst detection on the hourly event-count
+    series: a two-state automaton (base rate λ₀ = grid mean, burst rate
+    λ₁ = 3λ₀) with Poisson emission costs ``λⱼ − x·ln λⱼ`` and an entry
+    penalty γ for switching into the burst state; the minimum-cost
+    state PATH (Viterbi) labels each hour 0/1.  The standard "find the
+    bursty intervals" primitive for trending-topic and incident
+    detection.
+
+    Scale shape: the stream collapses to a gap-filled |hours| grid
+    first (one partial-aggregated groupBy + a sequence join — 720 rows
+    for the 30-day window, calendar-bounded by contract), and the DP
+    folds over that bounded array in one task carrying
+    (cost₀, cost₁, path₀, path₁) — the same bounded sequential-fold
+    shape as ``events-holt-linear``.  λ₀ and the two ``ln λ`` constants
+    are 6-dp-rounded ONCE, so every emission cost, running cost, and
+    comparison is the identical IEEE double sequence in both engines
+    (the DuckDB twin is a recursive CTE carrying the same four
+    accumulators), and the emitted (hour, count, state) rows are all
+    integers — nothing floating reaches the hash."""
+    us_per_hour = 3_600_000_000
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.select((F.unix_micros("ts") / us_per_hour).cast("bigint").alias("hb"))
+        .groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = hourly.agg(F.min("hb").alias("mn"), F.max("hb").alias("mx"))
+    grid = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hb"))
+    g = grid.join(hourly, "hb", "left").select(
+        "hb", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    row = (
+        g.agg(F.array_sort(F.collect_list(F.struct("hb", "x"))).alias("s"))
+        .select(
+            F.expr("transform(s, r -> r.hb)").alias("hbs"),
+            F.expr("transform(s, r -> r.x)").alias("xs"),
+        )
+        .withColumn(
+            "l0",
+            F.round(
+                F.expr("aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x)").cast(
+                    "double"
+                )
+                / F.size("xs"),
+                6,
+            ),
+        )
+        .withColumn("l1", F.lit(float(BURST_SCALE)) * F.col("l0"))
+        .withColumn("l0r", F.round(F.log("l0"), 6))
+        .withColumn("l1r", F.round(F.log("l1"), 6))
+    )
+    gam = f"{BURST_GAMMA!r}D"
+    path = F.expr(f"""
+        aggregate(
+          slice(xs, 2, size(xs) - 1),
+          named_struct(
+            'c0', l0 - CAST(xs[0] AS DOUBLE) * l0r,
+            'c1', {gam} + l1 - CAST(xs[0] AS DOUBLE) * l1r,
+            'p0', array(0),
+            'p1', array(1)),
+          (acc, x) -> named_struct(
+            'c0', (l0 - CAST(x AS DOUBLE) * l0r) + least(acc.c0, acc.c1),
+            'c1', (l1 - CAST(x AS DOUBLE) * l1r) + least(acc.c1, acc.c0 + {gam}),
+            'p0', array_append(
+              CASE WHEN acc.c0 <= acc.c1 THEN acc.p0 ELSE acc.p1 END, 0),
+            'p1', array_append(
+              CASE WHEN acc.c1 <= acc.c0 + {gam} THEN acc.p1 ELSE acc.p0 END, 1)),
+          acc -> CASE WHEN acc.c0 <= acc.c1 THEN acc.p0 ELSE acc.p1 END)
+    """)
+    # the path fold is zipped INTO the generator input so it is
+    # evaluated ONCE per (single) input row — carrying it as a separate
+    # projected column lets CollapseProject inline the whole fold into
+    # the per-output-row element_at (measured 12 s for 720 rows)
+    zipped = F.explode(
+        F.arrays_zip(F.col("hbs"), F.col("xs"), path.alias("st"))
+    ).alias("r")
+    return (
+        row.select(zipped)
+        .select(
+            F.col("r.hbs").alias("hb"),
+            F.col("r.xs").alias("x"),
+            F.col("r.st").alias("state"),
+        )
+        .orderBy("hb")
+    )
+
+
+QUERIES["events-burst-viterbi"] = q_events_burst_viterbi
+
+ORACLES["events-burst-viterbi"] = f"""
+    WITH RECURSIVE hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hb, COUNT(*) AS x
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(hb) AS mn, MAX(hb) AS mx FROM hourly),
+    grid AS (SELECT unnest(range(mn, mx + 1)) AS hb FROM b),
+    g AS (
+      SELECT grid.hb, COALESCE(x, 0) AS x,
+             ROW_NUMBER() OVER (ORDER BY grid.hb) AS i
+      FROM grid LEFT JOIN hourly USING (hb)),
+    k AS (
+      SELECT l0, {BURST_SCALE} * l0 AS l1,
+             ROUND(ln(l0), 6) AS l0r, ROUND(ln({BURST_SCALE} * l0), 6) AS l1r
+      FROM (SELECT ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS l0 FROM g)),
+    rec(i, c0, c1, p0, p1) AS (
+      SELECT 1,
+             l0 - CAST(x AS DOUBLE) * l0r,
+             {BURST_GAMMA} + l1 - CAST(x AS DOUBLE) * l1r,
+             [0], [1]
+      FROM g, k WHERE i = 1
+      UNION ALL
+      SELECT r.i + 1,
+             (k.l0 - CAST(g.x AS DOUBLE) * k.l0r) + least(r.c0, r.c1),
+             (k.l1 - CAST(g.x AS DOUBLE) * k.l1r)
+               + least(r.c1, r.c0 + {BURST_GAMMA}),
+             list_append(CASE WHEN r.c0 <= r.c1 THEN r.p0 ELSE r.p1 END, 0),
+             list_append(CASE WHEN r.c1 <= r.c0 + {BURST_GAMMA} THEN r.p1 ELSE r.p0 END, 1)
+      FROM rec r JOIN g ON g.i = r.i + 1, k),
+    fin AS (
+      SELECT CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path
+      FROM rec ORDER BY i DESC LIMIT 1)
+    SELECT g.hb, g.x, path[g.i] AS state
+    FROM g, fin ORDER BY g.hb
+"""
