@@ -385,3 +385,205 @@ ORACLES = {
         FROM daily ORDER BY day
     """,
 }
+
+
+# ------------------------------------------------- lagged cross-correlation
+
+CCF_MAX_LAG = 3
+
+
+def crosscorr_hourly(events: DataFrame, max_lag: int = CCF_MAX_LAG) -> DataFrame:
+    """Lagged cross-correlation between the hourly PURCHASE and ERROR
+    count series (lags −3..+3) — "do errors lead or lag purchases?",
+    the root-cause screening companion of ``events-acf-hourly``.
+
+    Same exactness discipline as the ACF key: both series live on the
+    gap-filled hourly grid (so lags align through quiet hours), the
+    deviations are INTEGRAL (``n·x − S`` — no float mean), every
+    lag-product sum is an exact DECIMAL(38,0), and the only floating
+    ops are one double division + sqrt per lag, 6-dp-rounded.  One
+    groupBy collapse, one calendar-bounded window chain — the shuffle
+    moves |hours| rows."""
+    us_per_hour = 3_600_000_000
+    hourly = (
+        events.select(
+            (F.unix_micros("ts") / us_per_hour).cast("bigint").alias("hb"),
+            "event_type",
+        )
+        .groupBy("hb")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("e"),
+        )
+    )
+    bounds = hourly.agg(F.min("hb").alias("mn"), F.max("hb").alias("mx"))
+    grid = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hb"))
+    g = grid.join(hourly, "hb", "left").select(
+        "hb",
+        F.coalesce("p", F.lit(0)).alias("p"),
+        F.coalesce("e", F.lit(0)).alias("e"),
+    )
+    wall = Window.partitionBy()
+    dec = "decimal(18,0)"
+    d = g.select(
+        "hb",
+        (F.count(F.lit(1)).over(wall) * F.col("p") - F.sum("p").over(wall))
+        .cast(dec)
+        .alias("dp"),
+        (F.count(F.lit(1)).over(wall) * F.col("e") - F.sum("e").over(wall))
+        .cast(dec)
+        .alias("de"),
+    )
+    wo = Window.orderBy("hb")
+    lag_cols = [
+        F.lead("de", k).over(wo).alias(f"le_{k}") if k >= 0
+        else F.lag("de", -k).over(wo).alias(f"le_m{-k}")
+        for k in range(-max_lag, max_lag + 1)
+    ]
+    l = d.select("dp", "de", *lag_cols)
+    big = "decimal(38,0)"
+    aggs = [
+        F.sum((F.col("dp") * F.col("dp")).cast(big)).alias("sdp2"),
+        F.sum((F.col("de") * F.col("de")).cast(big)).alias("sde2"),
+    ]
+    for k in range(-max_lag, max_lag + 1):
+        c = f"le_{k}" if k >= 0 else f"le_m{-k}"
+        aggs.append(F.sum((F.col("dp") * F.col(c)).cast(big)).alias(f"num_{k + max_lag}"))
+    one = l.agg(*aggs)
+    den = F.sqrt(F.col("sdp2").cast("double") * F.col("sde2").cast("double"))
+    pairs = ", ".join(
+        f"{k}, ROUND(CAST(num_{k + max_lag} AS DOUBLE) / den, 6)"
+        for k in range(-max_lag, max_lag + 1)
+    )
+    n_lags = 2 * max_lag + 1
+    return (
+        one.withColumn("den", den)
+        .selectExpr(f"stack({n_lags}, {pairs}) as (lag, ccf)")
+        .orderBy("lag")
+    )
+
+
+def q_events_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crosscorr_hourly(load_events(spark, sf_dir))
+
+
+QUERIES["events-crosscorr-lagged"] = q_events_crosscorr
+
+ORACLES["events-crosscorr-lagged"] = """
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hb,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS p,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS e
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(hb) AS mn, MAX(hb) AS mx FROM hourly),
+    grid AS (SELECT unnest(range(mn, mx + 1)) AS hb FROM b),
+    g AS (
+      SELECT grid.hb, COALESCE(p, 0) AS p, COALESCE(e, 0) AS e
+      FROM grid LEFT JOIN hourly USING (hb)),
+    d AS (
+      SELECT hb,
+             CAST(COUNT(*) OVER () * p - SUM(p) OVER () AS DECIMAL(18,0)) AS dp,
+             CAST(COUNT(*) OVER () * e - SUM(e) OVER () AS DECIMAL(18,0)) AS de
+      FROM g),
+    l AS (
+      SELECT dp, de,
+             LAG(de, 3)  OVER w AS le_m3,
+             LAG(de, 2)  OVER w AS le_m2,
+             LAG(de, 1)  OVER w AS le_m1,
+             de          AS le_0,
+             LEAD(de, 1) OVER w AS le_1,
+             LEAD(de, 2) OVER w AS le_2,
+             LEAD(de, 3) OVER w AS le_3
+      FROM d WINDOW w AS (ORDER BY hb)),
+    a AS (
+      SELECT SUM(CAST(dp * dp AS DECIMAL(38,0))) AS sdp2,
+             SUM(CAST(de * de AS DECIMAL(38,0))) AS sde2,
+             SUM(CAST(dp * le_m3 AS DECIMAL(38,0))) AS n0,
+             SUM(CAST(dp * le_m2 AS DECIMAL(38,0))) AS n1,
+             SUM(CAST(dp * le_m1 AS DECIMAL(38,0))) AS n2,
+             SUM(CAST(dp * le_0  AS DECIMAL(38,0))) AS n3,
+             SUM(CAST(dp * le_1  AS DECIMAL(38,0))) AS n4,
+             SUM(CAST(dp * le_2  AS DECIMAL(38,0))) AS n5,
+             SUM(CAST(dp * le_3  AS DECIMAL(38,0))) AS n6
+      FROM l)
+    SELECT v.lag,
+           ROUND(CAST(CASE v.lag
+                        WHEN -3 THEN n0 WHEN -2 THEN n1 WHEN -1 THEN n2
+                        WHEN 0 THEN n3
+                        WHEN 1 THEN n4 WHEN 2 THEN n5 WHEN 3 THEN n6
+                      END AS DOUBLE)
+                 / sqrt(CAST(sdp2 AS DOUBLE) * CAST(sde2 AS DOUBLE)), 6) AS ccf
+    FROM a, (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) AS v(lag)
+    ORDER BY v.lag
+"""
+
+
+# ------------------------------------------------- Markov entropy rate
+
+def markov_entropy_rate(events: DataFrame) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    ``H = −Σ_{s,t} (c_st/total)·ln(c_st/c_s)`` over observed transition
+    counts — how predictable the NEXT event is given the current one
+    (journey regularity; also the compressibility bound for sequence
+    logs).  Perplexity ``e^H`` is the branching-factor readout.
+
+    Scale shape: one user-partitioned lead window (the same single
+    exchange every sequence key shares), then a partial-aggregated
+    groupBy onto the ≤|types|² transition cells; the log arithmetic
+    runs on those ≤25 rows.  Counts are exact longs; per-cell terms
+    follow the ``events-user-entropy`` libm discipline (ROUND at the
+    scalar end)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+    )
+    cells = pairs.groupBy("s", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    rows = cells.groupBy("s").agg(F.sum("c_st").alias("c_s"))
+    tot = cells.agg(F.sum("c_st").alias("total"))
+    term = (
+        F.col("c_st").cast("double") / F.col("total")
+    ) * F.log(F.col("c_st").cast("double") / F.col("c_s"))
+    h = (
+        cells.join(rows, "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("total").alias("n_transitions"),
+            F.round(-F.sum(term), 6).alias("entropy_rate"),
+        )
+    )
+    return h.select(
+        "n_transitions",
+        "entropy_rate",
+        F.round(F.exp("entropy_rate"), 6).alias("perplexity"),
+    )
+
+
+def q_events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_entropy_rate(load_events(spark, sf_dir))
+
+
+QUERIES["events-markov-entropy-rate"] = q_events_markov_entropy
+
+ORACLES["events-markov-entropy-rate"] = """
+    WITH pairs AS (
+      SELECT event_type AS s,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events),
+    cells AS (
+      SELECT s, t, COUNT(*) AS c_st FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2),
+    rs AS (SELECT s, CAST(SUM(c_st) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS total FROM cells),
+    h AS (
+      SELECT MAX(total) AS n_transitions,
+             ROUND(-SUM((CAST(c_st AS DOUBLE) / total)
+                        * ln(CAST(c_st AS DOUBLE) / c_s)), 6) AS entropy_rate
+      FROM cells JOIN rs USING (s), tot)
+    SELECT n_transitions, entropy_rate,
+           ROUND(exp(entropy_rate), 6) AS perplexity
+    FROM h
+"""
