@@ -377,3 +377,74 @@ ORACLES["multimodal-shard-assign"] = f"""
            MAX(n_chars) AS max_chars, MIN(doc_id) AS min_doc_id
     FROM assigned GROUP BY shard ORDER BY shard
 """
+
+
+RESIZE_SCHEMA = "doc_id bigint, out_r int, out_c int, px int"
+
+
+def resize_images(with_payload: DataFrame) -> DataFrame:
+    """Image-resize plumbing: each 16-byte payload is a 4×4 uint8
+    "image" (the deterministic decode stand-in — a real decoder would
+    produce H×W×C here), average-pooled 2× to a 2×2 thumbnail with
+    INTEGER floor means, emitted as (doc_id, out_r, out_c, px) rows.
+
+    The Spark-side shape is the real thing: vectorized numpy pooling
+    (``reshape(2,2,2,2).sum((1,3)) // 4``) inside ``mapInPandas`` over
+    BinaryType, Arrow-batched, output partitioning inherited — swap the
+    ``frombuffer`` line for a PIL/`cv2` decode + ``resize`` and nothing
+    else changes.  Integer pooling keeps every output byte
+    SQL-reconstructable, so the key carries a full value oracle (same
+    honesty contract as ``multimodal-frames``)."""
+
+    import numpy as np
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(with_payload.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rs, cs, px = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(4, 4)
+                pooled = img.astype(np.int64).reshape(2, 2, 2, 2).sum(axis=(1, 3)) // 4
+                for r in range(2):
+                    for c in range(2):
+                        ids.append(doc_id)
+                        rs.append(r)
+                        cs.append(c)
+                        px.append(int(pooled[r, c]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_r": pd.Series(rs, dtype="int32"),
+                    "out_c": pd.Series(cs, dtype="int32"),
+                    "px": pd.Series(px, dtype="int32"),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(attach_payload(load(spark, sf_dir, "documents")))
+
+
+QUERIES["multimodal-resize"] = q_multimodal_resize
+
+# byte i of the md5 payload, as an integer (DuckDB hex-pair slice)
+_PX = "('0x' || substr(md5(text), {o}, 2))::INTEGER"
+
+ORACLES["multimodal-resize"] = f"""
+    WITH g AS (
+      SELECT doc_id, v.r AS out_r, v.c AS out_c,
+             -- top-left byte index of the 2x2 input block:
+             -- rows 2r,2r+1 / cols 2c,2c+1 of the 4x4 grid
+             (({_PX.format(o="(v.r*2)*8 + v.c*4 + 1")})
+              + ({_PX.format(o="(v.r*2)*8 + v.c*4 + 3")})
+              + ({_PX.format(o="(v.r*2+1)*8 + v.c*4 + 1")})
+              + ({_PX.format(o="(v.r*2+1)*8 + v.c*4 + 3")})) // 4 AS px
+      FROM documents,
+           (VALUES (0,0),(0,1),(1,0),(1,1)) AS v(r, c))
+    SELECT doc_id, out_r, out_c, CAST(px AS INTEGER) AS px FROM g
+"""
