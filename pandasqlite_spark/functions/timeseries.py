@@ -1280,3 +1280,128 @@ ORACLES["events-burst-viterbi"] = f"""
     SELECT g.hb, g.x, path[g.i] AS state
     FROM g, fin ORDER BY g.hb
 """
+
+
+HW_PERIOD = 7
+
+
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing of the daily
+    event-count series (α=β=γ=0.5, weekly period) — level + trend +
+    seasonal state with one-step-ahead fitted values, completing the
+    smoothing family (``events-ewma`` → ``events-holt-linear`` →
+    seasonal).  Seeds: ``l₀ = mean(y₁..₇)``, ``b₀ = (mean(y₈..₁₄) −
+    mean(y₁..₇))/7``, ``sᵢ = yᵢ − l₀``; emits t ≥ 8.
+
+    Same bounded-recurrence contract as ``events-holt-linear``: the
+    stream collapses to the |days| grid first, the fold carries
+    (level, trend, 7-slot seasonal ring, history) over that calendar-
+    bounded array in one task, and the DuckDB twin is a recursive CTE
+    executing the IDENTICAL double-precision step expressions — seed
+    means come from exact integer sums, so every state is
+    bit-reproducible across engines."""
+    daily = (
+        events_daily(load_events(spark, sf_dir))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("s")
+    ).select(
+        F.expr("transform(s, r -> CAST(r.n AS BIGINT))").alias("xs"),
+        F.expr("transform(s, r -> r.day)").alias("days"),
+    )
+    row = series.withColumn(
+        "l0",
+        F.expr("CAST(xs[0]+xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6] AS DOUBLE)/7.0"),
+    ).withColumn(
+        "b0",
+        F.expr(
+            "(CAST(xs[7]+xs[8]+xs[9]+xs[10]+xs[11]+xs[12]+xs[13] AS DOUBLE)/7.0 - l0)/7.0"
+        ),
+    )
+    LN = "(0.5 * (CAST(y AS DOUBLE) - acc.s[0]) + 0.5 * (acc.l + acc.b))"
+    BN = f"(0.5 * ({LN} - acc.l) + 0.5 * acc.b)"
+    SN = f"(0.5 * (CAST(y AS DOUBLE) - {LN}) + 0.5 * acc.s[0])"
+    seed_s = ", ".join(f"CAST(xs[{i}] AS DOUBLE) - l0" for i in range(7))
+    hist = F.expr(f"""
+        aggregate(
+          slice(xs, 8, size(xs) - 7),
+          named_struct(
+            'l', l0, 'b', b0,
+            's', array({seed_s}),
+            'h', CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE, sn: DOUBLE, fit: DOUBLE>>)),
+          (acc, y) -> named_struct(
+            'l', {LN},
+            'b', {BN},
+            's', concat(slice(acc.s, 2, 6), array({SN})),
+            'h', array_append(acc.h, named_struct(
+              'l', {LN}, 'b', {BN}, 'sn', {SN},
+              'fit', acc.l + acc.b + acc.s[0]))),
+          acc -> acc.h)
+    """)
+    out = row.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(days, 8, size(days) - 7)").alias("day"),
+                F.expr("slice(xs, 8, size(xs) - 7)").alias("n"),
+                hist.alias("st"),
+            )
+        ).alias("r")
+    )
+    return out.select(
+        F.col("r.day").cast("string").alias("day"),
+        F.col("r.n").alias("n"),
+        F.round(F.col("r.st.l"), 6).alias("level"),
+        F.round(F.col("r.st.b"), 6).alias("trend"),
+        F.round(F.col("r.st.sn"), 6).alias("seasonal"),
+        F.round(F.col("r.st.fit"), 6).alias("fitted"),
+    ).orderBy("day")
+
+
+def events_daily(events: DataFrame) -> DataFrame:
+    """Shared |days|-grid collapse used by the smoothing keys."""
+    return (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES["events-holt-winters"] = q_events_holt_winters
+
+_HW_LN = "(0.5 * (CAST(x.y AS DOUBLE) - r.s[1]) + 0.5 * (r.l + r.b))"
+_HW_BN = f"(0.5 * ({_HW_LN} - r.l) + 0.5 * r.b)"
+_HW_SN = f"(0.5 * (CAST(x.y AS DOUBLE) - {_HW_LN}) + 0.5 * r.s[1])"
+
+ORACLES["events-holt-winters"] = f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+    idx AS (
+      SELECT day, n, CAST(n AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (ORDER BY day) AS i
+      FROM daily),
+    seed AS (
+      SELECT
+        CAST((SELECT SUM(n) FROM idx WHERE i BETWEEN 1 AND 7) AS DOUBLE) / 7.0 AS l0,
+        (CAST((SELECT SUM(n) FROM idx WHERE i BETWEEN 8 AND 14) AS DOUBLE) / 7.0
+         - CAST((SELECT SUM(n) FROM idx WHERE i BETWEEN 1 AND 7) AS DOUBLE) / 7.0) / 7.0 AS b0,
+        (SELECT list(CAST(n AS DOUBLE)
+                     - CAST((SELECT SUM(n) FROM idx WHERE i BETWEEN 1 AND 7) AS DOUBLE) / 7.0
+                     ORDER BY i)
+         FROM idx WHERE i BETWEEN 1 AND 7) AS s0),
+    rec(i, l, b, s, sn, fit) AS (
+      SELECT 7, l0, b0, s0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM seed
+      UNION ALL
+      SELECT r.i + 1,
+             {_HW_LN},
+             {_HW_BN},
+             list_append(r.s[2:7], {_HW_SN}),
+             {_HW_SN},
+             r.l + r.b + r.s[1]
+      FROM rec r JOIN idx x ON x.i = r.i + 1)
+    SELECT CAST(x.day AS VARCHAR) AS day, x.n,
+           ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+           ROUND(r.sn, 6) AS seasonal, ROUND(r.fit, 6) AS fitted
+    FROM rec r JOIN idx x ON x.i = r.i
+    WHERE r.i >= 8
+    ORDER BY day
+"""
