@@ -895,3 +895,83 @@ ORACLES = {
         GROUP BY s.doc_id
     """,
 }
+
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality readout: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (matching signature components / k) next
+    to the EXACT shingle Jaccard and the signed error — the measurement
+    that tells you whether k=8 hashes is enough before you trust the
+    sketch at 100 TB (the ANN twin is ``simsearch-recall-eval``).
+
+    Scale shape: signatures and candidates are the existing bucketed
+    LSH path; the estimate is a row-local integer comparison of the two
+    joined signatures, and the exact Jaccard touches candidate pairs
+    only.  ``n_match`` is an integer and both ratios divide identical
+    ints — no float aggregation anywhere."""
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    pairs = candidate_pairs(lsh_bands(sig))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_match")
+    )
+    exact = jaccard_verify(d, pairs)
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.round(F.col("n_match") / float(N_HASHES), 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("exact_jaccard"),
+            F.round(F.col("n_match") / float(N_HASHES) - F.col("jaccard"), 6).alias(
+                "err"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup-minhash-estimate"] = q_dedup_minhash_estimate
+
+_EST_MATCH = " + ".join(f"CAST(a.m{i} = b.m{i} AS INTEGER)" for i in range(N_HASHES))
+
+ORACLES["dedup-minhash-estimate"] = f"""
+    WITH sig AS ({_minhash_oracle_sig()}),
+    pairs AS ({_minhash_oracle_pairs()}),
+    m AS (
+      SELECT p.doc_a, p.doc_b, ({_EST_MATCH}) AS n_match
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS l
+      FROM toks WHERE len(t) >= 3),
+    ex AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+               / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) AS jaccard
+      FROM pairs p
+      JOIN shl a ON a.doc_id = p.doc_a
+      JOIN shl b ON b.doc_id = p.doc_b)
+    SELECT m.doc_a, m.doc_b, m.n_match,
+           ROUND(m.n_match / {float(N_HASHES)}, 6) AS est_jaccard,
+           ROUND(ex.jaccard, 6) AS exact_jaccard,
+           ROUND(m.n_match / {float(N_HASHES)} - ex.jaccard, 6) AS err
+    FROM m JOIN ex USING (doc_a, doc_b)
+    ORDER BY doc_a, doc_b
+"""

@@ -66,6 +66,7 @@ NESTED_LOOP_OK = {
     "events-benford-check",  # 1-row positive-count total broadcast
     "events-changepoint-cusum",  # 1-row global-mean broadcast
     "events-anomaly-seasonal",  # 1-row residual-MAD broadcast
+    "events-markov-entropy-rate",  # 1-row transition-total broadcast
     "events-psi-drift",  # two 1-row week-total broadcasts
     "agg-bootstrap-ci",  # 1-row point-estimate × ci-bound broadcasts
     "text-naive-bayes",  # |classes|-row broadcast (the scoring fan-out)
