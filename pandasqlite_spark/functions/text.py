@@ -1298,3 +1298,85 @@ def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
 
 
 ORACLES["text-bpe-merges"] = _bpe_oracle()
+
+
+KN_DISCOUNT = 0.75
+KN_TOP = 20
+
+
+def kneser_ney_bigrams(docs: DataFrame, d: float = KN_DISCOUNT, top: int = KN_TOP) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities for the corpus's
+    ``top`` most frequent bigrams — the modern LM smoothing that backs
+    off to CONTINUATION counts ("how many contexts does w₂ complete?")
+    instead of raw unigram frequency:
+
+        P_KN(w₂|w₁) = max(c₁₂−d, 0)/c₁ + (d·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/D
+
+    (N₁₊(w₁·) = distinct continuations of w₁, N₁₊(·w₂) = distinct
+    contexts of w₂, D = distinct bigram types).  Shown next to the MLE
+    ratio so the smoothing effect is visible per row.
+
+    Scale shape: bigram extraction is row-local (``transform``, no
+    explode-then-window); ONE partial-aggregated groupBy collapses the
+    corpus to the vocabulary²-bounded bigram table, and every N₁₊ /
+    total is a further aggregate OF THAT TABLE — corpus rows never
+    shuffle twice.  Every quantity is an exact integer; each output
+    probability is one fixed IEEE expression per row (no float
+    aggregation), so the table is engine-exact."""
+    t = docs.select("doc_id", tokens().alias("t")).filter(F.size("t") >= 2)
+    big = t.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_fwd")
+    )
+    n_bwd = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_bwd"))
+    dd = c12.agg(F.count(F.lit(1)).alias("d_types"))
+    p_mle = F.col("c12").cast("double") / F.col("c1")
+    p_kn = (
+        (F.greatest(F.col("c12").cast("double") - F.lit(d), F.lit(0.0)) / F.col("c1"))
+        + ((F.lit(d) * F.col("n_fwd")) / F.col("c1"))
+        * (F.col("n_bwd").cast("double") / F.col("d_types"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(F.broadcast(n_bwd), "w2")
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "w1", "w2", "c12", "c1", "n_fwd", "n_bwd",
+            F.round(p_mle, 6).alias("p_mle"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(top)
+    )
+
+
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kneser_ney_bigrams(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text-kneser-ney-lm"] = q_text_kneser_ney
+
+ORACLES["text-kneser-ney-lm"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2) s),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n_fwd
+      FROM c12 GROUP BY 1),
+    nb AS (SELECT w2, COUNT(*) AS n_bwd FROM c12 GROUP BY 1),
+    dd AS (SELECT COUNT(*) AS d_types FROM c12)
+    SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n_fwd, nb.n_bwd,
+           ROUND(CAST(c12.c12 AS DOUBLE) / c1.c1, 6) AS p_mle,
+           ROUND((GREATEST(CAST(c12.c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0) / c1.c1)
+                 + (({KN_DISCOUNT} * c1.n_fwd) / c1.c1)
+                 * (CAST(nb.n_bwd AS DOUBLE) / dd.d_types), 6) AS p_kn
+    FROM c12 JOIN c1 USING (w1) JOIN nb USING (w2), dd
+    ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT {KN_TOP}
+"""
