@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pandasqlite_spark.operators.common import load
+from pandasqlite_spark.operators.common import load, load_events
 
 
 def uniform_hash16(id_col) -> F.Column:
@@ -379,3 +379,72 @@ ORACLES = {
         WHERE rn <= 3
     """,
 }
+
+
+TEMPORAL_CUT = "2024-01-22"
+
+
+def q_split_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split + leakage diagnostic: train = events
+    before the cutoff, test = events at/after it, and the readout every
+    temporal split needs BEFORE training — how many users (the entity a
+    model memorizes) appear on BOTH sides.  High overlap means the
+    "holdout" mostly re-tests seen users; user-level splits
+    (``split-assign``) are the fix, and this key is the measurement
+    that tells you.
+
+    Scale shape: two partial-aggregated distinct-collapses on user_id
+    (the same combinable shape as ``events-abtest-lift``) and a 1-row
+    summary — counts are exact longs, the two share ratios one fixed
+    IEEE division each."""
+    ev = load_events(spark, sf_dir)
+    cut = F.lit(TEMPORAL_CUT).cast("date")
+    tagged = ev.select("user_id", (F.to_date("ts") >= cut).alias("is_test"))
+    per_user = tagged.groupBy("user_id").agg(
+        F.max(F.when(~F.col("is_test"), 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("is_test"), 1).otherwise(0)).alias("in_test"),
+    )
+    rows = tagged.agg(
+        F.count(F.when(~F.col("is_test"), 1)).alias("n_train_rows"),
+        F.count(F.when(F.col("is_test"), 1)).alias("n_test_rows"),
+    )
+    users = per_user.agg(
+        F.sum("in_train").alias("n_train_users"),
+        F.sum("in_test").alias("n_test_users"),
+        F.sum(F.col("in_train") * F.col("in_test")).alias("n_overlap_users"),
+    )
+    return rows.crossJoin(F.broadcast(users)).select(
+        "n_train_rows", "n_test_rows",
+        F.col("n_train_users").cast("bigint").alias("n_train_users"),
+        F.col("n_test_users").cast("bigint").alias("n_test_users"),
+        F.col("n_overlap_users").cast("bigint").alias("n_overlap_users"),
+        F.round(
+            F.col("n_overlap_users").cast("double") / F.col("n_test_users"), 6
+        ).alias("test_user_leakage"),
+    )
+
+
+QUERIES["split-temporal-leakage"] = q_split_temporal_leakage
+
+ORACLES["split-temporal-leakage"] = """
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS DATE) >= DATE '2024-01-22' AS is_test
+      FROM events),
+    pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN is_test THEN 1 ELSE 0 END) AS in_test
+      FROM tagged GROUP BY 1),
+    rows_ AS (
+      SELECT COUNT(CASE WHEN NOT is_test THEN 1 END) AS n_train_rows,
+             COUNT(CASE WHEN is_test THEN 1 END) AS n_test_rows
+      FROM tagged),
+    users AS (
+      SELECT CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+             CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+             CAST(SUM(in_train * in_test) AS BIGINT) AS n_overlap_users
+      FROM pu)
+    SELECT n_train_rows, n_test_rows, n_train_users, n_test_users, n_overlap_users,
+           ROUND(CAST(n_overlap_users AS DOUBLE) / n_test_users, 6) AS test_user_leakage
+    FROM rows_, users
+"""

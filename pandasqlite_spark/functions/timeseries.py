@@ -1405,3 +1405,142 @@ ORACLES["events-holt-winters"] = f"""
     WHERE r.i >= 8
     ORDER BY day
 """
+
+
+def q_events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection (2 levels): the global
+    CUSUM peak splits the daily series, then each half is re-screened
+    with its OWN local mean — the classic recursive changepoint search,
+    unrolled one level beyond ``events-changepoint-cusum`` so nested
+    level shifts surface.
+
+    Fully distributed — no driver pull: each level is integral
+    deviations (``n_seg·x − S_seg``, exact decimals) + a running-sum
+    window per segment, the split day is the windowed argmax (earliest
+    day on ties, exact decimal compare), and halves are assigned by
+    comparing to the 1-row level-0 split broadcast.  Peaks are emitted
+    as ``|cusum|/n_seg`` (mean-deviation units) — one decimal→double
+    division each."""
+    daily = (
+        load_events(spark, sf_dir)
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dec = "decimal(18,0)"
+
+    def seg_screen(df: DataFrame, part: list[str]):
+        """Within-segment CUSUM screen; returns per-row frame with
+        segment stats, |cusum|, its segment max, and segment bounds."""
+        wall = W.partitionBy(*part)
+        word = W.partitionBy(*part).orderBy("day").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        d = df.withColumn("n_seg", F.count(F.lit(1)).over(wall)).withColumn(
+            "s_seg", F.sum("x").over(wall)
+        )
+        d = d.withColumn(
+            "dev", (F.col("n_seg") * F.col("x") - F.col("s_seg")).cast(dec)
+        )
+        d = d.withColumn("cusum", F.sum("dev").over(word))
+        d = d.withColumn("acu", F.abs("cusum"))
+        return (
+            d.withColumn("mx", F.max("acu").over(wall))
+            .withColumn("seg_start", F.min("day").over(wall))
+            .withColumn("seg_end", F.max("day").over(wall))
+        )
+
+    l0 = seg_screen(daily.withColumn("seg", F.lit(0)), ["seg"])
+    split0 = (
+        l0.filter(F.col("acu") == F.col("mx"))
+        .groupBy("seg_start", "seg_end", "n_seg")
+        .agg(F.min("day").alias("split_day"), F.max("mx").alias("peak"))
+        .select(
+            F.lit(0).alias("level"),
+            F.col("seg_start").cast("string").alias("seg_start"),
+            F.col("seg_end").cast("string").alias("seg_end"),
+            F.col("split_day").cast("string").alias("split_day"),
+            F.round(
+                F.col("peak").cast("double") / F.col("n_seg"), 6
+            ).alias("peak_mean_dev"),
+        )
+    )
+    d0 = (
+        l0.filter(F.col("acu") == F.col("mx"))
+        .agg(F.min("day").alias("d0"))
+    )
+    halves = daily.crossJoin(F.broadcast(d0)).withColumn(
+        "half", F.when(F.col("day") <= F.col("d0"), F.lit("L")).otherwise(F.lit("R"))
+    )
+    l1 = seg_screen(halves, ["half"])
+    split1 = (
+        l1.filter(F.col("acu") == F.col("mx"))
+        .groupBy("half", "seg_start", "seg_end", "n_seg")
+        .agg(F.min("day").alias("split_day"), F.max("mx").alias("peak"))
+        .select(
+            F.lit(1).alias("level"),
+            F.col("seg_start").cast("string").alias("seg_start"),
+            F.col("seg_end").cast("string").alias("seg_end"),
+            F.col("split_day").cast("string").alias("split_day"),
+            F.round(
+                F.col("peak").cast("double") / F.col("n_seg"), 6
+            ).alias("peak_mean_dev"),
+        )
+    )
+    return split0.unionByName(split1).orderBy("level", "seg_start")
+
+
+QUERIES["events-changepoint-binseg"] = q_events_changepoint_binseg
+
+ORACLES["events-changepoint-binseg"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1),
+    l0 AS (
+      SELECT day, x,
+             COUNT(*) OVER () AS n_seg,
+             SUM(x) OVER () AS s_seg,
+             MIN(day) OVER () AS seg_start,
+             MAX(day) OVER () AS seg_end
+      FROM daily),
+    c0 AS (
+      SELECT *,
+             abs(SUM(CAST(n_seg * x - s_seg AS DECIMAL(18,0)))
+                 OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS acu
+      FROM l0),
+    m0 AS (SELECT *, MAX(acu) OVER () AS mx FROM c0),
+    s0 AS (
+      SELECT CAST(0 AS INTEGER) AS level,
+             CAST(seg_start AS VARCHAR) AS seg_start,
+             CAST(seg_end AS VARCHAR) AS seg_end,
+             CAST(MIN(day) AS VARCHAR) AS split_day,
+             ROUND(CAST(MAX(mx) AS DOUBLE) / n_seg, 6) AS peak_mean_dev
+      FROM m0 WHERE acu = mx GROUP BY seg_start, seg_end, n_seg),
+    d0 AS (SELECT MIN(day) AS d0 FROM m0 WHERE acu = mx),
+    halves AS (
+      SELECT day, x, CASE WHEN day <= d0 THEN 'L' ELSE 'R' END AS half
+      FROM daily, d0),
+    l1 AS (
+      SELECT day, x, half,
+             COUNT(*) OVER w AS n_seg,
+             SUM(x) OVER w AS s_seg,
+             MIN(day) OVER w AS seg_start,
+             MAX(day) OVER w AS seg_end
+      FROM halves WINDOW w AS (PARTITION BY half)),
+    c1 AS (
+      SELECT *,
+             abs(SUM(CAST(n_seg * x - s_seg AS DECIMAL(18,0)))
+                 OVER (PARTITION BY half ORDER BY day ROWS UNBOUNDED PRECEDING)) AS acu
+      FROM l1),
+    m1 AS (SELECT *, MAX(acu) OVER (PARTITION BY half) AS mx FROM c1),
+    s1 AS (
+      SELECT CAST(1 AS INTEGER) AS level,
+             CAST(seg_start AS VARCHAR) AS seg_start,
+             CAST(seg_end AS VARCHAR) AS seg_end,
+             CAST(MIN(day) AS VARCHAR) AS split_day,
+             ROUND(CAST(MAX(mx) AS DOUBLE) / n_seg, 6) AS peak_mean_dev
+      FROM m1 WHERE acu = mx GROUP BY half, seg_start, seg_end, n_seg)
+    SELECT * FROM s0
+    UNION ALL
+    SELECT * FROM s1
+    ORDER BY level, seg_start
+"""
