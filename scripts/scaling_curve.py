@@ -42,6 +42,8 @@ KEYS = [
     "events-seasonal-decompose",   # |days|-bounded trend/seasonal split
     "corpus-coverage-select",      # per-round anti-join greedy coverage
     "text-bpe-merges",             # |vocab|-bounded pair-count rounds
+    "dedup-minhash-estimate",      # estimate-vs-exact on candidate pairs
+    "text-kneser-ney-lm",          # vocabulary²-bounded KN table
 ]
 
 
