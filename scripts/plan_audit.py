@@ -67,6 +67,9 @@ NESTED_LOOP_OK = {
     "events-changepoint-cusum",  # 1-row global-mean broadcast
     "events-anomaly-seasonal",  # 1-row residual-MAD broadcast
     "events-markov-entropy-rate",  # 1-row transition-total broadcast
+    "events-changepoint-binseg",  # 1-row level-0-split broadcast
+    "split-temporal-leakage",  # 1-row user-summary broadcast
+    "text-kneser-ney-lm",  # 1-row distinct-bigram-total broadcast
     "events-psi-drift",  # two 1-row week-total broadcasts
     "agg-bootstrap-ci",  # 1-row point-estimate × ci-bound broadcasts
     "text-naive-bayes",  # |classes|-row broadcast (the scoring fan-out)
