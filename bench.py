@@ -78,6 +78,16 @@ def _queries(sf_dir: str):
 
         return pq_topk(load(spark, d, "embeddings"))
 
+    def _rrf(spark, d):
+        from pandasqlite_spark.functions.similarity import q_simsearch_rrf_hybrid
+
+        return q_simsearch_rrf_hybrid(spark, d)
+
+    def _burst(spark, d):
+        from pandasqlite_spark.functions.timeseries import q_events_burst_viterbi
+
+        return q_events_burst_viterbi(spark, d)
+
     def text_pipeline(spark, d):
         docs = load(spark, d, "documents")
         return docs.select(
@@ -107,6 +117,12 @@ def _queries(sf_dir: str):
         # PQ/ADC ANN: broadcast-crossJoin encode + integer rerank — the
         # array-expression throughput probe over the embeddings table
         "q15_simsearch_pq": _pq,
+        # hybrid retrieval: BM25 + dense-cosine shortlists fused by RRF
+        # (two score-and-reduce pipelines + a bounded fusion join)
+        "q16_simsearch_rrf": _rrf,
+        # bounded sequential recurrence: gap-filled hourly grid + the
+        # path-carrying Viterbi fold (collapse-then-fold throughput)
+        "q17_burst_viterbi": _burst,
     }
 
 
