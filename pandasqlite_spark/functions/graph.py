@@ -373,3 +373,99 @@ ORACLES = {
         JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
     """,
 }
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Bounded k-core peeling over an undirected ``(src, dst)`` edge
+    list (each edge once): ``rounds`` synchronous peels, each dropping
+    every node with degree < ``k`` and restricting the edge set to
+    survivors — the dense-subgraph extraction that strips hangers-on
+    before community/influence analysis.  A fixpoint run iterates the
+    SAME two joins until stable; the round count here is the operator
+    contract (same bounded-unroll convention as pagerank/label-prop).
+
+    Per round: one partial-aggregated degree count + two node-key
+    equi-joins — no shuffle ever carries more than the current edge
+    set, which only shrinks.  All-integer output."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    cur = sym
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        cur = cur.join(keep, "src").join(
+            keep.withColumnRenamed("src", "dst"), "dst"
+        ).select("src", "dst")
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+        .orderBy("node")
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round 3-core of the supplier co-occurrence graph (same sparse
+    qty>45 edge derivation as ``graph-triangles``)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges)
+
+
+QUERIES["graph-kcore-peel"] = q_graph_kcore
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        """li AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_quantity > 45)""",
+        """e0 AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM li a JOIN li b USING (l_orderkey)
+          WHERE a.l_suppkey < b.l_suppkey)""",
+        "s0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""k{i} AS (
+              SELECT src FROM (SELECT src, COUNT(*) AS deg FROM s{p} GROUP BY 1)
+              WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+              SELECT s.src, s.dst FROM s{p} s
+              JOIN k{i} a ON s.src = a.src
+              JOIN k{i} b ON s.dst = b.src)"""
+        )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT src AS node, COUNT(*) AS degree
+    FROM s{rounds} GROUP BY 1 ORDER BY node
+"""
+
+
+ORACLES["graph-kcore-peel"] = _kcore_oracle()

@@ -587,3 +587,73 @@ ORACLES["events-markov-entropy-rate"] = """
            ROUND(exp(entropy_rate), 6) AS perplexity
     FROM h
 """
+
+
+def poisson_dispersion(events: DataFrame) -> DataFrame:
+    """Index-of-dispersion test on the gap-filled hourly count series:
+    ``D = var/mean`` with ``D ≈ 1`` under a Poisson process — the
+    formal "is the arrival process actually Poisson?" check behind the
+    burst detector's emission model, plus the chi-square-based z
+    standardization ``(D·(n−1) − (n−1))/√(2(n−1))`` for a threshold.
+
+    All moments come from exact integer sums over the |hours| grid
+    (``var/mean = (n·Σx² − S²)/(n·S)`` — one integer expression, one
+    division), so the single output row is engine-exact."""
+    us_per_hour = 3_600_000_000
+    hourly = (
+        events.select((F.unix_micros("ts") / us_per_hour).cast("bigint").alias("hb"))
+        .groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = hourly.agg(F.min("hb").alias("mn"), F.max("hb").alias("mx"))
+    grid = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hb"))
+    g = grid.join(hourly, "hb", "left").select(
+        F.coalesce("x", F.lit(0)).alias("x")
+    )
+    a = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    mean = s.cast("double") / n
+    varp = (n * s2 - s * s).cast("double") / (n * n)
+    disp = (n * s2 - s * s).cast("double") / (n * s)
+    z = (disp * (n - 1).cast("double") - (n - 1).cast("double")) / F.sqrt(
+        F.lit(2.0) * (n - 1).cast("double")
+    )
+    return a.select(
+        F.col("n").alias("n_hours"),
+        F.round(mean, 6).alias("mean"),
+        F.round(varp, 6).alias("variance"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def q_events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return poisson_dispersion(load_events(spark, sf_dir))
+
+
+QUERIES["events-poisson-dispersion"] = q_events_poisson_dispersion
+
+ORACLES["events-poisson-dispersion"] = """
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hb, COUNT(*) AS x
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(hb) AS mn, MAX(hb) AS mx FROM hourly),
+    grid AS (SELECT unnest(range(mn, mx + 1)) AS hb FROM b),
+    g AS (SELECT COALESCE(x, 0) AS x FROM grid LEFT JOIN hourly USING (hb)),
+    a AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM g)
+    SELECT n AS n_hours,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+           ROUND(CAST(n * s2 - s * s AS DOUBLE) / (n * n), 6) AS variance,
+           ROUND(CAST(n * s2 - s * s AS DOUBLE) / (n * s), 6) AS dispersion,
+           ROUND((CAST(n * s2 - s * s AS DOUBLE) / (n * s) * CAST(n - 1 AS DOUBLE)
+                  - CAST(n - 1 AS DOUBLE)) / sqrt(2.0 * CAST(n - 1 AS DOUBLE)),
+                 6) AS z_stat
+    FROM a
+"""
