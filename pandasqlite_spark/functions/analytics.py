@@ -3696,3 +3696,76 @@ ORACLES["events-did-uplift"] = f"""
                  6) AS did
     FROM g
 """
+
+
+def quarterly_churn(orders: DataFrame) -> DataFrame:
+    """Quarterly customer churn: of the customers who ordered in
+    quarter q, the share placing NO order in q+1 — the core retention
+    KPI (the cohort-matrix companion is ``events-retention`` /
+    ``orders-cohort-ltv``).  The last quarter has no successor and is
+    excluded.
+
+    Scale shape: one distinct-collapse to (customer, quarter) — the
+    only shuffle that sees data volume — then a self-equi-join on the
+    shifted quarter key and a \\|quarters\\|-row aggregate.  All counts
+    exact longs, one division per row."""
+    act = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).alias("qi"),
+        )
+        .distinct()
+    )
+    nxt = act.select("o_custkey", (F.col("qi") - 1).alias("qi"), F.lit(1).alias("ret"))
+    j = act.join(nxt, ["o_custkey", "qi"], "left")
+    per_q = j.groupBy("qi").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count(F.when(F.col("ret").isNull(), 1)).alias("n_churned"),
+    )
+    mx = Window.partitionBy()
+    return (
+        per_q.withColumn("mxq", F.max("qi").over(mx))
+        .filter(F.col("qi") < F.col("mxq"))
+        .select(
+            F.concat(
+                (F.col("qi") / 4).cast("int").cast("string"),
+                F.lit("-Q"),
+                (F.col("qi") % 4 + 1).cast("string"),
+            ).alias("quarter"),
+            "n_active",
+            "n_churned",
+            F.round(F.col("n_churned").cast("double") / F.col("n_active"), 6).alias(
+                "churn_rate"
+            ),
+        )
+        .orderBy("quarter")
+    )
+
+
+def q_orders_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quarterly_churn(load(spark, sf_dir, "orders"))
+
+
+QUERIES["orders-churn-rate"] = q_orders_churn
+
+ORACLES["orders-churn-rate"] = """
+    WITH act AS (
+      SELECT DISTINCT o_custkey,
+             year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS qi
+      FROM orders),
+    j AS (
+      SELECT a.qi, a.o_custkey,
+             CASE WHEN n.o_custkey IS NULL THEN 1 ELSE 0 END AS churned
+      FROM act a
+      LEFT JOIN act n ON n.o_custkey = a.o_custkey AND n.qi = a.qi + 1),
+    per_q AS (
+      SELECT qi, COUNT(*) AS n_active,
+             CAST(SUM(churned) AS BIGINT) AS n_churned
+      FROM j GROUP BY 1),
+    mx AS (SELECT MAX(qi) AS mxq FROM per_q)
+    SELECT CAST(qi // 4 AS VARCHAR) || '-Q' || CAST(qi % 4 + 1 AS VARCHAR) AS quarter,
+           n_active, n_churned,
+           ROUND(CAST(n_churned AS DOUBLE) / n_active, 6) AS churn_rate
+    FROM per_q, mx WHERE qi < mxq
+    ORDER BY quarter
+"""

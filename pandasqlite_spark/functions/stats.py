@@ -657,3 +657,113 @@ ORACLES["events-poisson-dispersion"] = """
                  6) AS z_stat
     FROM a
 """
+
+
+def ols_trend_weekend(events: DataFrame) -> DataFrame:
+    """Exact 2-predictor OLS on the daily count series — ``y = β₀ +
+    β₁·t + β₂·weekend`` (linear trend + weekend effect) solved in
+    closed form via Cramer's rule on the 3×3 normal equations, no MLlib
+    and no iterative solver: every X'X / X'y entry is an exact integer
+    aggregate, each determinant is exact integer arithmetic, and the
+    only floating ops are the three β divisions and the R² ratio.
+    The multi-feature upgrade of ``agg-linreg-exact``.
+
+    Scale shape: ONE partial-aggregated pass over the |days| grid
+    collapses everything to 10 integers; the algebra runs on that
+    single row.  At 100 TB the same closed form fits any p≪n regression
+    whose moment matrix fits a row — the groupBy is the whole cost."""
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    anchor = F.lit("2024-01-01").cast("date")
+    d = daily.select(
+        F.datediff(F.col("day"), anchor).alias("t"),
+        (F.datediff(F.col("day"), anchor) % 7 >= 5).cast("bigint").alias("w"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    a = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum(F.col("t") * F.col("w")).alias("stw"),
+        F.sum(F.col("w") * F.col("w")).alias("sw2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n, st, sw = F.col("n"), F.col("st"), F.col("sw")
+    st2, stw, sw2 = F.col("st2"), F.col("stw"), F.col("sw2")
+    sy, sty, swy, sy2 = F.col("sy"), F.col("sty"), F.col("swy"), F.col("sy2")
+    det = (
+        n * (st2 * sw2 - stw * stw)
+        - st * (st * sw2 - stw * sw)
+        + sw * (st * stw - st2 * sw)
+    )
+    det0 = (
+        sy * (st2 * sw2 - stw * stw)
+        - st * (sty * sw2 - stw * swy)
+        + sw * (sty * stw - st2 * swy)
+    )
+    det1 = (
+        n * (sty * sw2 - stw * swy)
+        - sy * (st * sw2 - stw * sw)
+        + sw * (st * swy - sty * sw)
+    )
+    det2 = (
+        n * (st2 * swy - sty * stw)
+        - st * (st * swy - sty * sw)
+        + sy * (st * stw - st2 * sw)
+    )
+    sse_num = det * sy2 - (det0 * sy + det1 * sty + det2 * swy)
+    sst_num = n * sy2 - sy * sy
+    r2 = F.lit(1.0) - (n * sse_num).cast("double") / (det * sst_num).cast("double")
+    return a.select(
+        F.col("n").alias("n_days"),
+        F.round(det0.cast("double") / det.cast("double"), 6).alias("beta0"),
+        F.round(det1.cast("double") / det.cast("double"), 6).alias("beta1_trend"),
+        F.round(det2.cast("double") / det.cast("double"), 6).alias("beta2_weekend"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def q_events_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ols_trend_weekend(load_events(spark, sf_dir))
+
+
+QUERIES["events-ols-trend-weekend"] = q_events_ols
+
+ORACLES["events-ols-trend-weekend"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1),
+    d AS (
+      SELECT date_diff('day', DATE '2024-01-01', day) AS t,
+             CAST(date_diff('day', DATE '2024-01-01', day) % 7 >= 5 AS BIGINT) AS w,
+             CAST(y AS BIGINT) AS y
+      FROM daily),
+    a AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(t*t) AS BIGINT) AS st2, CAST(SUM(t*w) AS BIGINT) AS stw,
+             CAST(SUM(w*w) AS BIGINT) AS sw2,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t*y) AS BIGINT) AS sty,
+             CAST(SUM(w*y) AS BIGINT) AS swy, CAST(SUM(y*y) AS BIGINT) AS sy2
+      FROM d),
+    k AS (
+      SELECT *,
+             n*(st2*sw2 - stw*stw) - st*(st*sw2 - stw*sw) + sw*(st*stw - st2*sw) AS det,
+             sy*(st2*sw2 - stw*stw) - st*(sty*sw2 - stw*swy) + sw*(sty*stw - st2*swy) AS det0,
+             n*(sty*sw2 - stw*swy) - sy*(st*sw2 - stw*sw) + sw*(st*swy - sty*sw) AS det1,
+             n*(st2*swy - sty*stw) - st*(st*swy - sty*sw) + sy*(st*stw - st2*sw) AS det2
+      FROM a)
+    SELECT n AS n_days,
+           ROUND(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta0,
+           ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta1_trend,
+           ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta2_weekend,
+           ROUND(1.0 - CAST(n * (det*sy2 - (det0*sy + det1*sty + det2*swy)) AS DOUBLE)
+                       / CAST(det * (n*sy2 - sy*sy) AS DOUBLE), 6) AS r2
+    FROM k
+"""
