@@ -767,3 +767,94 @@ ORACLES["events-ols-trend-weekend"] = """
                        / CAST(det * (n*sy2 - sy*sy) AS DOUBLE), 6) AS r2
     FROM k
 """
+
+
+KS_CUT = "2024-01-16"
+
+
+def ks_two_sample(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on purchase values,
+    first half-month vs second — the distribution-FREE companion to the
+    binned PSI and the mean-only Welch t: ``D = max|F₁(v) − F₂(v)|``
+    over the pooled support, sensitive to any shape change.
+
+    Exactness: the sup runs over DISTINCT pooled values with cumulative
+    tie-inclusive counts, and the argmax compares the INTEGER
+    cross-product ``|c₁·n₂ − c₂·n₁|`` — no float ever enters the max;
+    D and the scaled statistic are single divisions off the exact
+    integer winner.  Scale shape: one groupBy on value (the collapse),
+    one ordered window over the \\|distinct values\\| rows."""
+    cut = F.lit(KS_CUT).cast("date")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        (F.to_date("ts") < cut).alias("is_pre"),
+        F.col("value").cast("decimal(10,2)").alias("v"),
+    )
+    per_v = p.groupBy("v").agg(
+        F.count(F.when(F.col("is_pre"), 1)).alias("a"),
+        F.count(F.when(~F.col("is_pre"), 1)).alias("b"),
+    )
+    wall = Window.partitionBy()
+    word = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = per_v.select(
+        "v",
+        F.sum("a").over(word).alias("c1"),
+        F.sum("b").over(word).alias("c2"),
+        F.sum("a").over(wall).alias("n1"),
+        F.sum("b").over(wall).alias("n2"),
+    )
+    c = c.withColumn(
+        "gap", F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    ).withColumn("mx", F.max("gap").over(wall))
+    d = F.col("mx").cast("double") / (F.col("n1") * F.col("n2")).cast("double")
+    scaled = d * F.sqrt(
+        (F.col("n1") * F.col("n2")).cast("double")
+        / (F.col("n1") + F.col("n2")).cast("double")
+    )
+    return (
+        c.filter(F.col("gap") == F.col("mx"))
+        .groupBy("n1", "n2", "mx")
+        .agg(F.min("v").alias("at_value"))
+        .select(
+            F.col("n1").cast("bigint").alias("n_pre"),
+            F.col("n2").cast("bigint").alias("n_post"),
+            F.col("at_value").cast("double").alias("at_value"),
+            F.round(d, 6).alias("d_stat"),
+            F.round(scaled, 6).alias("ks_scaled"),
+        )
+    )
+
+
+def q_events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_two_sample(load_events(spark, sf_dir))
+
+
+QUERIES["events-drift-ks"] = q_events_ks
+
+ORACLES["events-drift-ks"] = """
+    WITH p AS (
+      SELECT CAST(ts AS DATE) < DATE '2024-01-16' AS is_pre,
+             CAST(value AS DECIMAL(10,2)) AS v
+      FROM events WHERE event_type = 'purchase'),
+    per_v AS (
+      SELECT v,
+             COUNT(CASE WHEN is_pre THEN 1 END) AS a,
+             COUNT(CASE WHEN NOT is_pre THEN 1 END) AS b
+      FROM p GROUP BY 1),
+    c AS (
+      SELECT v,
+             SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+             SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+             SUM(a) OVER () AS n1, SUM(b) OVER () AS n2
+      FROM per_v),
+    g AS (
+      SELECT *, abs(c1 * n2 - c2 * n1) AS gap, MAX(abs(c1 * n2 - c2 * n1)) OVER () AS mx
+      FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+           CAST(MIN(v) AS DOUBLE) AS at_value,
+           ROUND(CAST(mx AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+           ROUND(CAST(mx AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / CAST(n1 + n2 AS DOUBLE)), 6) AS ks_scaled
+    FROM g WHERE gap = mx
+    GROUP BY n1, n2, mx
+"""

@@ -1380,3 +1380,63 @@ ORACLES["text-kneser-ney-lm"] = f"""
     FROM c12 JOIN c1 USING (w1) JOIN nb USING (w2), dd
     ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT {KN_TOP}
 """
+
+
+TTR_WIN = 50
+TTR_STRIDE = 25
+
+
+def windowed_ttr(docs: DataFrame, win: int = TTR_WIN, stride: int = TTR_STRIDE) -> DataFrame:
+    """Windowed type-token ratio (MATTR-style lexical diversity): TTR
+    over overlapping ``win``-token windows, emitted per window — the
+    length-robust diversity signal (global TTR shrinks with document
+    length; windowing removes that bias).  Low-diversity windows flag
+    boilerplate/repetition locally, complementing the doc-level
+    ``text-repetition`` mass.
+
+    Entirely row-local (``transform`` + ``slice`` + ``array_distinct``
+    inside codegen — no explode-shuffle, no UDF), so it costs one scan
+    at any corpus size; counts are integers and the per-window ratio is
+    one division."""
+    t = docs.select("doc_id", tokens().alias("toks")).filter(F.size("toks") >= 1)
+    wins = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {stride}),"
+                f" st -> named_struct('st', st, 'w', slice(toks, st + 1, {win})))"
+            )
+        ).alias("r"),
+    )
+    return wins.select(
+        "doc_id",
+        (F.col("r.st") / stride).cast("int").alias("win_idx"),
+        F.size("r.w").alias("n_tokens"),
+        F.size(F.array_distinct("r.w")).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct("r.w")).cast("double") / F.size("r.w"), 6
+        ).alias("ttr"),
+    ).orderBy("doc_id", "win_idx")
+
+
+def q_text_windowed_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_ttr(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text-windowed-ttr"] = q_text_windowed_ttr
+
+ORACLES["text-windowed-ttr"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= 1),
+    wins AS (
+      SELECT doc_id, st, toks[st + 1 : st + {TTR_WIN}] AS w
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks), {TTR_STRIDE})) AS st
+            FROM t) s)
+    SELECT doc_id,
+           CAST(st // {TTR_STRIDE} AS INTEGER) AS win_idx,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+           ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+    FROM wins ORDER BY doc_id, win_idx
+"""
