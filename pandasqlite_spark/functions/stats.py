@@ -858,3 +858,103 @@ ORACLES["events-drift-ks"] = """
     FROM g WHERE gap = mx
     GROUP BY n1, n2, mx
 """
+
+
+def mann_whitney_u(events: DataFrame) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test comparing purchase values pre/post
+    the mid-month cut — the rank-based two-sample test that pairs with
+    ``events-drift-ks`` (KS: any shape change; MWU: stochastic
+    dominance) and needs no normality, completing the nonparametric
+    drift kit.
+
+    Exactness: tie-averaged ranks are exact half-integers (DECIMAL —
+    ``(2·cum_before + t + 1)/2`` from integer tie-group counts), the
+    rank sum is an exact decimal aggregate, U derives by integer
+    algebra, and the tie-corrected normal z is one fixed IEEE
+    expression over those integers.  Scale shape: one groupBy on value
+    (the collapse), one window over \\|distinct values\\| rows — same
+    shape as the KS key."""
+    cut = F.lit(KS_CUT).cast("date")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        (F.to_date("ts") < cut).alias("is_pre"),
+        F.col("value").cast("decimal(10,2)").alias("v"),
+    )
+    per_v = p.groupBy("v").agg(
+        F.count(F.when(F.col("is_pre"), 1)).alias("a"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    word = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    r = per_v.select(
+        "v", "a", "t",
+        F.coalesce(F.sum("t").over(word), F.lit(0)).alias("cum"),
+        F.sum("a").over(wall).alias("n1"),
+        F.sum("t").over(wall).alias("n"),
+        F.sum((F.col("t") * F.col("t") * F.col("t") - F.col("t"))).over(wall).alias(
+            "tie3"
+        ),
+    )
+    # tie-averaged rank of every member of this value group, ×2 to stay
+    # integral: 2·rank = 2·cum + t + 1
+    rank2 = 2 * F.col("cum") + F.col("t") + 1
+    agg = r.agg(
+        F.sum(F.col("a") * rank2).alias("r1x2"),
+        F.max("n1").alias("n1"),
+        F.max("n").alias("n"),
+        F.max("tie3").alias("tie3"),
+    )
+    n1, n, r1x2, tie3 = F.col("n1"), F.col("n"), F.col("r1x2"), F.col("tie3")
+    n2 = n - n1
+    u1x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1x2  # 2·U1
+    mu_x2 = n1 * n2  # 2·mean(U) = n1·n2 ... (mean U = n1n2/2)
+    var = (
+        (n1 * n2).cast("double")
+        / 12.0
+        * ((n + 1).cast("double") - tie3.cast("double") / (n * (n - 1)).cast("double"))
+    )
+    z = (u1x2 - mu_x2).cast("double") / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        n1.cast("bigint").alias("n_pre"),
+        n2.cast("bigint").alias("n_post"),
+        (u1x2.cast("double") / 2).alias("u_stat"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def q_events_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_whitney_u(load_events(spark, sf_dir))
+
+
+QUERIES["events-mann-whitney"] = q_events_mwu
+
+ORACLES["events-mann-whitney"] = """
+    WITH p AS (
+      SELECT CAST(ts AS DATE) < DATE '2024-01-16' AS is_pre,
+             CAST(value AS DECIMAL(10,2)) AS v
+      FROM events WHERE event_type = 'purchase'),
+    per_v AS (
+      SELECT v,
+             COUNT(CASE WHEN is_pre THEN 1 END) AS a,
+             COUNT(*) AS t
+      FROM p GROUP BY 1),
+    r AS (
+      SELECT v, a, t,
+             COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum,
+             SUM(a) OVER () AS n1, SUM(t) OVER () AS n,
+             SUM(t * t * t - t) OVER () AS tie3
+      FROM per_v),
+    agg AS (
+      SELECT CAST(SUM(a * (2 * cum + t + 1)) AS BIGINT) AS r1x2,
+             CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(tie3) AS BIGINT) AS tie3
+      FROM r)
+    SELECT n1 AS n_pre, (n - n1) AS n_post,
+           CAST(2 * n1 * (n - n1) + n1 * (n1 + 1) - r1x2 AS DOUBLE) / 2 AS u_stat,
+           ROUND(CAST((2 * n1 * (n - n1) + n1 * (n1 + 1) - r1x2) - n1 * (n - n1) AS DOUBLE)
+                 / (2.0 * sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 12.0
+                               * (CAST(n + 1 AS DOUBLE)
+                                  - CAST(tie3 AS DOUBLE)
+                                    / CAST(n * (n - 1) AS DOUBLE)))), 6) AS z_stat
+    FROM agg
+"""
