@@ -692,7 +692,7 @@ def _pq_sub_dist(a: str, b: str, m: int):
     return F.aggregate(sq, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
-def pq_topk(emb: DataFrame) -> DataFrame:
+def pq_topk(emb: DataFrame, scan_ids: DataFrame | None = None) -> DataFrame:
     """PQ/ADC approximate nearest neighbours with exact rerank.
 
     Encode: each vector's m-th subvector maps to its nearest of PQ_K
@@ -715,6 +715,10 @@ def pq_topk(emb: DataFrame) -> DataFrame:
     both top-k steps — no shuffle ever moves more than |candidates|.
     """
     scaled = _pq_scaled(emb)
+    # optional candidate restriction (the IVF→PQ two-stage path):
+    # codebook and query always come from the FULL corpus, the ADC scan
+    # touches only the given ids
+    scan = scaled if scan_ids is None else scaled.join(scan_ids, "vec_id")
     codebook = scaled.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("arr").alias("carr")
     )
@@ -731,7 +735,7 @@ def pq_topk(emb: DataFrame) -> DataFrame:
     # one element-wise squared-diff zip per row, shared by all PQ_M
     # slice-folds (vs PQ_M separate zip+fold pipelines)
     sq = F.zip_with("arr", "carr", lambda x, y: (x - y) * (x - y))
-    joined = scaled.crossJoin(F.broadcast(cb_adc)).withColumn("sq", sq)
+    joined = scan.crossJoin(F.broadcast(cb_adc)).withColumn("sq", sq)
 
     def slice_sum(m: int):
         return F.aggregate(
@@ -1652,3 +1656,105 @@ ORACLES["simsearch-rrf-hybrid"] = f"""
     FROM fused
     ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-stage ANN: IVF coarse cells → PQ/ADC scan → exact rerank
+# ---------------------------------------------------------------------------
+
+def q_simsearch_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production billion-scale ANN pipeline shape, composed from
+    the two existing stages: an IVF coarse quantizer restricts the scan
+    to the query's cell (~N_CELLS× fewer candidates), PQ/ADC scores the
+    cell members reading 8 codes instead of 64 floats, and the exact
+    integer rerank touches only the ADC shortlist.  This is FAISS's
+    IVF-PQ layout as a DataFrame composition.
+
+    Scale shape: centroids and the ADC table broadcast (≤16 rows each);
+    the only data-volume shuffles are the cell assignment's 64-group
+    partial agg and the cell-membership equi-join; everything after the
+    cell restriction is bounded by the cell size.  All distances are
+    exact fixed-point BIGINTs end to end (the decimal assignment for
+    cells, the ×1000 grid for PQ), so the composition stays
+    oracle-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    assign = ivf_assign(emb, cents)
+    qcell = assign.filter(F.col("vec_id") == PQ_QUERY_ID).select("cell")
+    cand_ids = (
+        assign.join(F.broadcast(qcell), "cell")
+        .filter(F.col("vec_id") != PQ_QUERY_ID)
+        .select("vec_id")
+    )
+    return pq_topk(emb, scan_ids=cand_ids)
+
+
+QUERIES["simsearch-ivf-pq"] = q_simsearch_ivf_pq
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB twin of the two-stage path: the IVF assignment CTEs feed
+    a membership restriction into the PQ scan; codebook and query stay
+    corpus-global, identical to the Spark composition."""
+
+    def sub(m: int, a: str, b: str) -> str:
+        lo, hi = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB + 1
+        return (
+            f"list_sum([({a}[i]-{b}[i])*({a}[i]-{b}[i])"
+            f" for i in range({lo},{hi})])"
+        )
+
+    dists = ",\n               ".join(
+        f"{sub(m, 's.arr', 'cb.carr')} AS dv{m},"
+        f" {sub(m, 'q.qarr', 'cb.carr')} AS dq{m}"
+        for m in range(PQ_M)
+    )
+    enc = ", ".join(
+        f"arg_min(dq{m}, dv{m}*{PQ_K} + cid) AS t{m}" for m in range(PQ_M)
+    )
+    adc = " + ".join(f"t{m}" for m in range(PQ_M))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        c AS (SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < {N_CELLS}),
+        dots AS (
+          SELECT e.vec_id, c.cid, CAST(SUM(e.x * c.cx) AS DOUBLE) AS dot
+          FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+            FROM dots) t
+          WHERE rn = 1),
+        qcell AS (SELECT cell FROM assign WHERE vec_id = {PQ_QUERY_ID}),
+        members AS (
+          SELECT a.vec_id FROM assign a, qcell
+          WHERE a.cell = qcell.cell AND a.vec_id <> {PQ_QUERY_ID}),
+        s AS (
+          SELECT vec_id,
+                 [CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*{PQ_SCALE} + 0.5) AS BIGINT)
+                  for i in range(1,65)] AS arr
+          FROM embeddings),
+        cb AS (SELECT vec_id AS cid, arr AS carr FROM s WHERE vec_id < {PQ_K}),
+        q AS (SELECT arr AS qarr FROM s WHERE vec_id = {PQ_QUERY_ID}),
+        j AS (SELECT s.vec_id, cb.cid,
+               {dists}
+              FROM s, cb, q
+              WHERE s.vec_id IN (SELECT vec_id FROM members)),
+        enc AS (SELECT vec_id, {enc} FROM j GROUP BY vec_id),
+        cand AS (SELECT vec_id, CAST({adc} AS BIGINT) AS adc_dist
+                 FROM enc ORDER BY adc_dist, vec_id LIMIT {PQ_CAND}),
+        ex AS (
+          SELECT c.vec_id, c.adc_dist,
+                 CAST(list_sum([(s.arr[i]-q.qarr[i])*(s.arr[i]-q.qarr[i])
+                                for i in range(1,65)]) AS BIGINT) AS exact_dist
+          FROM cand c JOIN s ON s.vec_id = c.vec_id, q)
+        SELECT * FROM ex ORDER BY exact_dist, vec_id LIMIT {PQ_TOPK}
+    """
+
+
+ORACLES["simsearch-ivf-pq"] = _ivf_pq_oracle()
