@@ -46,6 +46,7 @@ NESTED_LOOP_OK = {
     "simsearch-ivf",
     "simsearch-ivf-kmeans",
     "simsearch-sq-rerank",
+    "simsearch-ivf-pq",  # broadcast centroid/ADC-table crossJoins (≤16 rows each)
     "subquery-scalar",  # scalar subquery == 1-row broadcast
     "subquery-correlated",
     "tpch-q11",  # 1-row global-total broadcast
