@@ -1544,3 +1544,102 @@ ORACLES["events-changepoint-binseg"] = """
     SELECT * FROM s1
     ORDER BY level, seg_start
 """
+
+
+DTW_INF = 10 ** 15
+DTW_N = 24  # hour-of-day profile length
+
+
+def q_events_dtw_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the PURCHASE and ERROR
+    hour-of-day count profiles — "do errors follow the same daily shape
+    as purchases, allowing phase shift?"  DTW aligns the two 24-hour
+    curves with elastic time steps, so a profile that is the same shape
+    two hours later scores close (where Euclidean/CCF penalize it).
+
+    The DP is a bounded 24×24 grid: the distributed work is the two
+    hour-of-day collapses (one partial-aggregated groupBy each); the
+    625-cell DP then folds row-major in one task — the same
+    bounded-fold ≡ recursive-CTE twin pattern as the Viterbi key, and
+    because costs are |int − int| and the fold is min/add over BIGINTs,
+    every cell (and the emitted distance) is INTEGER-exact in both
+    engines."""
+    us_per_hour = 3_600_000_000
+    ev = load_events(spark, sf_dir)
+    hod = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            ((F.unix_micros("ts") / us_per_hour).cast("bigint") % 24).alias("h"),
+            "event_type",
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("e"),
+        )
+    )
+    grid = spark.range(24).select(F.col("id").alias("h"))
+    g = grid.join(hod, "h", "left").select(
+        "h",
+        F.coalesce("p", F.lit(0)).alias("p"),
+        F.coalesce("e", F.lit(0)).alias("e"),
+    )
+    row = g.agg(F.array_sort(F.collect_list(F.struct("h", "p", "e"))).alias("s")).select(
+        F.expr("transform(s, r -> r.p)").alias("pa"),
+        F.expr("transform(s, r -> r.e)").alias("pe"),
+    )
+    n1 = DTW_N + 1
+    dp = F.expr(f"""
+        aggregate(
+          sequence(0, {n1 * n1 - 1}),
+          CAST(array() AS ARRAY<BIGINT>),
+          (dp, t) -> array_append(dp,
+            CASE
+              WHEN t = 0 THEN CAST(0 AS BIGINT)
+              WHEN t < {n1} OR t % {n1} = 0 THEN CAST({DTW_INF} AS BIGINT)
+              ELSE CAST(abs(pa[CAST(t / {n1} AS INT) - 1]
+                            - pe[t % {n1} - 1]) AS BIGINT)
+                   + least(element_at(dp, t - {n1}),
+                           element_at(dp, t - {n1} + 1),
+                           element_at(dp, t))
+            END),
+          dp -> element_at(dp, {n1 * n1}))
+    """)
+    return row.select(
+        dp.alias("dtw_distance"),
+        F.round(dp.cast("double") / (2 * DTW_N), 6).alias("dtw_per_step"),
+    )
+
+
+QUERIES["events-dtw-profiles"] = q_events_dtw_profiles
+
+ORACLES["events-dtw-profiles"] = f"""
+    WITH RECURSIVE hod AS (
+      SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS p,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS e
+      FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 24)) AS h),
+    prof AS (
+      SELECT list(COALESCE(p, 0) ORDER BY grid.h) AS pa,
+             list(COALESCE(e, 0) ORDER BY grid.h) AS pe
+      FROM grid LEFT JOIN hod USING (h)),
+    rec(t, dp) AS (
+      SELECT 0, [CAST(0 AS BIGINT)] FROM prof
+      UNION ALL
+      SELECT r.t + 1,
+             list_append(r.dp,
+               CASE
+                 WHEN r.t + 1 < {DTW_N + 1} OR (r.t + 1) % {DTW_N + 1} = 0
+                   THEN CAST({DTW_INF} AS BIGINT)
+                 ELSE CAST(abs(prof.pa[(r.t + 1) // {DTW_N + 1}]
+                               - prof.pe[(r.t + 1) % {DTW_N + 1}]) AS BIGINT)
+                      + least(r.dp[r.t + 1 - {DTW_N + 1}],
+                              r.dp[r.t + 2 - {DTW_N + 1}],
+                              r.dp[r.t + 1])
+               END)
+      FROM rec r, prof WHERE r.t < {(DTW_N + 1) ** 2 - 1})
+    SELECT dp[{(DTW_N + 1) ** 2}] AS dtw_distance,
+           ROUND(CAST(dp[{(DTW_N + 1) ** 2}] AS DOUBLE) / {2 * DTW_N}, 6) AS dtw_per_step
+    FROM rec WHERE t = {(DTW_N + 1) ** 2 - 1}
+"""
