@@ -1758,3 +1758,117 @@ def _ivf_pq_oracle() -> str:
 
 
 ORACLES["simsearch-ivf-pq"] = _ivf_pq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point sampling (k-means++-style D² seeding / coreset picks)
+# ---------------------------------------------------------------------------
+
+FPS_K = 4
+FPS_SEED_ID = 0
+
+
+def farthest_point_sample(emb: DataFrame, k: int = FPS_K) -> DataFrame:
+    """Deterministic farthest-point traversal over the embedding set:
+    start from vector 0, then repeatedly pick the vector maximizing its
+    distance to the chosen set (``argmax_v min_{s∈S} d(v,s)``) — the
+    greedy 2-approximation for k-center, used for k-means++-style
+    seeding, coreset construction, and maximally-diverse example
+    selection.
+
+    Scale shape: per round ONE broadcast of the newest seed vector, a
+    row-local fixed-point squared-L2 fold (the ×1000 integer grid —
+    distances are exact BIGINTs, so the running min and the argmax are
+    integer comparisons), and a 1-row argmax pull (the k-means/MMR
+    per-round pattern).  Emits (step, vec_id, d2_to_set) — all
+    integers."""
+    scaled = _pq_scaled(emb)
+    rows = [(1, FPS_SEED_ID, 0)]
+    mind = None  # DataFrame[vec_id, d]: min squared dist to chosen set
+    cur_seed = FPS_SEED_ID
+    for step in range(2, k + 1):
+        seed_arr = scaled.filter(F.col("vec_id") == cur_seed).select(
+            F.col("arr").alias("sarr")
+        )
+        d_new = (
+            scaled.filter(~F.col("vec_id").isin([r[1] for r in rows]))
+            .crossJoin(F.broadcast(seed_arr))
+            .select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with("arr", "sarr", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ).alias("dn"),
+            )
+        )
+        mind = (
+            d_new
+            if mind is None
+            else mind.join(d_new, "vec_id").select(
+                "vec_id", F.least("d", "dn").alias("dn")
+            )
+        ).withColumnRenamed("dn", "d")
+        top = mind.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        rows.append((step, top.vec_id, top.d))
+        cur_seed = top.vec_id
+        mind = mind.filter(F.col("vec_id") != cur_seed)
+    return emb.sparkSession.createDataFrame(
+        rows, "step int, vec_id bigint, d2_to_set bigint"
+    )
+
+
+def q_embedding_farthest_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return farthest_point_sample(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding-farthest-points"] = q_embedding_farthest_points
+
+
+def _fps_oracle(k: int = FPS_K) -> str:
+    """Unrolled farthest-point rounds: d{i} carries the running min
+    squared distance to the chosen set, s{i} is its integer argmax."""
+    d2 = (
+        "list_sum([(a.arr[i]-s.arr[i])*(a.arr[i]-s.arr[i])"
+        " for i in range(1,65)])"
+    )
+    ctes = [
+        f"""sc AS (
+          SELECT vec_id,
+                 [CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*{PQ_SCALE} + 0.5) AS BIGINT)
+                  for i in range(1,65)] AS arr
+          FROM embeddings)""",
+        f"s1 AS (SELECT CAST({FPS_SEED_ID} AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS d)",
+        f"""d2_ AS (
+          SELECT a.vec_id, CAST({d2} AS BIGINT) AS d
+          FROM sc a, (SELECT arr FROM sc WHERE vec_id = {FPS_SEED_ID}) s
+          WHERE a.vec_id <> {FPS_SEED_ID})""",
+    ]
+    prev_d = "d2_"
+    sel = ["SELECT CAST(1 AS INTEGER) AS step, vec_id, d AS d2_to_set FROM s1"]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, d FROM {prev_d} ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        sel.append(f"SELECT CAST({i} AS INTEGER) AS step, vec_id, d AS d2_to_set FROM s{i}")
+        if i < k:
+            nxt = f"d{i + 1}_"
+            ctes.append(
+                f"""{nxt} AS (
+                  SELECT a.vec_id, LEAST(p.d, CAST({d2} AS BIGINT)) AS d
+                  FROM sc a
+                  JOIN {prev_d} p ON p.vec_id = a.vec_id
+                  , (SELECT arr FROM sc WHERE vec_id = (SELECT vec_id FROM s{i})) s
+                  WHERE a.vec_id <> (SELECT vec_id FROM s{i}))"""
+            )
+            prev_d = nxt
+    cte_block = ",\n    ".join(ctes)
+    final = "\n    UNION ALL ".join(sel)
+    return f"""
+    WITH {cte_block}
+    {final}
+    ORDER BY step
+"""
+
+
+ORACLES["embedding-farthest-points"] = _fps_oracle()
