@@ -448,3 +448,96 @@ ORACLES["multimodal-resize"] = f"""
            (VALUES (0,0),(0,1),(1,0),(1,1)) AS v(r, c))
     SELECT doc_id, out_r, out_c, CAST(px AS INTEGER) AS px FROM g
 """
+
+
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the binary payloads —
+    the image-dedup pipeline in miniature: each 16-byte "image" hashes
+    to a 16-bit signature (bit i set iff byte i exceeds the payload
+    MEAN — the aHash construction; a real pHash swaps in a DCT over the
+    decoded pixels, same downstream), candidates come from 4-bit LSH
+    bands (two images within hamming r share ≥1 exact band whenever
+    r < bands), and exact ``bit_count(xor)`` verifies.
+
+    Scale shape: the signature is row-local integer arithmetic; the
+    band self-join is the SAME bucketed shape as MinHash LSH (shuffle
+    on (band, value), AQE splits hot buckets); verification touches
+    candidate pairs only.  Everything is integer — engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    hexd = F.md5("text")
+    byte = lambda i: F.conv(F.substring(hexd, 2 * i + 1, 2), 16, 10).cast("int")  # noqa: E731
+    total = sum(byte(i) for i in range(16))
+    bit = lambda i: (byte(i) * 16 > total).cast("int")  # noqa: E731
+    phash = sum(bit(i) * (1 << i) for i in range(16))
+    sig = docs.select("doc_id", phash.alias("ph"))
+    bands = sig.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright("ph", 4 * j).bitwiseAND(F.lit(15)).alias("bv"),
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "ph", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ph").alias("pha"),
+            F.col("b.ph").alias("phb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["multimodal-phash-pairs"] = q_multimodal_phash_pairs
+
+_PH_BYTE = "('0x' || substr(md5(text), {o}, 2))::INTEGER"
+_PH_TOTAL = " + ".join(_PH_BYTE.format(o=2 * i + 1) for i in range(16))
+_PH_BITS = " + ".join(
+    f"(CASE WHEN {_PH_BYTE.format(o=2 * i + 1)} * 16 > ({_PH_TOTAL}) "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+
+ORACLES["multimodal-phash-pairs"] = f"""
+    WITH sig AS (
+      SELECT doc_id, CAST({_PH_BITS} AS BIGINT) AS ph FROM documents),
+    bands AS (
+      SELECT doc_id, ph, j.band,
+             (ph >> (4 * j.band)) & 15 AS bv
+      FROM sig, (VALUES (0),(1),(2),(3)) AS j(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ph AS pha, b.ph AS phb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pha, phb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pha, phb)) <= {PHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+"""
