@@ -1643,3 +1643,120 @@ ORACLES["events-dtw-profiles"] = f"""
            ROUND(CAST(dp[{(DTW_N + 1) ** 2}] AS DOUBLE) / {2 * DTW_N}, 6) AS dtw_per_step
     FROM rec WHERE t = {(DTW_N + 1) ** 2 - 1}
 """
+
+
+LCS_N = 24  # per-user sequence truncation
+
+
+def q_events_lcs_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-common-subsequence similarity between the two BUSIEST
+    users' event-type journeys (first 24 events each) — order-aware
+    behavioural similarity that tolerates insertions (a user who does
+    extra clicks between the same milestones still matches), the
+    companion to the order-free Markov/transition views.
+
+    Scale shape: picking the users and building the two bounded
+    sequences is distributed (one count groupBy + one
+    lead-window-free sort-collapse per user via filtered collect_list);
+    the (N+1)² integer DP then folds row-major in one task — the DTW
+    pattern with a max/equality recurrence instead of min/add.  The
+    emitted LCS length and sequence lengths are integers."""
+    ev = load_events(spark, sf_dir)
+    top2 = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(2)
+    )
+    tagged = ev.join(F.broadcast(top2), "user_id").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seqs = (
+        tagged.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+                    " r -> r.event_type)"
+                ),
+                1,
+                LCS_N,
+            ).alias("seq")
+        )
+    )
+    w = W.orderBy("user_id")
+    two = (
+        seqs.withColumn("rn", F.row_number().over(w))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("user_id"))).alias("user_a"),
+            F.max(F.when(F.col("rn") == 1, F.col("seq"))).alias("sa"),
+            F.max(F.when(F.col("rn") == 2, F.col("user_id"))).alias("user_b"),
+            F.max(F.when(F.col("rn") == 2, F.col("seq"))).alias("sb"),
+        )
+    )
+    n1 = LCS_N + 1
+    dp = F.expr(f"""
+        aggregate(
+          sequence(0, {n1 * n1 - 1}),
+          CAST(array() AS ARRAY<INT>),
+          (dp, t) -> array_append(dp,
+            CASE
+              WHEN t < {n1} OR t % {n1} = 0 THEN 0
+              WHEN CAST(t / {n1} AS INT) > size(sa) OR t % {n1} > size(sb) THEN 0
+              WHEN sa[CAST(t / {n1} AS INT) - 1] = sb[t % {n1} - 1]
+                THEN element_at(dp, t - {n1}) + 1
+              ELSE greatest(element_at(dp, t - {n1} + 1), element_at(dp, t))
+            END),
+          dp -> element_at(dp, {n1 * n1}))
+    """)
+    return two.select(
+        "user_a",
+        "user_b",
+        F.size("sa").alias("len_a"),
+        F.size("sb").alias("len_b"),
+        dp.alias("lcs_len"),
+    )
+
+
+QUERIES["events-lcs-journeys"] = q_events_lcs_journeys
+
+ORACLES["events-lcs-journeys"] = f"""
+    WITH RECURSIVE top2 AS (
+      SELECT user_id FROM (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+        ORDER BY n DESC, user_id LIMIT 2)),
+    seqs AS (
+      SELECT user_id,
+             (list(event_type ORDER BY ts, event_id))[1:{LCS_N}] AS seq
+      FROM events WHERE user_id IN (SELECT user_id FROM top2)
+      GROUP BY 1),
+    two AS (
+      SELECT MAX(CASE WHEN rn = 1 THEN user_id END) AS user_a,
+             MAX(CASE WHEN rn = 1 THEN seq END) AS sa,
+             MAX(CASE WHEN rn = 2 THEN user_id END) AS user_b,
+             MAX(CASE WHEN rn = 2 THEN seq END) AS sb
+      FROM (SELECT user_id, seq,
+                   ROW_NUMBER() OVER (ORDER BY user_id) AS rn FROM seqs)),
+    rec(t, dp) AS (
+      SELECT 0, [CAST(0 AS INTEGER)] FROM two
+      UNION ALL
+      SELECT r.t + 1,
+             list_append(r.dp,
+               CASE
+                 WHEN r.t + 1 < {LCS_N + 1} OR (r.t + 1) % {LCS_N + 1} = 0 THEN 0
+                 WHEN (r.t + 1) // {LCS_N + 1} > len(two.sa)
+                      OR (r.t + 1) % {LCS_N + 1} > len(two.sb) THEN 0
+                 WHEN two.sa[(r.t + 1) // {LCS_N + 1}]
+                      = two.sb[(r.t + 1) % {LCS_N + 1}]
+                   THEN r.dp[r.t + 1 - {LCS_N + 1}] + 1
+                 ELSE GREATEST(r.dp[r.t + 2 - {LCS_N + 1}],
+                               r.dp[r.t + 1])
+               END)
+      FROM rec r, two WHERE r.t < {(LCS_N + 1) ** 2 - 1})
+    SELECT two.user_a, two.user_b,
+           CAST(len(two.sa) AS INTEGER) AS len_a,
+           CAST(len(two.sb) AS INTEGER) AS len_b,
+           dp[{(LCS_N + 1) ** 2}] AS lcs_len
+    FROM rec, two WHERE t = {(LCS_N + 1) ** 2 - 1}
+"""
