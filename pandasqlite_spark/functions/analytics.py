@@ -3769,3 +3769,70 @@ ORACLES["orders-churn-rate"] = """
     FROM per_q, mx WHERE qi < mxq
     ORDER BY quarter
 """
+
+
+K_ANON_K = 5
+
+
+def k_anonymity(events: DataFrame, k: int = K_ANON_K) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    ``(event_type, hour-of-day, value decile)`` — the re-identification
+    risk readout a dataset needs BEFORE release: every row in an
+    equivalence class smaller than ``k`` is linkable.  Pairs with
+    ``text-pii-redact`` (direct identifiers) to cover the privacy gate.
+
+    Determinism: the decile is ``ntile(10)`` over the TOTAL order
+    (value, event_id) — identical assignment in both engines; classes
+    and sizes are integer groupBys; the risk share is one division.
+    Scale shape: one window for the decile (range-partitionable sort at
+    100 TB), one partial-aggregated class count, a \\|sizes\\|-row
+    rollup."""
+    w = Window.orderBy(F.col("value").cast("decimal(10,2)"), "event_id")
+    q = events.select(
+        "event_type",
+        ((F.unix_micros("ts") / 3_600_000_000).cast("bigint") % 24).alias("hod"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    classes = q.groupBy("event_type", "hod", "decile").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return classes.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("k_min"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).alias("rows_at_risk"),
+    ).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_classes",
+        "k_min",
+        F.col("rows_at_risk").cast("bigint").alias("rows_at_risk"),
+        F.round(
+            F.col("rows_at_risk").cast("double") / F.col("n_rows"), 6
+        ).alias("risk_share"),
+    )
+
+
+def q_validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymity(load_events(spark, sf_dir))
+
+
+QUERIES["validate-k-anonymity"] = q_validate_k_anonymity
+
+ORACLES["validate-k-anonymity"] = f"""
+    WITH q AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             NTILE(10) OVER (ORDER BY CAST(value AS DECIMAL(10,2)), event_id) AS decile
+      FROM events),
+    classes AS (
+      SELECT event_type, hod, decile, COUNT(*) AS sz
+      FROM q GROUP BY 1, 2, 3)
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           MIN(sz) AS k_min,
+           CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS risk_share
+    FROM classes
+"""
