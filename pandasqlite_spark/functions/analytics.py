@@ -3836,3 +3836,125 @@ ORACLES["validate-k-anonymity"] = f"""
                  / SUM(sz), 6) AS risk_share
     FROM classes
 """
+
+
+L_DIV_L = 3
+
+
+def q_validate_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a class can
+    be large yet still leak if every member shares the SENSITIVE value,
+    so this measures distinct sensitive values (user_id) per
+    quasi-identifier class and the share of rows in classes with
+    ``l < 3``.  Same determinism recipe as ``validate-k-anonymity``
+    (total-order ntile, integer counts); the distinct-count is exact
+    (the class space is \\|types\\|×24×10 — tiny — while the rows
+    partial-aggregate map-side)."""
+    events = load_events(spark, sf_dir)
+    w = Window.orderBy(F.col("value").cast("decimal(10,2)"), "event_id")
+    q = events.select(
+        "event_type",
+        ((F.unix_micros("ts") / 3_600_000_000).cast("bigint") % 24).alias("hod"),
+        F.ntile(10).over(w).alias("decile"),
+        "user_id",
+    )
+    classes = q.groupBy("event_type", "hod", "decile").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    return classes.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").alias("l_min"),
+        F.sum(F.when(F.col("l") < L_DIV_L, F.col("sz")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    ).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_classes",
+        "l_min",
+        F.col("rows_at_risk").cast("bigint").alias("rows_at_risk"),
+        F.round(
+            F.col("rows_at_risk").cast("double") / F.col("n_rows"), 6
+        ).alias("risk_share"),
+    )
+
+
+QUERIES["validate-l-diversity"] = q_validate_l_diversity
+
+ORACLES["validate-l-diversity"] = f"""
+    WITH q AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             NTILE(10) OVER (ORDER BY CAST(value AS DECIMAL(10,2)), event_id) AS decile,
+             user_id
+      FROM events),
+    classes AS (
+      SELECT event_type, hod, decile, COUNT(*) AS sz,
+             COUNT(DISTINCT user_id) AS l
+      FROM q GROUP BY 1, 2, 3)
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS l_min,
+           CAST(SUM(CASE WHEN l < {L_DIV_L} THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN l < {L_DIV_L} THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS risk_share
+    FROM classes
+"""
+
+
+DP_EPSILON = 1.0
+DP_SEED = "dp1|"
+
+
+def q_events_dp_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism plumbing for differentially-private count
+    release: per-type counts plus Laplace(Δ/ε) noise, with the noise
+    drawn from a SEEDED md5-uniform through the inverse Laplace CDF —
+    the same seeded-inverse-CDF device as ``agg-bootstrap-ci``'s
+    Poisson draws, making the release reproducible and
+    oracle-checkable.  (A production DP release swaps the seeded
+    uniform for a secure RNG — one line — and then must NOT be
+    hash-comparable, by definition; this key tests the mechanism's
+    plumbing, sensitivity scaling, and post-processing, not its
+    entropy.)
+
+    Scale shape: one partial-aggregated groupBy to \\|types\\| rows;
+    noise arithmetic is per-row."""
+    events = load_events(spark, sf_dir)
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # u ∈ (−1/2, 1/2): 4 md5 hex chars → integer in [0, 65536) → shift
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(DP_SEED), "event_type")), 1, 4), 16, 10)
+        .cast("double")
+        / 65536.0
+        - 0.5
+    )
+    # inverse Laplace CDF, scale b = 1/ε: −b·sign(u)·ln(1−2|u|)
+    b = 1.0 / DP_EPSILON
+    noise = -F.lit(b) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("released"),
+    ).orderBy("event_type")
+
+
+QUERIES["events-dp-laplace-counts"] = q_events_dp_laplace
+
+ORACLES["events-dp-laplace-counts"] = f"""
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    u AS (
+      SELECT event_type, n,
+             ('0x' || substr(md5('{DP_SEED}' || event_type), 1, 4))::BIGINT
+               / 65536.0 - 0.5 AS u
+      FROM counts)
+    SELECT event_type, n,
+           ROUND(-{1.0 / DP_EPSILON} * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS noise,
+           ROUND(n + (-{1.0 / DP_EPSILON} * sign(u) * ln(1.0 - 2.0 * abs(u))), 6)
+             AS released
+    FROM u ORDER BY event_type
+"""
