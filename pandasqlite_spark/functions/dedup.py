@@ -975,3 +975,67 @@ ORACLES["dedup-minhash-estimate"] = f"""
     FROM m JOIN ex USING (doc_a, doc_b)
     ORDER BY doc_a, doc_b
 """
+
+
+PARA_SIZE = 8
+PARA_TOP = 20
+
+
+def q_dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup — the C4/RefinedWeb boilerplate
+    pass: documents split into fixed 8-token blocks (stand-ins for
+    paragraphs; swap the splitter for ``\\n\\n`` on real text), and any
+    FULL block appearing in ≥2 distinct documents is reported with its
+    spread — these are the navigation bars / license footers /
+    templated snippets that whole-doc dedup never sees.
+
+    Scale shape: block explosion is row-local and codegen'd
+    (`sequence` → `slice`, no shuffle); the only exchange is the block
+    groupBy, whose key is the md5 of the block (uniform, skew-free).
+    Counts are integers; ordering is (n_docs DESC, block text) —
+    engine-total."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("nt")).filter(
+        F.col("nt") >= PARA_SIZE
+    )
+    nblocks = F.expr(f"cast(floor(nt / {PARA_SIZE}.0) as int)")
+    blocks = d.withColumn("b", F.explode(F.sequence(F.lit(0), nblocks - 1))).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("b") * PARA_SIZE + 1, PARA_SIZE), " "
+        ).alias("block"),
+    )
+    return (
+        blocks.groupBy("block")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("block").alias("block_hash"), "block", "n_docs", "n_occurrences")
+        .orderBy(F.col("n_docs").desc(), "block")
+        .limit(PARA_TOP)
+    )
+
+
+QUERIES["dedup-paragraph-exact"] = q_dedup_paragraph_exact
+
+ORACLES["dedup-paragraph-exact"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= {PARA_SIZE}),
+    blocks AS (
+      SELECT doc_id,
+             array_to_string(toks[b*{PARA_SIZE}+1 : b*{PARA_SIZE}+{PARA_SIZE}], ' ')
+               AS block
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(floor(len(toks)/{PARA_SIZE}.0) AS BIGINT))) AS b
+            FROM t) s)
+    SELECT md5(block) AS block_hash, block,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM blocks GROUP BY block
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, block LIMIT {PARA_TOP}
+"""

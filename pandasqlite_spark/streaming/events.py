@@ -1090,3 +1090,61 @@ ORACLES["events-streaming-attribution"] = """
     FROM w WHERE event_type = 'purchase'
     ORDER BY purchase_id
 """
+
+
+def lateness_profile(events: DataFrame) -> DataFrame:
+    """Event-lateness profile — the measurement that SIZES a watermark
+    instead of guessing it: per event, lateness = (max event-time seen
+    so far in arrival order) − its own event-time; the histogram of
+    minute-bucketed lateness plus the running share tells you exactly
+    what fraction of events a ``withWatermark("N minutes")`` would
+    drop.  (Arrival order stands in as ``event_id`` — the generator's
+    ingestion sequence.)
+
+    Scale shape: ONE global arrival-ordered running-max window (at
+    100 TB: range-partition by arrival time — the running max is
+    prefix-decomposable), then a partial-aggregated minute-bucket
+    groupBy; everything integral (microsecond diffs, counts)."""
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    late = events.select(
+        (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("late_us")
+    )
+    bucket = F.floor(F.col("late_us") / 60_000_000).cast("bigint")
+    hist = late.groupBy(bucket.alias("late_min")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = W.partitionBy()
+    wcum = W.orderBy("late_min").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        hist.select(
+            "late_min",
+            "n",
+            F.round(
+                F.sum("n").over(wcum).cast("double") / F.sum("n").over(wtot), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("late_min")
+    )
+
+
+def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lateness_profile(load_events(spark, sf_dir))
+
+
+QUERIES["events-lateness-profile"] = q_events_lateness_profile
+
+ORACLES["events-lateness-profile"] = """
+    WITH late AS (
+      SELECT MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING)
+             - epoch_us(ts) AS late_us
+      FROM events),
+    hist AS (
+      SELECT CAST(late_us // 60000000 AS BIGINT) AS late_min, COUNT(*) AS n
+      FROM late GROUP BY 1)
+    SELECT late_min, n,
+           ROUND(CAST(SUM(n) OVER (ORDER BY late_min ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE)
+                 / SUM(n) OVER (), 6) AS cum_share
+    FROM hist ORDER BY late_min
+"""
