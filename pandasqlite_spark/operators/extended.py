@@ -1060,3 +1060,100 @@ QUERIES = {
     "upsert-emulation": q_upsert_emulation,
     "table-cdc-apply": q_table_cdc_apply,
 }
+
+
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause — per-group conditional aggregation
+    without CASE-wrapping every argument (the readable form of the
+    pivot-conditional-agg pattern); Spark and DuckDB both execute it as
+    the same partial-aggregated conditional counts."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the linear dataflow form of SQL
+    — each stage reads top-to-bottom like a DataFrame chain, which is
+    how generated/LLM SQL avoids deeply nested subqueries.  Catalyst
+    plans it identically to the nested form (same partial-agg +
+    exchange), so the oracle is the plain-SQL equivalent."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> EXTEND year(o_orderdate) AS yr
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           GROUP BY yr
+        |> ORDER BY yr
+        """
+    )
+
+
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT-list alias is
+    visible to LATER expressions in the same SELECT — kills the
+    wrap-it-in-a-subquery boilerplate for derived-from-derived columns.
+    The oracle re-expands the aliases (semantics identical)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS net,
+               net / SUM(l_quantity) AS net_per_unit,
+               ROUND(net_per_unit * 100, 4) AS net_per_unit_cents
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY net DESC, l_orderkey
+        LIMIT 20
+        """
+    )
+
+
+QUERIES["agg-filter-clause"] = q_agg_filter_clause
+QUERIES["sql-pipe-syntax"] = q_sql_pipe_syntax
+QUERIES["sql-lateral-alias"] = q_sql_lateral_alias
+
+ORACLES["agg-filter-clause"] = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["sql-pipe-syntax"] = """
+    SELECT year(o_orderdate) AS yr, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1 ORDER BY yr
+"""
+
+ORACLES["sql-lateral-alias"] = """
+    WITH g AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS net,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               / SUM(l_quantity) AS net_per_unit
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey, net, net_per_unit,
+           ROUND(net_per_unit * 100, 4) AS net_per_unit_cents
+    FROM g ORDER BY net DESC, l_orderkey LIMIT 20
+"""
