@@ -326,3 +326,113 @@ ORACLES = {
         SELECT TRUE AS p50_ok, TRUE AS p99_ok, COUNT(*) AS n_rows FROM orders
     """,
 }
+
+
+BLOOM_M = 1 << 14  # bits
+BLOOM_K = 3        # hash functions
+
+
+def q_sketch_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive rate, MEASURED against theory — the
+    sketch-quality readout that tells you whether m/k are sized right
+    before shipping the filter into a join prune (the MinHash twin is
+    ``dedup-minhash-estimate``, the ANN twin ``simsearch-recall-eval``):
+    even-parity order keys build an m=16384-bit, k=3 filter (md5-salted
+    positions); odd-parity keys — guaranteed disjoint — probe it; a
+    probe passing all k membership checks is a false positive, compared
+    to the classic ``(1 − (1−1/m)^{kn})^k``.
+
+    Scale shape: the filter is a DISTINCT set of set-bit positions
+    (≤ m rows — tiny) that broadcasts into the probe join; build and
+    probe are each one explode + groupBy.  Counts are integers; the
+    two rates are one fixed IEEE expression each."""
+    orders = load(spark, sf_dir, "orders")
+    keyed = orders.select(F.col("o_orderkey").alias("key"))
+    build = keyed.filter(F.col("key") % 2 == 0)
+    probe = keyed.filter(F.col("key") % 2 == 1)
+
+    def positions(df):
+        return df.select(
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"b{j}|"), F.col("key").cast("string"))),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % BLOOM_M
+                        ).alias("p")
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(build).select("pos").distinct()
+    stats = build.agg(F.count(F.lit(1)).alias("n_ins")).crossJoin(
+        F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_bits")))
+    )
+    hits = (
+        positions(probe)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") == BLOOM_K)
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    n_probe = probe.agg(F.count(F.lit(1)).alias("n_probe"))
+    out = stats.crossJoin(F.broadcast(hits)).crossJoin(F.broadcast(n_probe))
+    theory = F.pow(
+        F.lit(1.0)
+        - F.pow(
+            F.lit(1.0 - 1.0 / BLOOM_M),
+            (F.lit(BLOOM_K) * F.col("n_ins")).cast("double"),
+        ),
+        F.lit(float(BLOOM_K)),
+    )
+    return out.select(
+        "n_ins",
+        "n_bits",
+        "n_probe",
+        "n_fp",
+        F.round(F.col("n_fp").cast("double") / F.col("n_probe"), 6).alias("fpp_measured"),
+        F.round(theory, 6).alias("fpp_theory"),
+    )
+
+
+QUERIES["sketch-bloom-fpp"] = q_sketch_bloom_fpp
+
+_BLOOM_POS = "(('0x' || substr(md5('b{j}|' || CAST(key AS VARCHAR)), 1, 8))::BIGINT % {m})"
+
+ORACLES["sketch-bloom-fpp"] = f"""
+    WITH build AS (
+      SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 0),
+    probe AS (
+      SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 1),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_BLOOM_POS.format(j=j, m=BLOOM_M)} AS pos FROM build" for j in range(BLOOM_K))})),
+    ppos AS (
+      {" UNION ALL ".join(f"SELECT key, {_BLOOM_POS.format(j=j, m=BLOOM_M)} AS pos FROM probe" for j in range(BLOOM_K))}),
+    fp AS (
+      SELECT COUNT(*) AS n_fp FROM (
+        SELECT p.key FROM ppos p JOIN bits USING (pos)
+        GROUP BY p.key HAVING COUNT(*) = {BLOOM_K})),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM build) AS n_ins,
+             (SELECT COUNT(*) FROM bits) AS n_bits,
+             (SELECT COUNT(*) FROM probe) AS n_probe,
+             (SELECT n_fp FROM fp) AS n_fp)
+    SELECT n_ins, n_bits, n_probe, n_fp,
+           ROUND(CAST(n_fp AS DOUBLE) / n_probe, 6) AS fpp_measured,
+           ROUND(POW(1.0 - POW({1.0 - 1.0 / BLOOM_M}, CAST({BLOOM_K} * n_ins AS DOUBLE)),
+                     {float(BLOOM_K)}), 6) AS fpp_theory
+    FROM s
+"""
