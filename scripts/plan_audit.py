@@ -64,6 +64,7 @@ NESTED_LOOP_OK = {
     "corpus-token-budget",
     "cluster-kmeans",  # per-round 1-row broadcasts
     "sketch-heavy-hitters",  # 1-row (kth-count, total) bounds broadcast
+    "sketch-bloom-fpp",  # 1-row build/probe/fp-count summary broadcasts
     "events-benford-check",  # 1-row positive-count total broadcast
     "events-changepoint-cusum",  # 1-row global-mean broadcast
     "events-anomaly-seasonal",  # 1-row residual-MAD broadcast
