@@ -469,3 +469,88 @@ def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
 
 
 ORACLES["graph-kcore-peel"] = _kcore_oracle()
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-occurrence graph — the
+    Pearson correlation between the degrees at each edge's endpoints
+    (positive: hubs link to hubs; negative: hub-and-spoke).  Decides
+    whether the hub-skew mitigations in SCALING.md actually bind.
+
+    One degree groupBy + two endpoint joins + a single-row moment
+    aggregate: every sum is an exact integer (degrees are ints; edges
+    counted once per direction, the standard symmetrized form), so the
+    correlation is one fixed IEEE expression."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ends = (
+        sym.join(deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "dx"),
+                 F.col("src") == F.col("u"))
+        .join(deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dy"),
+              F.col("dst") == F.col("v"))
+        .select("dx", "dy")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sx2"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sy2"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+QUERIES["graph-assortativity"] = q_graph_assortativity
+
+ORACLES["graph-assortativity"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_suppkey < b.l_suppkey),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+    ends AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM sym s JOIN deg da ON da.src = s.src JOIN deg db ON db.src = s.dst),
+    m AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx*dx) AS BIGINT) AS sx2,
+             CAST(SUM(dy*dy) AS BIGINT) AS sy2
+      FROM ends)
+    SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
+                        * CAST(m * sy2 - sy * sy AS DOUBLE)), 6) AS assortativity
+    FROM m
+"""

@@ -958,3 +958,72 @@ ORACLES["events-mann-whitney"] = """
                                     / CAST(n * (n - 1) AS DOUBLE)))), 6) AS z_stat
     FROM agg
 """
+
+
+def interarrival_burstiness(events: DataFrame) -> DataFrame:
+    """Goh–Barabási burstiness of the event arrival process, per event
+    type: ``B = (σ − μ)/(σ + μ)`` over interarrival times (B = −1
+    periodic, 0 Poisson, → 1 bursty) — the interarrival-domain
+    companion to ``events-poisson-dispersion``'s count-domain check.
+
+    Scale shape: one lag window per type (the sequence-key exchange),
+    then exact integer microsecond gaps feed one moment aggregate per
+    type; σ/μ/B are fixed IEEE expressions over those integers."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # millisecond gaps: hour-scale microsecond gaps squared overflow
+    # INT64; floor-division is identical in both engines
+    ms = (F.unix_micros("ts") / 1000).cast("bigint")
+    gaps = (
+        events.select(
+            "event_type",
+            (ms - F.lag(ms).over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    n, s, s2 = F.col("n"), F.col("s").cast(dec), F.col("s2").cast(dec)
+    mu = s.cast("double") / F.col("n")
+    sigma = (
+        F.sqrt((F.col("n") * s2 - s * s).cast("double")) / F.col("n").cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mu / 1e3, 6).alias("mean_gap_s"),
+        F.round(sigma / 1e3, 6).alias("std_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interarrival_burstiness(load_events(spark, sf_dir))
+
+
+QUERIES["events-interarrival-burstiness"] = q_events_burstiness
+
+ORACLES["events-interarrival-burstiness"] = """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000 - LAG(epoch_us(ts) // 1000) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS g
+      FROM events),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(g) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(g*g) AS DECIMAL(38,0)) AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+    SELECT event_type, n AS n_gaps,
+           ROUND(CAST(s AS DOUBLE) / n / 1e3, 6) AS mean_gap_s,
+           ROUND(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE) / 1e3, 6)
+             AS std_gap_s,
+           ROUND((sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE)
+                  - CAST(s AS DOUBLE) / n)
+                 / (sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE)
+                    + CAST(s AS DOUBLE) / n), 6) AS burstiness
+    FROM m ORDER BY event_type
+"""

@@ -1440,3 +1440,92 @@ ORACLES["text-windowed-ttr"] = f"""
            ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
     FROM wins ORDER BY doc_id, win_idx
 """
+
+
+LOGODDS_ALPHA0 = 100.0  # total Dirichlet prior mass
+LOGODDS_TOP = 15
+
+
+def log_odds_terms(docs: DataFrame, top: int = LOGODDS_TOP) -> DataFrame:
+    """Monroe et al. "fightin' words": which terms distinguish source
+    src0 from src1, via log-odds-ratios with an informative Dirichlet
+    prior drawn from the whole corpus — the statistically-sound version
+    of "compare the top word lists" (raw frequency differences drown in
+    common words; the prior regularizes rare ones).  Emits the ``top``
+    src0-leaning terms by z-score.
+
+    Scale shape: ONE explode → (term, source) conditional count groupBy
+    collapses the corpus to the vocabulary; the prior, δ and variance
+    are fixed IEEE expressions per vocabulary row (integer inputs), so
+    scores — and the z ordering — are engine-identical."""
+    toks = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(tokens()).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c1"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).alias("ftot"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    f = F.col("c1") + F.col("c2")
+    prior = (F.lit(LOGODDS_ALPHA0) * f.cast("double")) / F.col("ftot")
+    a0 = F.lit(LOGODDS_ALPHA0)
+    t1 = F.log(
+        (F.col("c1") + prior)
+        / (F.col("n1").cast("double") + a0 - F.col("c1") - prior)
+    )
+    t2 = F.log(
+        (F.col("c2") + prior)
+        / (F.col("n2").cast("double") + a0 - F.col("c2") - prior)
+    )
+    var = 1.0 / (F.col("c1") + prior) + 1.0 / (F.col("c2") + prior)
+    z = (t1 - t2) / F.sqrt(var)
+    return (
+        j.select(
+            "tok", "c1", "c2",
+            F.round(t1 - t2, 6).alias("delta"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "tok")
+        .limit(top)
+    )
+
+
+def q_text_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return log_odds_terms(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text-log-odds-terms"] = q_text_log_odds
+
+ORACLES["text-log-odds-terms"] = f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+      WHERE source IN ('src0', 'src1')),
+    counts AS (
+      SELECT tok,
+             COUNT(CASE WHEN source = 'src0' THEN 1 END) AS c1,
+             COUNT(CASE WHEN source = 'src1' THEN 1 END) AS c2
+      FROM toks GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 + c2) AS BIGINT) AS ftot
+      FROM counts),
+    s AS (
+      SELECT tok, c1, c2,
+             ln((c1 + ({LOGODDS_ALPHA0} * CAST(c1 + c2 AS DOUBLE)) / ftot)
+                / (CAST(n1 AS DOUBLE) + {LOGODDS_ALPHA0} - c1
+                   - ({LOGODDS_ALPHA0} * CAST(c1 + c2 AS DOUBLE)) / ftot))
+             - ln((c2 + ({LOGODDS_ALPHA0} * CAST(c1 + c2 AS DOUBLE)) / ftot)
+                  / (CAST(n2 AS DOUBLE) + {LOGODDS_ALPHA0} - c2
+                     - ({LOGODDS_ALPHA0} * CAST(c1 + c2 AS DOUBLE)) / ftot)) AS delta,
+             1.0 / (c1 + ({LOGODDS_ALPHA0} * CAST(c1 + c2 AS DOUBLE)) / ftot)
+             + 1.0 / (c2 + ({LOGODDS_ALPHA0} * CAST(c1 + c2 AS DOUBLE)) / ftot) AS var
+      FROM counts, tot)
+    SELECT tok, c1, c2, ROUND(delta, 6) AS delta,
+           ROUND(delta / sqrt(var), 6) AS z
+    FROM s ORDER BY delta / sqrt(var) DESC, tok LIMIT {LOGODDS_TOP}
+"""
