@@ -11,7 +11,7 @@ and every DuckDB oracle): ``split(trim(lower(text)), '\\s+')``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandasqlite_spark.operators.common import load
@@ -1528,4 +1528,123 @@ ORACLES["text-log-odds-terms"] = f"""
     SELECT tok, c1, c2, ROUND(delta, 6) AS delta,
            ROUND(delta / sqrt(var), 6) AS z
     FROM s ORDER BY delta / sqrt(var) DESC, tok LIMIT {LOGODDS_TOP}
+"""
+
+
+RAKE_N_STOP = 5
+RAKE_TOP = 15
+
+
+def rake_keyphrases(docs: DataFrame, top: int = RAKE_TOP) -> DataFrame:
+    """RAKE keyphrase extraction: token streams split at STOPWORDS into
+    candidate phrases; member words scored by ``degree/frequency``
+    (degree = co-occurrence mass inside phrases) and phrases ranked by
+    an exact aggregate ratio ``Σdegree / Σfrequency`` — tf-idf surfaces
+    WORDS, RAKE surfaces multi-word PHRASES.  Stopwords here are the
+    corpus's 5 most frequent tokens (corpus-derived, deterministic; a
+    real deployment passes a language stoplist).
+
+    Determinism: the standard per-word-ratio sum is float-order
+    sensitive, so this uses the aggregate-ratio form — both numerator
+    and denominator are exact integer sums, ONE division per phrase.
+    Scale shape: stopwords are a 5-row broadcast; phrase segmentation
+    is one per-doc window (stop-count prefix sums as phrase ids);
+    scoring is two vocabulary-bounded groupBys."""
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "tok")
+    )
+    stop = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(RAKE_N_STOP)
+        .select("tok", F.lit(True).alias("is_stop"))
+    )
+    marked = toks.join(F.broadcast(stop), "tok", "left").select(
+        "doc_id", "pos", "tok", F.coalesce("is_stop", F.lit(False)).alias("is_stop")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    phrased = marked.withColumn(
+        "phrase_id", F.sum(F.col("is_stop").cast("int")).over(w)
+    ).filter(~F.col("is_stop"))
+    phrases = phrased.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(F.collect_list("tok"), " ").alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    # word stats over phrase members: freq = occurrences, degree = Σ plen
+    members = phrased.join(phrases, ["doc_id", "phrase_id"]).select("tok", "plen")
+    wstat = members.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    scored = (
+        phrased.join(F.broadcast(wstat), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("deg").alias("sdeg"), F.sum("freq").alias("sfreq"))
+        .join(phrases, ["doc_id", "phrase_id"])
+        .filter(F.col("plen") >= 2)
+    )
+    return (
+        scored.select(
+            "phrase",
+            "plen",
+            F.round(F.col("sdeg").cast("double") / F.col("sfreq"), 6).alias("score"),
+        )
+        .groupBy("phrase", "plen", "score")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(top)
+    )
+
+
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rake_keyphrases(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text-rake-keyphrases"] = q_text_rake
+
+ORACLES["text-rake-keyphrases"] = f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, tk[i] AS tok
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+            FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d0) d),
+    stop AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, tok LIMIT {RAKE_N_STOP})),
+    marked AS (
+      SELECT doc_id, pos, tok, tok IN (SELECT tok FROM stop) AS is_stop
+      FROM toks),
+    phrased AS (
+      SELECT doc_id, pos, tok, phrase_id FROM (
+        SELECT doc_id, pos, tok, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                 AS phrase_id
+        FROM marked) m
+      WHERE NOT is_stop),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM phrased GROUP BY 1, 2),
+    wstat AS (
+      SELECT p.tok, COUNT(*) AS freq, CAST(SUM(ph.plen) AS BIGINT) AS deg
+      FROM phrased p JOIN phrases ph USING (doc_id, phrase_id)
+      GROUP BY 1),
+    scored AS (
+      SELECT p.doc_id, p.phrase_id,
+             CAST(SUM(w.deg) AS BIGINT) AS sdeg,
+             CAST(SUM(w.freq) AS BIGINT) AS sfreq
+      FROM phrased p JOIN wstat w USING (tok)
+      GROUP BY 1, 2)
+    SELECT ph.phrase, ph.plen,
+           ROUND(CAST(s.sdeg AS DOUBLE) / s.sfreq, 6) AS score,
+           COUNT(*) AS n_occurrences
+    FROM scored s JOIN phrases ph USING (doc_id, phrase_id)
+    WHERE ph.plen >= 2
+    GROUP BY ph.phrase, ph.plen, ROUND(CAST(s.sdeg AS DOUBLE) / s.sfreq, 6)
+    ORDER BY score DESC, phrase LIMIT {RAKE_TOP}
 """
