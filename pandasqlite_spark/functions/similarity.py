@@ -1872,3 +1872,141 @@ def _fps_oracle(k: int = FPS_K) -> str:
 
 
 ORACLES["embedding-farthest-points"] = _fps_oracle()
+
+
+NPROBE_LEVELS = (1, 2, 4)
+NPROBE_TOPK = 10
+
+
+def q_simsearch_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe curve — the tuning readout every IVF
+    deployment needs: searching 1, 2, and 4 of the 8 cells, what
+    fraction of the TRUE top-10 does the cell-restricted search
+    recover?  (``simsearch-recall-eval``'s per-method cousin, here
+    sweeping the IVF knob itself.)
+
+    Scale shape: one broadcast centroid assignment (the IVF pass), one
+    exact global top-10 (the TakeOrderedAndProject baseline), then per
+    nprobe level a cell-membership semi-join + exact rerank — each
+    level touches only its candidate cells.  Recall is an integer
+    overlap over k; everything ordering-relevant is the exact decimal
+    cosine."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    assign = ivf_assign(emb, cents)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    truth = cosine_topk_exact(emb.filter(F.col("vec_id") != 0), query, k=NPROBE_TOPK)
+    # rank cells by query→centroid dot (the probe order)
+    qe = _explode_dec(emb.filter(F.col("vec_id") == 0), F.col("vec_id"))
+    ce = _explode_dec(cents, F.col("cid")).withColumnRenamed("x", "cx")
+    cell_rank = (
+        qe.join(F.broadcast(ce), "pos")
+        .groupBy("cid")
+        .agg(F.sum(F.col("x") * F.col("cx")).cast("double").alias("dot"))
+        .select(
+            "cid",
+            F.row_number()
+            .over(Window.orderBy(F.col("dot").desc(), "cid"))
+            .alias("cell_rank"),
+        )
+    )
+    out = None
+    for nprobe in NPROBE_LEVELS:
+        probe_cells = cell_rank.filter(F.col("cell_rank") <= nprobe).select(
+            F.col("cid").alias("cell")
+        )
+        cand_ids = (
+            assign.join(F.broadcast(probe_cells), "cell")
+            .filter(F.col("vec_id") != 0)
+            .select("vec_id")
+        )
+        approx = cosine_topk_exact(
+            emb.join(cand_ids, "vec_id"), query, k=NPROBE_TOPK
+        )
+        hit = approx.join(truth.select("vec_id"), "vec_id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        n_cand = cand_ids.agg(F.count(F.lit(1)).alias("n_candidates"))
+        level = (
+            hit.crossJoin(F.broadcast(n_cand))
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                "n_candidates",
+                "n_hit",
+                F.round(F.col("n_hit") / float(NPROBE_TOPK), 6).alias("recall_at_10"),
+            )
+        )
+        out = level if out is None else out.unionByName(level)
+    return out.orderBy("nprobe")
+
+
+QUERIES["simsearch-nprobe-curve"] = q_simsearch_nprobe_curve
+
+
+def _nprobe_oracle() -> str:
+    levels = []
+    for nprobe in NPROBE_LEVELS:
+        levels.append(f"""
+        SELECT {nprobe} AS nprobe,
+               (SELECT COUNT(*) FROM assign a
+                WHERE a.vec_id <> 0 AND a.cell IN
+                  (SELECT cid FROM cell_rank WHERE cell_rank <= {nprobe}))
+                 AS n_candidates,
+               (SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM per
+                  WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                                   WHERE a.vec_id <> 0 AND a.cell IN
+                                     (SELECT cid FROM cell_rank
+                                      WHERE cell_rank <= {nprobe}))
+                  ORDER BY cosine DESC, vec_id LIMIT {NPROBE_TOPK}) apx
+                WHERE apx.vec_id IN (SELECT vec_id FROM truth)) AS n_hit,
+               ROUND((SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM per
+                  WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                                   WHERE a.vec_id <> 0 AND a.cell IN
+                                     (SELECT cid FROM cell_rank
+                                      WHERE cell_rank <= {nprobe}))
+                  ORDER BY cosine DESC, vec_id LIMIT {NPROBE_TOPK}) apx
+                WHERE apx.vec_id IN (SELECT vec_id FROM truth))
+                / {float(NPROBE_TOPK)}, 6) AS recall_at_10""")
+    union = "\n        UNION ALL".join(levels)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, t.i AS pos,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings, generate_series(1, 64) t(i)),
+    c AS (SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < {N_CELLS}),
+    dots AS (
+      SELECT e.vec_id, c.cid, CAST(SUM(e.x * c.cx) AS DOUBLE) AS dot
+      FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        FROM dots) t
+      WHERE rn = 1),
+    q AS (SELECT pos, x AS qx FROM e WHERE vec_id = 0),
+    nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+    per AS (
+      SELECT e.vec_id,
+             CAST(SUM(e.x * q.qx) AS DOUBLE)
+               / (sqrt(CAST(SUM(e.x * e.x) AS DOUBLE)) * sqrt(nq.nq)) AS cosine
+      FROM e JOIN q ON e.pos = q.pos, nq
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, nq.nq),
+    truth AS (
+      SELECT vec_id FROM per ORDER BY cosine DESC, vec_id LIMIT {NPROBE_TOPK}),
+    qcd AS (
+      SELECT cid, CAST(SUM(q.qx * c.cx) AS DOUBLE) AS dot
+      FROM q JOIN c ON q.pos = c.pos GROUP BY 1),
+    cell_rank AS (
+      SELECT cid, ROW_NUMBER() OVER (ORDER BY dot DESC, cid) AS cell_rank
+      FROM qcd)
+    {union}
+    ORDER BY nprobe
+"""
+
+
+ORACLES["simsearch-nprobe-curve"] = _nprobe_oracle()

@@ -47,6 +47,7 @@ NESTED_LOOP_OK = {
     "simsearch-ivf-kmeans",
     "simsearch-sq-rerank",
     "simsearch-ivf-pq",  # broadcast centroid/ADC-table crossJoins (≤16 rows each)
+    "simsearch-nprobe-curve",  # 1-row recall/candidate-count summary broadcasts
     "subquery-scalar",  # scalar subquery == 1-row broadcast
     "subquery-correlated",
     "tpch-q11",  # 1-row global-total broadcast
