@@ -3958,3 +3958,114 @@ ORACLES["events-dp-laplace-counts"] = f"""
              AS released
     FROM u ORDER BY event_type
 """
+
+
+def abc_xyz(lineitem: DataFrame) -> DataFrame:
+    """ABC/XYZ inventory segmentation — the classic two-axis part
+    classification: ABC by cumulative revenue share (A ≤ 80 %,
+    B ≤ 95 %, else C — the Pareto axis) × XYZ by demand variability
+    (monthly-quantity CV: X < 0.5, Y < 1.0, else Z), emitted as the
+    9-cell matrix with part counts and revenue share per cell.
+
+    Determinism: revenue is an exact decimal sum, the cumulative share
+    is an exact-decimal ordered running sum over (revenue DESC,
+    partkey), CV comes from exact decimal moments — thresholds compare
+    identical doubles.  Scale shape: two partial-aggregated groupBys on
+    partkey (+month), one revenue-ordered window (range-partitionable),
+    a 9-row rollup."""
+    li = lineitem.select(
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("rev"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mon"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("rev"))
+    wtot = Window.partitionBy()
+    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = (
+        F.sum("rev").over(wcum).cast("double") / F.sum("rev").over(wtot).cast("double")
+    )
+    abc = per_part.select(
+        "l_partkey",
+        "rev",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+    )
+    monthly = li.groupBy("l_partkey", "mon").agg(F.sum("qty").alias("mq"))
+    mom = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mq").alias("s"),
+        F.sum(F.col("mq") * F.col("mq")).alias("s2"),
+    )
+    cv = (
+        F.sqrt((F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double"))
+        / F.col("s").cast("double")
+    )
+    xyz = mom.select(
+        "l_partkey",
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias("xyz"),
+    )
+    cells = abc.join(xyz, "l_partkey")
+    tot = cells.agg(F.sum("rev").alias("trev"))
+    return (
+        cells.groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("rev").alias("rev"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            F.round(F.col("rev").cast("double") / F.col("trev").cast("double"), 6)
+            .alias("rev_share"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+def q_lineitem_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abc_xyz(load(spark, sf_dir, "lineitem"))
+
+
+QUERIES["lineitem-abc-xyz"] = q_lineitem_abc_xyz
+
+ORACLES["lineitem-abc-xyz"] = """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS rev,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             year(l_shipdate) * 12 + month(l_shipdate) AS mon
+      FROM lineitem),
+    per_part AS (SELECT l_partkey, SUM(rev) AS rev FROM li GROUP BY 1),
+    abc AS (
+      SELECT l_partkey, rev,
+             CASE WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / CAST(SUM(rev) OVER () AS DOUBLE) <= 0.80 THEN 'A'
+                  WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / CAST(SUM(rev) OVER () AS DOUBLE) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM per_part),
+    monthly AS (SELECT l_partkey, mon, SUM(qty) AS mq FROM li GROUP BY 1, 2),
+    mom AS (
+      SELECT l_partkey, COUNT(*) AS n, SUM(mq) AS s, SUM(mq*mq) AS s2
+      FROM monthly GROUP BY 1),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN sqrt(CAST(n*s2 - s*s AS DOUBLE)) / CAST(s AS DOUBLE) < 0.5
+                    THEN 'X'
+                  WHEN sqrt(CAST(n*s2 - s*s AS DOUBLE)) / CAST(s AS DOUBLE) < 1.0
+                    THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM mom),
+    cells AS (
+      SELECT a.l_partkey, a.rev, a.abc, x.xyz
+      FROM abc a JOIN xyz x USING (l_partkey)),
+    tot AS (SELECT SUM(rev) AS trev FROM cells)
+    SELECT abc, xyz, COUNT(*) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS rev_share
+    FROM cells, tot
+    GROUP BY abc, xyz, trev
+    ORDER BY abc, xyz
+"""

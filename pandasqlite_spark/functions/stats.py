@@ -1027,3 +1027,134 @@ ORACLES["events-interarrival-burstiness"] = """
                     + CAST(s AS DOUBLE) / n), 6) AS burstiness
     FROM m ORDER BY event_type
 """
+
+
+CI_CUT = "2024-01-22"
+
+
+def q_events_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CausalImpact-lite: fit the exact trend+weekend OLS
+    (``events-ols-trend-weekend``'s closed form) on PRE-period days
+    only, project it over the POST period as the counterfactual, and
+    emit per-day actual − predicted plus the running cumulative effect
+    — the structural version of DiD when there is no control arm.
+
+    Determinism: βs are Cramer ratios of exact integer determinants
+    from the pre-period collapse; each prediction is one fixed IEEE
+    expression per day; the cumulative effect is an ORDERED running sum
+    (same order both engines).  Scale shape: one |days| collapse, a
+    1-row model broadcast, one calendar window."""
+    daily = (
+        load_events(spark, sf_dir)
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    anchor = F.lit("2024-01-01").cast("date")
+    cut = F.lit(CI_CUT).cast("date")
+    d = daily.select(
+        "day",
+        F.datediff(F.col("day"), anchor).alias("t"),
+        (F.datediff(F.col("day"), anchor) % 7 >= 5).cast("bigint").alias("wk"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    pre = d.filter(F.col("day") < cut)
+    a = pre.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("wk").alias("sw"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum(F.col("t") * F.col("wk")).alias("stw"),
+        F.sum(F.col("wk") * F.col("wk")).alias("sw2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("wk") * F.col("y")).alias("swy"),
+    )
+    n, st, sw = F.col("n"), F.col("st"), F.col("sw")
+    st2, stw, sw2 = F.col("st2"), F.col("stw"), F.col("sw2")
+    sy, sty, swy = F.col("sy"), F.col("sty"), F.col("swy")
+    det = (
+        n * (st2 * sw2 - stw * stw)
+        - st * (st * sw2 - stw * sw)
+        + sw * (st * stw - st2 * sw)
+    )
+    det0 = (
+        sy * (st2 * sw2 - stw * stw)
+        - st * (sty * sw2 - stw * swy)
+        + sw * (sty * stw - st2 * swy)
+    )
+    det1 = (
+        n * (sty * sw2 - stw * swy)
+        - sy * (st * sw2 - stw * sw)
+        + sw * (st * swy - sty * sw)
+    )
+    det2 = (
+        n * (st2 * swy - sty * stw)
+        - st * (st * swy - sty * sw)
+        + sy * (st * stw - st2 * sw)
+    )
+    model = a.select(
+        (det0.cast("double") / det.cast("double")).alias("b0"),
+        (det1.cast("double") / det.cast("double")).alias("b1"),
+        (det2.cast("double") / det.cast("double")).alias("b2"),
+    )
+    post = d.filter(F.col("day") >= cut).crossJoin(F.broadcast(model))
+    pred = F.col("b0") + F.col("b1") * F.col("t") + F.col("b2") * F.col("wk")
+    eff = F.col("y").cast("double") - pred
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scored = post.select(
+        F.col("day").cast("string").alias("day"),
+        "y",
+        F.round(pred, 6).alias("predicted"),
+        F.round(eff, 6).alias("effect"),
+        F.round(F.sum(eff).over(wcum), 6).alias("cum_effect"),
+    )
+    return scored.orderBy("day")
+
+
+QUERIES["events-causal-impact"] = q_events_causal_impact
+
+ORACLES["events-causal-impact"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1),
+    d AS (
+      SELECT day,
+             date_diff('day', DATE '2024-01-01', day) AS t,
+             CAST(date_diff('day', DATE '2024-01-01', day) % 7 >= 5 AS BIGINT) AS wk,
+             CAST(y AS BIGINT) AS y
+      FROM daily),
+    a AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(wk) AS BIGINT) AS sw,
+             CAST(SUM(t*t) AS BIGINT) AS st2, CAST(SUM(t*wk) AS BIGINT) AS stw,
+             CAST(SUM(wk*wk) AS BIGINT) AS sw2,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t*y) AS BIGINT) AS sty,
+             CAST(SUM(wk*y) AS BIGINT) AS swy
+      FROM d WHERE day < DATE '2024-01-22'),
+    k AS (
+      SELECT
+        CAST(sy*(st2*sw2 - stw*stw) - st*(sty*sw2 - stw*swy) + sw*(sty*stw - st2*swy)
+             AS DOUBLE)
+          / CAST(n*(st2*sw2 - stw*stw) - st*(st*sw2 - stw*sw) + sw*(st*stw - st2*sw)
+                 AS DOUBLE) AS b0,
+        CAST(n*(sty*sw2 - stw*swy) - sy*(st*sw2 - stw*sw) + sw*(st*swy - sty*sw)
+             AS DOUBLE)
+          / CAST(n*(st2*sw2 - stw*stw) - st*(st*sw2 - stw*sw) + sw*(st*stw - st2*sw)
+                 AS DOUBLE) AS b1,
+        CAST(n*(st2*swy - sty*stw) - st*(st*swy - sty*sw) + sy*(st*stw - st2*sw)
+             AS DOUBLE)
+          / CAST(n*(st2*sw2 - stw*stw) - st*(st*sw2 - stw*sw) + sw*(st*stw - st2*sw)
+                 AS DOUBLE) AS b2
+      FROM a),
+    post AS (
+      SELECT d.day, d.y,
+             k.b0 + k.b1 * d.t + k.b2 * d.wk AS pred,
+             CAST(d.y AS DOUBLE) - (k.b0 + k.b1 * d.t + k.b2 * d.wk) AS eff
+      FROM d, k WHERE d.day >= DATE '2024-01-22')
+    SELECT CAST(day AS VARCHAR) AS day, y,
+           ROUND(pred, 6) AS predicted,
+           ROUND(eff, 6) AS effect,
+           ROUND(SUM(eff) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
+             AS cum_effect
+    FROM post ORDER BY day
+"""

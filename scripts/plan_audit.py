@@ -74,6 +74,8 @@ NESTED_LOOP_OK = {
     "split-temporal-leakage",  # 1-row user-summary broadcast
     "text-kneser-ney-lm",  # 1-row distinct-bigram-total broadcast
     "text-log-odds-terms",  # 1-row corpus-totals broadcast
+    "events-causal-impact",  # 1-row fitted-model broadcast
+    "lineitem-abc-xyz",  # 1-row total-revenue broadcast
     "events-psi-drift",  # two 1-row week-total broadcasts
     "agg-bootstrap-ci",  # 1-row point-estimate × ci-bound broadcasts
     "text-naive-bayes",  # |classes|-row broadcast (the scoring fan-out)
