@@ -4069,3 +4069,120 @@ ORACLES["lineitem-abc-xyz"] = """
     GROUP BY abc, xyz, trev
     ORDER BY abc, xyz
 """
+
+
+def stickiness_dau_mau(events: DataFrame) -> DataFrame:
+    """Monthly engagement stickiness: avg-DAU / MAU per calendar month
+    (the product-health KPI; 1.0 = every monthly user active every day).
+
+    The corpus collapses to distinct ``(user, day)`` pairs FIRST, so
+    both the DAU sum (= pair count per month) and the MAU distinct run
+    over the tiny pair set, never raw events.  Month is the integer
+    ``year·12+month`` index (engine/locale-neutral); avg-DAU and
+    stickiness are single double divisions over exact longs, so the
+    value hash is reproducible across engines and partitionings.
+
+    Scale shape: one distinct-collapse shuffle on (user, day) + one
+    month groupBy over |users|·|days| pairs — both map-side combinable.
+    At 100 TB the pair set is bounded by actives×days, ≪ event count.
+    """
+    pairs = events.select(
+        (F.year("ts") * 12 + F.month("ts")).alias("mon"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).distinct()
+    per_mon = pairs.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("user_days"),
+        F.countDistinct("day").alias("n_days"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return per_mon.select(
+        "mon",
+        "n_days",
+        "mau",
+        F.round(F.col("user_days").cast("double") / F.col("n_days"), 6).alias("avg_dau"),
+        F.round(
+            F.col("user_days").cast("double") / (F.col("n_days") * F.col("mau")), 6
+        ).alias("stickiness"),
+    ).orderBy("mon")
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stickiness_dau_mau(load_events(spark, sf_dir))
+
+
+QUERIES["events-stickiness"] = q_events_stickiness
+
+ORACLES["events-stickiness"] = """
+    WITH pairs AS (
+      SELECT DISTINCT year(ts) * 12 + month(ts) AS mon,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events),
+    per_mon AS (
+      SELECT mon, COUNT(*) AS user_days,
+             COUNT(DISTINCT day) AS n_days,
+             COUNT(DISTINCT user_id) AS mau
+      FROM pairs GROUP BY 1)
+    SELECT mon, n_days, mau,
+           ROUND(CAST(user_days AS DOUBLE) / n_days, 6) AS avg_dau,
+           ROUND(CAST(user_days AS DOUBLE) / (n_days * mau), 6) AS stickiness
+    FROM per_mon ORDER BY mon
+"""
+
+
+def ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order→ship latency profile per order month: line count, mean
+    days from order placement to line shipment, and the max straggler.
+
+    The mean is ``SUM(int days)/COUNT`` — one double division over an
+    exact BIGINT sum, so it is order-independent where a double AVG
+    over floats would not be.  ``datediff`` on DATE-truncated
+    timestamps is pure integer arithmetic in both engines.
+
+    Scale shape: fact⋈fact equi-join on l_orderkey/o_orderkey — both
+    sides shuffle once on the key they are naturally clustered by (a
+    bucketed layout makes it exchange-free); the month groupBy is
+    map-side combinable partial aggregation over integers.
+    """
+    o = orders.select("o_orderkey", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("delay"),
+    )
+    return (
+        joined.groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("delay").alias("sdelay"),
+            F.max("delay").alias("max_delay"),
+        )
+        .select(
+            "mon",
+            "n_lines",
+            F.round(F.col("sdelay").cast("double") / F.col("n_lines"), 6).alias(
+                "avg_delay_days"
+            ),
+            "max_delay",
+        )
+        .orderBy("mon")
+    )
+
+
+def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ship_latency(load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"))
+
+
+QUERIES["orders-ship-latency"] = q_orders_ship_latency
+
+ORACLES["orders-ship-latency"] = """
+    WITH j AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mon,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS delay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT mon, COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(delay) AS DOUBLE) / COUNT(*), 6) AS avg_delay_days,
+           MAX(delay) AS max_delay
+    FROM j GROUP BY mon ORDER BY mon
+"""

@@ -554,3 +554,112 @@ ORACLES["graph-assortativity"] = """
                         * CAST(m * sy2 - sy * sy AS DOUBLE)), 6) AS assortativity
     FROM m
 """
+
+
+def common_neighbor_candidates(edges: DataFrame, min_common: int = 2, top_n: int = 50) -> DataFrame:
+    """Link prediction over an undirected ``(src, dst)`` edge list
+    (``src < dst``, each edge once): for node pairs NOT directly
+    connected but sharing ≥ ``min_common`` neighbors, the
+    common-neighbor count and the Jaccard overlap of their
+    neighborhoods as an exact ``×10⁶`` integer
+    (``cn·10⁶ // (deg_a + deg_b − cn)`` — no float ever).
+
+    Shape: the wedge join adj⋈adj on the shared middle node produces
+    candidate pairs (Σ deg² — the caller feeds a SPARSE graph, same
+    contract as `triangle_count`), one groupBy counts common
+    neighbors, a LEFT ANTI join removes existing edges, and two
+    |nodes|-row degree joins finish it.  Every shuffle is on node
+    keys; the top-n cut is a total order (cn desc, pair) so the
+    result is deterministic under any partitioning.
+    """
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = adj.select(F.col("dst").alias("mid"), F.col("src").alias("a"))
+    w2 = adj.select(F.col("dst").alias("mid"), F.col("src").alias("b"))
+    cand = (
+        w1.join(w2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    non_edges = cand.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    out = (
+        non_edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.floor(
+                F.col("cn") * F.lit(1_000_000).cast("bigint")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            )
+            .cast("bigint")
+            .alias("jaccard_x1m"),
+        )
+    )
+    return out.orderBy(F.col("cn").desc(), "a", "b").limit(top_n)
+
+
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted next links in the high-quantity co-supply graph (same
+    sparse >45-quantity edge construction as `graph-triangles`)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return common_neighbor_candidates(edges)
+
+
+QUERIES["graph-common-neighbors"] = q_graph_common_neighbors
+
+ORACLES["graph-common-neighbors"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity > 45),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    adj AS (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY 1),
+    cand AS (
+      SELECT w1.src AS a, w2.src AS b, COUNT(*) AS cn
+      FROM adj w1 JOIN adj w2
+        ON w1.dst = w2.dst AND w1.src < w2.src
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    non_edges AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN edges e ON e.src = c.a AND e.dst = c.b
+      WHERE e.src IS NULL)
+    SELECT a, b, cn,
+           CAST(FLOOR(CAST(cn AS BIGINT) * 1000000.0
+                / (da.deg + db.deg - cn)) AS BIGINT) AS jaccard_x1m
+    FROM non_edges
+    JOIN deg da ON da.src = a
+    JOIN deg db ON db.src = b
+    ORDER BY cn DESC, a, b LIMIT 50
+"""

@@ -1648,3 +1648,55 @@ ORACLES["text-rake-keyphrases"] = f"""
     GROUP BY ph.phrase, ph.plen, ROUND(CAST(s.sdeg AS DOUBLE) / s.sfreq, 6)
     ORDER BY score DESC, phrase LIMIT {RAKE_TOP}
 """
+
+
+def hapax_ratio(docs: DataFrame) -> DataFrame:
+    """Per-source hapax-legomena share: the fraction of each source's
+    vocabulary that occurs exactly once in that source — the lexical
+    long-tail health signature that pairs with `text-zipf-fit` (a
+    natural corpus sits near 0.4–0.6; templated/synthetic text
+    collapses the tail, near-zero; OCR noise inflates it).
+
+    Whitespace tokens (the repo-wide canonical tokenizer) explode
+    row-locally; the only shuffles are the (source, token) frequency
+    groupBy and the |vocab|-bounded source rollup — both map-side
+    combinable, and nothing downstream of the collapse ever touches
+    corpus rows again.  Ratio = one double division over exact longs.
+    """
+    toks = docs.select("source", F.explode(tokens()).alias("tok"))
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "hapax",
+            F.round(F.col("hapax").cast("double") / F.col("vocab"), 6).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hapax_ratio(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text-hapax-ratio"] = q_text_hapax_ratio
+
+ORACLES["text-hapax-ratio"] = f"""
+    WITH freq AS (
+      SELECT source, tok, COUNT(*) AS n
+      FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio
+    FROM freq GROUP BY source ORDER BY source
+"""
