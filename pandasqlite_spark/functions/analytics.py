@@ -4186,3 +4186,121 @@ ORACLES["orders-ship-latency"] = """
            MAX(delay) AS max_delay
     FROM j GROUP BY mon ORDER BY mon
 """
+
+
+def theil_index(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Per-region Theil T index of nation-level revenue concentration
+    (`T = Σ s_i · ln(n · s_i)`, share form) — the decomposable
+    inequality measure beside `agg-gini`: 0 = revenue spread evenly
+    across the region's nations, ln(n) = all of it in one nation.
+
+    Revenue accumulates as exact DECIMAL per nation, so every share
+    ``s_i = R_i / T`` is one double division over exact sums and the
+    per-nation ln terms are bit-identical across engines; the final
+    Σ runs over ≤ |nations-per-region| (5) doubles.  Scale shape: the
+    fact table collapses in one customer-key join + one nation groupBy
+    (both map-side combinable); dimensions broadcast.
+    """
+    rev = (
+        orders.select("o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("p").alias("rev"))
+    )
+    dim = nation.select("n_nationkey", "n_regionkey").join(
+        F.broadcast(region.select("r_regionkey", "r_name")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    per_nation = rev.join(
+        F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("r_name", "rev")
+    per_region = per_nation.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.sum("rev").alias("total")
+    )
+    s = F.col("rev").cast("double") / F.col("total").cast("double")
+    terms = per_nation.join(per_region, "r_name").select(
+        "r_name", "n_nations", "total", (s * F.log(s * F.col("n_nations"))).alias("term")
+    )
+    return (
+        terms.groupBy("r_name", "n_nations")
+        .agg(F.round(F.sum("term"), 6).alias("theil"))
+        .orderBy("r_name")
+    )
+
+
+def q_agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_index(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+QUERIES["agg-theil-index"] = q_agg_theil_index
+
+ORACLES["agg-theil-index"] = """
+    WITH rev AS (
+      SELECT c_nationkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    per_nation AS (
+      SELECT r_name, rev
+      FROM rev
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+    per_region AS (
+      SELECT r_name, COUNT(*) AS n_nations, SUM(rev) AS total
+      FROM per_nation GROUP BY 1)
+    SELECT p.r_name, r.n_nations,
+           ROUND(SUM((CAST(p.rev AS DOUBLE) / CAST(r.total AS DOUBLE))
+                     * ln((CAST(p.rev AS DOUBLE) / CAST(r.total AS DOUBLE))
+                          * r.n_nations)), 6) AS theil
+    FROM per_nation p JOIN per_region r USING (r_name)
+    GROUP BY p.r_name, r.n_nations
+    ORDER BY p.r_name
+"""
+
+
+def hour_weekday_heatmap(events: DataFrame) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap — the ops-dashboard
+    feed behind every "when are our users awake" question.  Weekday is
+    ``datediff(anchor) % 7`` integer arithmetic (0 = Monday for the
+    2024-01-01 anchor; engine/locale/timezone-neutral where
+    ``dayofweek()`` is not), share-of-week-total one double division
+    over exact longs.
+
+    Scale shape: the corpus collapses in ONE map-side-combinable
+    groupBy to ≤ 168 cells; the total is a window sum over those cells
+    (no scalar-broadcast join).
+    """
+    cells = events.select(
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        ).alias("weekday"),
+        F.hour("ts").alias("hour"),
+    ).groupBy("weekday", "hour").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return cells.select(
+        "weekday",
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("share"),
+    ).orderBy("weekday", "hour")
+
+
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hour_weekday_heatmap(load_events(spark, sf_dir))
+
+
+QUERIES["events-heatmap-hour-weekday"] = q_events_heatmap
+
+ORACLES["events-heatmap-hour-weekday"] = """
+    WITH cells AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS weekday,
+             hour(ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT weekday, hour, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+    FROM cells ORDER BY weekday, hour
+"""

@@ -1039,3 +1039,107 @@ ORACLES["dedup-paragraph-exact"] = f"""
     HAVING COUNT(DISTINCT doc_id) >= 2
     ORDER BY n_docs DESC, block LIMIT {PARA_TOP}
 """
+
+
+def _band_pairs_oracle(bands: int, k: int = N_HASHES) -> str:
+    """Generalized LSH bucket-pair CTE body for an arbitrary band
+    count (same layout as :func:`lsh_bands`: band b = rows b·r..b·r+r-1)."""
+    r = k // bands
+    sel = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5({' || '.join(f'm{b * r + j}' for j in range(r))}) AS band_sig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({sel}) a JOIN ({sel}) b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id
+    """
+
+
+def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) -> DataFrame:
+    """The LSH banding knob, MEASURED (the `simsearch-nprobe-curve`
+    counterpart for MinHash dedup): for each band count b over the same
+    k-hash signatures — candidate-pair count, exact-Jaccard-verified
+    count (J ≥ τ), integer precision×10⁶, and the theoretical S-curve
+    capture probability ``1 − (1 − τ^r)^b`` at the threshold.  More
+    bands → cheaper rows-per-band → more candidates, lower precision;
+    the readout is how you SIZE (b, r) before a 100 TB dedup run
+    instead of guessing.
+
+    Scale shape per config: the bucket self-join shuffles (band,
+    band_sig) keys only, verification touches candidate pairs only,
+    and each config collapses to ONE row before the 3-row union.  The
+    signature groupBy subtree is identical across configs, so the
+    exchange is computed once and reused (ReusedExchange), not thrice.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    sig = minhash_signatures(docs, k=k, portable=True)
+    rows = None
+    for b in configs:
+        r = k // b
+        capture = round(1.0 - (1.0 - tau ** r) ** b, 6)
+        pairs = candidate_pairs(lsh_bands(sig, bands=b, k=k))
+        ver = jaccard_verify(docs, pairs)
+        row = ver.agg(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0)).alias("n_verified"),
+        ).select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_verified",
+            F.floor(
+                F.col("n_verified") * F.lit(1_000_000).cast("bigint")
+                / F.col("n_candidates")
+            ).cast("bigint").alias("precision_x1m"),
+            F.lit(capture).alias("capture_at_tau"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("bands")
+
+
+def q_dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return band_tuning(load(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup-band-tuning"] = q_dedup_band_tuning
+
+
+def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) -> str:
+    parts = []
+    for b in configs:
+        r = k // b
+        capture = round(1.0 - (1.0 - tau ** r) ** b, 6)
+        parts.append(f"""
+        SELECT {b} AS bands, {r} AS rows_per_band,
+               COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                     / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l)))
+                     >= {tau} THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+               CAST(FLOOR(CAST(SUM(CASE WHEN CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                     / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l)))
+                     >= {tau} THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0
+                     / COUNT(*)) AS BIGINT) AS precision_x1m,
+               {capture} AS capture_at_tau
+        FROM ({_band_pairs_oracle(b, k)}) p
+        JOIN shl a ON a.doc_id = p.doc_a
+        JOIN shl b ON b.doc_id = p.doc_b""")
+    union = "\n        UNION ALL ".join(parts)
+    return f"""
+        WITH sig AS ({_minhash_oracle_sig()}),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS l
+          FROM toks WHERE len(t) >= 3)
+        {union}
+        ORDER BY bands
+    """
+
+
+ORACLES["dedup-band-tuning"] = _band_tuning_oracle()

@@ -2010,3 +2010,82 @@ def _nprobe_oracle() -> str:
 
 
 ORACLES["simsearch-nprobe-curve"] = _nprobe_oracle()
+
+
+def mislabel_scan(emb: DataFrame, bottom_k: int = 20) -> DataFrame:
+    """Label-noise screen: cosine of every vector against its OWN
+    label's centroid direction, bottom-k least-aligned vectors — the
+    "these rows are probably mislabeled" worklist that precedes any
+    supervised training run (Northcutt-style confident-learning lite).
+
+    Same exactness trick as `embedding-centroid-accuracy`: cosine is
+    scale-invariant, so the per-label component SUM (exact decimal)
+    stands in for the mean and no division happens before the single
+    per-vector cosine.  Unlike the accuracy key's all-labels argmax
+    grid, the dot restricts to the OWN label via the (label, pos)
+    equi-join — |vecs|×64 rows, one groupBy, then a global
+    TakeOrderedAndProject cut on (cos asc, vec_id): deterministic
+    under any partitioning.
+    """
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id", "label", "pos", F.col("xf").cast("double").cast(_DEC).alias("x")
+    )
+    cent = e.groupBy("label", "pos").agg(F.sum("x").alias("cx"))
+    cnorm = cent.groupBy("label").agg(F.sum(F.col("cx") * F.col("cx")).alias("cn"))
+    vnorm = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("vn"))
+    dots = (
+        e.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    cos = (
+        dots.join(F.broadcast(cnorm), "label")
+        .join(vnorm, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("vn").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    return (
+        cos.orderBy(F.col("cos").asc(), F.col("vec_id"))
+        .limit(bottom_k)
+        .select("vec_id", "label", F.round("cos", 6).alias("own_centroid_cos"))
+    )
+
+
+def q_embedding_mislabel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mislabel_scan(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding-mislabel-scan"] = q_embedding_mislabel_scan
+
+ORACLES["embedding-mislabel-scan"] = """
+    WITH e AS (
+      SELECT vec_id, label, t.i AS pos,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings, generate_series(1, 64) t(i)),
+    cent AS (
+      SELECT label, pos, SUM(x) AS cx FROM e GROUP BY 1, 2),
+    cnorm AS (
+      SELECT label, CAST(SUM(cx * cx) AS DOUBLE) AS cn FROM cent GROUP BY 1),
+    vnorm AS (
+      SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS vn FROM e GROUP BY 1),
+    dots AS (
+      SELECT e.vec_id, e.label, CAST(SUM(e.x * c.cx) AS DOUBLE) AS dot
+      FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT d.vec_id, d.label,
+             d.dot / (sqrt(cn.cn) * sqrt(vn.vn)) AS cos
+      FROM dots d
+      JOIN cnorm cn ON cn.label = d.label
+      JOIN vnorm vn ON vn.vec_id = d.vec_id)
+    SELECT vec_id, label, ROUND(cos, 6) AS own_centroid_cos
+    FROM cos ORDER BY cos ASC, vec_id LIMIT 20
+"""
