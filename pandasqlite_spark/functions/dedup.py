@@ -1143,3 +1143,87 @@ def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) 
 
 
 ORACLES["dedup-band-tuning"] = _band_tuning_oracle()
+
+
+def threshold_curve(docs: DataFrame, taus=(0.3, 0.5, 0.7, 0.9)) -> DataFrame:
+    """Dedup-rate sensitivity to the Jaccard threshold: from ONE
+    LSH-candidate + exact-verify pass, the pair count and distinct
+    flagged-doc count at each τ — the "how much corpus survives at
+    τ = X" readout that sizes a dedup run's aggressiveness before it
+    burns 100 TB of compute.  Complements `dedup-band-tuning` (which
+    tunes the CANDIDATE generator; this tunes the DECISION rule).
+
+    Scale shape: candidates and exact Jaccard are computed once; each
+    τ is a conditional aggregate over the verified pair set (pairs ≥
+    τ) plus a distinct count over flagged docs — all bounded by the
+    candidate set, never the corpus.  The τ fan-out is a 4-row
+    explode over the one collapsed pair table.
+    """
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(docs, portable=True)))
+    ver = jaccard_verify(docs, pairs)
+    tau_rows = F.explode(
+        F.array(*[F.lit(float(t)) for t in taus])
+    ).alias("tau")
+    fan = ver.select("doc_a", "doc_b", "jaccard").crossJoin(
+        F.broadcast(ver.sparkSession.range(1).select(tau_rows))
+    )
+    hits = fan.filter(F.col("jaccard") >= F.col("tau"))
+    docs_flagged = (
+        hits.select("tau", F.col("doc_b").alias("d"))
+        .union(hits.select("tau", F.col("doc_a").alias("d")))
+        .groupBy("tau")
+        .agg(F.countDistinct("d").alias("n_docs_in_pairs"))
+    )
+    n_pairs = hits.groupBy("tau").agg(F.count(F.lit(1)).alias("n_pairs"))
+    base = ver.sparkSession.range(1).select(tau_rows)
+    return (
+        base.join(n_pairs, "tau", "left")
+        .join(docs_flagged, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0)).alias("n_docs_in_pairs"),
+        )
+        .orderBy("tau")
+    )
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return threshold_curve(load(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup-threshold-curve"] = q_dedup_threshold_curve
+
+ORACLES["dedup-threshold-curve"] = f"""
+    WITH pairs AS ({_minhash_oracle_pairs()}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS l
+      FROM toks WHERE len(t) >= 3),
+    ver AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+               / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) AS jaccard
+      FROM pairs p
+      JOIN shl a ON a.doc_id = p.doc_a
+      JOIN shl b ON b.doc_id = p.doc_b),
+    taus AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS tau),
+    hits AS (
+      SELECT t.tau, v.doc_a, v.doc_b
+      FROM taus t JOIN ver v ON v.jaccard >= t.tau),
+    np AS (SELECT tau, COUNT(*) AS n_pairs FROM hits GROUP BY 1),
+    nd AS (
+      SELECT tau, COUNT(DISTINCT d) AS n_docs_in_pairs
+      FROM (SELECT tau, doc_a AS d FROM hits
+            UNION ALL SELECT tau, doc_b AS d FROM hits)
+      GROUP BY 1)
+    SELECT t.tau,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           COALESCE(nd.n_docs_in_pairs, 0) AS n_docs_in_pairs
+    FROM taus t
+    LEFT JOIN np ON np.tau = t.tau
+    LEFT JOIN nd ON nd.tau = t.tau
+    ORDER BY t.tau
+"""

@@ -48,6 +48,7 @@ NESTED_LOOP_OK = {
     "simsearch-sq-rerank",
     "simsearch-ivf-pq",  # broadcast centroid/ADC-table crossJoins (≤16 rows each)
     "simsearch-nprobe-curve",  # 1-row recall/candidate-count summary broadcasts
+    "dedup-threshold-curve",  # 4-row τ fan-out broadcast over the collapsed pair set
     "subquery-scalar",  # scalar subquery == 1-row broadcast
     "subquery-correlated",
     "tpch-q11",  # 1-row global-total broadcast
