@@ -4304,3 +4304,60 @@ ORACLES["events-heatmap-hour-weekday"] = """
            ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
     FROM cells ORDER BY weekday, hour
 """
+
+
+def reorder_interval_histogram(orders: DataFrame) -> DataFrame:
+    """Inter-purchase-interval distribution: days between consecutive
+    orders per customer, bucketed into weeks — the replenishment-cycle
+    readout behind subscription/CRM timing (the `orders` companion to
+    `events-interarrival-burstiness`).  Bucket = ``gap // 7`` integer
+    arithmetic; share = one double division over exact longs.
+
+    Scale shape: ONE lag window on the customer key (the same single
+    exchange `orders-churn-rate`-style keys reuse), then a map-side
+    combinable groupBy onto the ≤ |max-gap/7| bucket rows.  Ties on
+    the same day are ordered by (date, orderkey) — a total order, so
+    gaps are deterministic under any partitioning.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.floor(
+                F.datediff(F.to_date("o_orderdate"), F.to_date("prev")) / 7
+            ).cast("int").alias("week_bucket")
+        )
+    )
+    buckets = gaps.groupBy("week_bucket").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return buckets.select(
+        "week_bucket",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("share"),
+    ).orderBy("week_bucket")
+
+
+def q_orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reorder_interval_histogram(load(spark, sf_dir, "orders"))
+
+
+QUERIES["orders-reorder-interval"] = q_orders_reorder_interval
+
+ORACLES["orders-reorder-interval"] = """
+    WITH gaps AS (
+      SELECT CAST(FLOOR(datediff('day',
+               CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) / 7) AS INTEGER) AS week_bucket
+      FROM orders),
+    buckets AS (
+      SELECT week_bucket, COUNT(*) AS n FROM gaps
+      WHERE week_bucket IS NOT NULL GROUP BY 1)
+    SELECT week_bucket, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+    FROM buckets ORDER BY week_bucket
+"""

@@ -448,3 +448,75 @@ ORACLES["split-temporal-leakage"] = """
            ROUND(CAST(n_overlap_users AS DOUBLE) / n_test_users, 6) AS test_user_leakage
     FROM rows_, users
 """
+
+
+EPOCH_BUDGET_MULT = 2  # token budget = 2× corpus mass (forces >1 epoch somewhere)
+EPOCH_CAP = 4.0
+
+
+def epoch_schedule(df: DataFrame) -> DataFrame:
+    """Per-source epoch plan under a global token budget: the step
+    AFTER `mixture-sqrt-temperature` decides shares — given budget
+    ``B = 2× corpus tokens``, each source trains for
+    ``epochs = B·share / source_tokens`` passes (capped at 4.0, the
+    standard repeated-data guardrail à la Muennighoff et al.), with
+    the cap flagged so the scheduler can redistribute the surplus.
+
+    Determinism: token totals are exact longs, shares come from the
+    9-dp-rounded √-damped weights, and epochs is one double
+    multiply/divide rounded to 6 dp — identical IEEE sequence in both
+    engines.  Scale: one `source` groupBy + two 1-row broadcasts
+    (corpus total, weight normalizer); nothing scales with corpus
+    size after the collapse.
+    """
+    shares = sqrt_temperature_mixture(df)
+    corpus = shares.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    raw = (
+        F.lit(float(EPOCH_BUDGET_MULT))
+        * F.col("corpus_tokens").cast("double")
+        * F.col("share")
+        / F.col("total_tokens").cast("double")
+    )
+    return (
+        shares.crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "total_tokens",
+            "share",
+            F.round(F.least(raw, F.lit(EPOCH_CAP)), 6).alias("epochs"),
+            (raw >= F.lit(EPOCH_CAP)).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_schedule(load(spark, sf_dir, "documents"))
+
+
+QUERIES["mixture-epoch-schedule"] = q_mixture_epoch_schedule
+
+ORACLES["mixture-epoch-schedule"] = r"""
+    WITH totals AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+')))
+               AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    weighted AS (
+      SELECT source, total_tokens,
+             CAST(ROUND(sqrt(CAST(total_tokens AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) AS w
+      FROM totals),
+    shares AS (
+      SELECT source, total_tokens,
+             ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 9)
+               AS share
+      FROM weighted),
+    corpus AS (SELECT SUM(total_tokens) AS corpus_tokens FROM shares)
+    SELECT source, total_tokens, share,
+           ROUND(LEAST(2.0 * CAST(corpus_tokens AS DOUBLE) * share
+                       / CAST(total_tokens AS DOUBLE), 4.0), 6) AS epochs,
+           2.0 * CAST(corpus_tokens AS DOUBLE) * share
+             / CAST(total_tokens AS DOUBLE) >= 4.0 AS capped
+    FROM shares, corpus ORDER BY source
+"""

@@ -116,3 +116,23 @@ def test_threshold_curve_monotone(spark, sf_dir):
     doc_counts = [r.n_docs_in_pairs for r in rows]
     assert pair_counts == sorted(pair_counts, reverse=True)
     assert doc_counts == sorted(doc_counts, reverse=True)
+
+
+def test_epoch_schedule_respects_cap(spark, sf_dir):
+    from pandasqlite_spark.functions.sampling import epoch_schedule
+
+    rows = epoch_schedule(load(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.epochs <= 4.0
+        if r.capped:
+            assert r.epochs == 4.0
+
+
+def test_reorder_interval_shares(spark, sf_dir):
+    from pandasqlite_spark.functions.analytics import reorder_interval_histogram
+
+    rows = reorder_interval_histogram(load(spark, sf_dir, "orders")).collect()
+    assert rows
+    assert all(r.week_bucket >= 0 and r.n > 0 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
