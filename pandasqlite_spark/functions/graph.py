@@ -663,3 +663,131 @@ ORACLES["graph-common-neighbors"] = """
     JOIN deg db ON db.src = b
     ORDER BY cn DESC, a, b LIMIT 50
 """
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over an
+    undirected ``(src, dst)`` edge list (each edge once, no
+    self-loops), computed EXACTLY: Q = Σ_c (4·m·m_c − d_c²) / (4·m²)
+    — the numerator accumulates as DECIMAL(38,0) integer products (no
+    float until the single final division, which both engines perform
+    on identical bits), so the result is order- and
+    partitioning-independent where a float Σ (e_c/m − (d_c/2m)²)
+    would drift.
+
+    Scale shape: one edge⋈labels join per endpoint (node-key
+    shuffles), one community groupBy for intra-edge counts, one for
+    degree sums — everything after the collapse runs on |communities|
+    rows.  ``labels`` must carry (node, lbl).
+    """
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cb"))
+    tagged = edges.join(la, "src").join(lb, "dst")
+    m = tagged.count()
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    adj = edges.select("src").union(edges.select(F.col("dst").alias("src")))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    d_c = (
+        labels.join(deg, labels.node == deg.src)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("deg").cast("decimal(38,0)").alias("d_c"))
+    )
+    per = d_c.join(intra, "community", "left").select(
+        "community",
+        F.coalesce("m_c", F.lit(0)).alias("m_c"),
+        "d_c",
+        (
+            F.lit(4 * m).cast("decimal(38,0)") * F.coalesce("m_c", F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("num"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.lit(m).cast("bigint").alias("m_edges"),
+        F.round(
+            F.sum("num").cast("double") / F.lit(float(4 * m * m)), 6
+        ).alias("modularity"),
+    )
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the 2-round deterministic LPA communities over
+    the customer↔supplier trade graph — the "was that a good
+    clustering" number that turns `graph-label-propagation` from a
+    labeling into a measured result."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return modularity(pairs, label_propagation(pairs, iterations=2))
+
+
+QUERIES["graph-modularity"] = q_graph_modularity
+
+ORACLES["graph-modularity"] = """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION SELECT dst, src FROM e0
+      UNION SELECT src, src FROM e0
+      UNION SELECT dst, dst FROM e0),
+    l1c AS (
+      SELECT src AS node, dst AS lbl, COUNT(*) AS c
+      FROM edges GROUP BY src, dst),
+    l1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM l1c) WHERE rn = 1),
+    l2c AS (
+      SELECT e.src AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN l1 l ON l.node = e.dst
+      GROUP BY e.src, l.lbl),
+    l2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM l2c) WHERE rn = 1),
+    tagged AS (
+      SELECT la.lbl AS ca, lb.lbl AS cb
+      FROM e0
+      JOIN l2 la ON la.node = e0.src
+      JOIN l2 lb ON lb.node = e0.dst),
+    m AS (SELECT COUNT(*) AS m FROM tagged),
+    intra AS (
+      SELECT ca AS community, COUNT(*) AS m_c
+      FROM tagged WHERE ca = cb GROUP BY 1),
+    adj AS (
+      SELECT src FROM e0 UNION ALL SELECT dst FROM e0),
+    deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY 1),
+    dc AS (
+      SELECT l.lbl AS community,
+             CAST(SUM(d.deg) AS DECIMAL(38,0)) AS d_c
+      FROM l2 l JOIN deg d ON d.src = l.node
+      GROUP BY 1),
+    per AS (
+      SELECT dc.community,
+             COALESCE(i.m_c, 0) AS m_c, dc.d_c,
+             CAST(4 AS DECIMAL(38,0)) * m.m * COALESCE(i.m_c, 0)
+               - dc.d_c * dc.d_c AS num
+      FROM dc LEFT JOIN intra i USING (community), m)
+    SELECT COUNT(*) AS n_communities,
+           CAST(m.m AS BIGINT) AS m_edges,
+           ROUND(CAST(SUM(num) AS DOUBLE)
+                 / (4.0 * m.m * m.m), 6) AS modularity
+    FROM per, m GROUP BY m.m
+"""

@@ -1148,3 +1148,37 @@ ORACLES["events-lateness-profile"] = """
                  / SUM(n) OVER (), 6) AS cum_share
     FROM hist ORDER BY late_min
 """
+
+
+def q_events_streaming_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events-heatmap-hour-weekday``: the same
+    ≤168-cell hour×weekday count matrix maintained over the stream.
+    No time window is involved — complete-mode output of an arbitrary
+    grouped aggregation, the smallest stateful-streaming shape there
+    is (state = the 168 cells, constant forever).  The share-of-total
+    column is computed batch-side over the drained cells: a global
+    ratio is not incrementally emittable row-by-row anyway, and the
+    168-row post-step costs nothing.  Shares the batch key's oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    cells = stream.select(
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        ).alias("weekday"),
+        F.hour("ts").alias("hour"),
+    ).groupBy("weekday", "hour").agg(F.count(F.lit(1)).alias("n"))
+    name, _ = run_stream_to_memory(cells, mode="complete")
+    t = spark.table(name)
+    total = W.partitionBy()
+    return t.select(
+        "weekday",
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("share"),
+    ).orderBy("weekday", "hour")
+
+
+QUERIES["events-streaming-heatmap"] = q_events_streaming_heatmap
+
+from pandasqlite_spark.functions.analytics import ORACLES as _HM_ORACLES  # noqa: E402
+
+ORACLES["events-streaming-heatmap"] = _HM_ORACLES["events-heatmap-hour-weekday"]

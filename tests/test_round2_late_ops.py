@@ -136,3 +136,13 @@ def test_reorder_interval_shares(spark, sf_dir):
     assert rows
     assert all(r.week_bucket >= 0 and r.n > 0 for r in rows)
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+
+def test_modularity_bounds(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["graph-modularity"](spark, sf_dir).collect()[0]
+    # Newman Q is bounded in [-0.5, 1]; a community count and edge
+    # count must both be positive on this graph
+    assert -0.5 - 1e-9 <= row.modularity <= 1.0 + 1e-9
+    assert row.n_communities > 0 and row.m_edges > 0
