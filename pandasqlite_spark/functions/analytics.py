@@ -4361,3 +4361,69 @@ ORACLES["orders-reorder-interval"] = """
            ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
     FROM buckets ORDER BY week_bucket
 """
+
+
+def convert_latency_histogram(events: DataFrame) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's FIRST view
+    to their first purchase at-or-after it, bucketed into 6-hour bins
+    with user counts and shares — the latency readout behind
+    `events-funnel`'s step counts (funnel says HOW MANY converted;
+    this says HOW LONG they took).
+
+    All time math is exact integer microseconds (min-aggs, one
+    subtraction, one `div`); share is a single double division over
+    exact longs.  Scale shape: two filtered min-agg collapses
+    co-partitioned on user_id, one join on the same key, then a
+    ≤|max-latency/6h|-row bucket rollup — events stream in once,
+    everything after runs on per-user rows.
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    first_conv = (
+        p.join(v, "user_id")
+        .filter(F.col("p_us") >= F.col("v_us"))
+        .groupBy("user_id", "v_us")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    buckets = first_conv.select(
+        F.expr("(p_us - v_us) div 21600000000").cast("int").alias("bucket_6h")
+    ).groupBy("bucket_6h").agg(F.count(F.lit(1)).alias("n_users"))
+    total = Window.partitionBy()
+    return buckets.select(
+        "bucket_6h",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.sum("n_users").over(total), 6).alias(
+            "share"
+        ),
+    ).orderBy("bucket_6h")
+
+
+def q_events_convert_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return convert_latency_histogram(load_events(spark, sf_dir))
+
+
+QUERIES["events-convert-latency"] = q_events_convert_latency
+
+ORACLES["events-convert-latency"] = """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    conv AS (
+      SELECT e.user_id, v.v_us, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT CAST((p_us - v_us) // 21600000000 AS INTEGER) AS bucket_6h,
+             COUNT(*) AS n_users
+      FROM conv GROUP BY 1)
+    SELECT bucket_6h, n_users,
+           ROUND(CAST(n_users AS DOUBLE) / SUM(n_users) OVER (), 6) AS share
+    FROM buckets ORDER BY bucket_6h
+"""

@@ -2089,3 +2089,66 @@ ORACLES["embedding-mislabel-scan"] = """
     SELECT vec_id, label, ROUND(cos, 6) AS own_centroid_cos
     FROM cos ORDER BY cos ASC, vec_id LIMIT 20
 """
+
+
+def quantization_error(emb: DataFrame) -> DataFrame:
+    """Reconstruction-error profile of the int8 quantizer
+    (`embedding-quantize`): per dimension, the mean and max absolute
+    error between the exact scaled component ``x·127`` (DECIMAL — no
+    float accumulation) and its stored code — the readout that says
+    whether 4× cheaper ANN storage costs recall BEFORE
+    `embedding-matryoshka-recall`-style evals re-measure it end to
+    end.  A healthy symmetric quantizer shows mean ≈ 0.25 (uniform
+    rounding error) on every dimension; clamp-heavy dimensions stick
+    out as max = the overflow magnitude.
+
+    Scale shape: one posexplode (row-local) + one 64-group partial
+    aggregation; error sums are exact decimals, the mean is the only
+    division.
+    """
+    e = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("xd")
+    )
+    q = F.greatest(
+        F.least(F.floor(F.col("xd") * 127 + 0.5), F.lit(127.0)), F.lit(-127.0)
+    ).cast("int")
+    err = F.abs(
+        F.col("xd").cast(_DEC) * F.lit(127).cast("decimal(8,0)")
+        - F.col("q").cast("decimal(11,6)")
+    )
+    per = e.withColumn("q", q).select("pos", err.alias("err"))
+    return (
+        per.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum("err") / F.col("n")).cast("double"), 6
+            ).alias("mean_abs_err"),
+            F.max("err").cast("double").alias("max_abs_err"),
+        )
+        .select("pos", "n", "mean_abs_err", F.round("max_abs_err", 6).alias("max_abs_err"))
+        .orderBy("pos")
+    )
+
+
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantization_error(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding-quantization-error"] = q_embedding_quantization_error
+
+ORACLES["embedding-quantization-error"] = """
+    WITH e AS (
+      SELECT t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS xd
+      FROM embeddings, generate_series(1, 64) t(i)),
+    per AS (
+      SELECT pos,
+             abs(CAST(CAST(xd AS DECIMAL(8,6)) AS DECIMAL(11,6)) * 127
+                 - CAST(GREATEST(LEAST(FLOOR(xd * 127 + 0.5), 127), -127)
+                        AS DECIMAL(11,6))) AS err
+      FROM e)
+    SELECT pos, COUNT(*) AS n,
+           ROUND(CAST(SUM(err) / COUNT(*) AS DOUBLE), 6) AS mean_abs_err,
+           ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_abs_err
+    FROM per GROUP BY pos ORDER BY pos
+"""

@@ -146,3 +146,24 @@ def test_modularity_bounds(spark, sf_dir):
     # count must both be positive on this graph
     assert -0.5 - 1e-9 <= row.modularity <= 1.0 + 1e-9
     assert row.n_communities > 0 and row.m_edges > 0
+
+
+def test_convert_latency_shares(spark, sf_dir):
+    from pandasqlite_spark.functions.analytics import convert_latency_histogram
+
+    rows = convert_latency_histogram(load_events(spark, sf_dir)).collect()
+    assert rows
+    assert all(r.bucket_6h >= 0 and r.n_users > 0 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+
+def test_quantization_error_bounds(spark, sf_dir):
+    from pandasqlite_spark.functions.similarity import quantization_error
+
+    rows = quantization_error(load(spark, sf_dir, "embeddings")).collect()
+    assert len(rows) == 64
+    for r in rows:
+        # symmetric rounding: mean error ~0.25, never above the 0.5
+        # rounding bound unless the clamp bites
+        assert 0.0 <= r.mean_abs_err <= 0.5 + 1e-9
+        assert r.max_abs_err >= r.mean_abs_err
