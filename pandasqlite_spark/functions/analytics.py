@@ -4427,3 +4427,70 @@ ORACLES["events-convert-latency"] = """
            ROUND(CAST(n_users AS DOUBLE) / SUM(n_users) OVER (), 6) AS share
     FROM buckets ORDER BY bucket_6h
 """
+
+
+SLO_TARGET_X1M = 200_000  # error-budget: 20% error share, as ppm
+
+
+def slo_burn(events: DataFrame) -> DataFrame:
+    """Multi-window SLO burn-rate alerts (the Google-SRE fast+slow
+    burn pattern): per hour, the 1-hour and trailing-6-hour error
+    shares as burn multiples of a 20% error budget, with the alert
+    flag requiring BOTH windows hot (fast window catches the spike,
+    slow window suppresses flappy one-hour blips).
+
+    Counts stay exact longs through the frame sums — the trailing-6h
+    rate divides two summed integers, never averages floats — so both
+    engines produce identical doubles.  Scale shape: the corpus
+    collapses to |hours| rows in one partial-agg groupBy; both frame
+    windows run on that bounded series.
+    """
+    hours = events.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    short_rate = F.col("n_err").cast("double") / F.col("n_total")
+    long_rate = F.sum("n_err").over(w6).cast("double") / F.sum("n_total").over(w6)
+    budget = SLO_TARGET_X1M / 1_000_000.0
+    out = hours.select(
+        "hr",
+        "n_total",
+        "n_err",
+        F.round(short_rate / F.lit(budget), 6).alias("burn_1h"),
+        F.round(long_rate / F.lit(budget), 6).alias("burn_6h"),
+        ((short_rate / F.lit(budget) > 1.2) & (long_rate / F.lit(budget) > 1.1)).alias(
+            "alert"
+        ),
+    )
+    return out.orderBy("hr")
+
+
+def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return slo_burn(load_events(spark, sf_dir))
+
+
+QUERIES["events-slo-burn"] = q_events_slo_burn
+
+ORACLES["events-slo-burn"] = """
+    WITH hours AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+             COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_err
+      FROM events GROUP BY 1),
+    rates AS (
+      SELECT hr, n_total, n_err,
+             CAST(n_err AS DOUBLE) / n_total AS sr,
+             CAST(SUM(n_err) OVER w6 AS DOUBLE)
+               / SUM(n_total) OVER w6 AS lr
+      FROM hours
+      WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT hr, n_total, n_err,
+           ROUND(sr / 0.2, 6) AS burn_1h,
+           ROUND(lr / 0.2, 6) AS burn_6h,
+           sr / 0.2 > 1.2 AND lr / 0.2 > 1.1 AS alert
+    FROM rates ORDER BY hr
+"""

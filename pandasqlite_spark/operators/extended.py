@@ -1157,3 +1157,57 @@ ORACLES["sql-lateral-alias"] = """
            ROUND(net_per_unit * 100, 4) AS net_per_unit_cents
     FROM g ORDER BY net DESC, l_orderkey LIMIT 20
 """
+
+
+def q_scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV source discipline: Spark reads ``.csv.gz``
+    transparently by extension, but gzip is NOT splittable — each
+    gzipped file is ONE input partition no matter its size, so a 100 TB
+    landing zone must arrive as many medium .gz files (or be rewritten
+    to a splittable codec) or the whole read serializes onto a handful
+    of tasks.  The fixture round-trips the nation table through a real
+    gzip member; the oracle aggregates the same rows from parquet, so
+    the key proves decompression is lossless, not merely runnable."""
+    import csv as _csv
+    import gzip as _gzip
+    import io as _io
+
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    base = tempfile.mkdtemp(prefix="pqs_csv_gz_")
+    path = os.path.join(base, "nation.csv.gz")
+    buf = _io.StringIO()
+    w = _csv.writer(buf)
+    w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+    for r in rows:
+        w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+    with _gzip.open(path, "wt", newline="") as f:
+        f.write(buf.getvalue())
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .csv(path)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+QUERIES["scan-csv-gzip"] = q_scan_csv_gzip
+
+ORACLES["scan-csv-gzip"] = """
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""

@@ -167,3 +167,16 @@ def test_quantization_error_bounds(spark, sf_dir):
         # rounding bound unless the clamp bites
         assert 0.0 <= r.mean_abs_err <= 0.5 + 1e-9
         assert r.max_abs_err >= r.mean_abs_err
+
+
+def test_slo_burn_alert_consistency(spark, sf_dir):
+    from pandasqlite_spark.functions.analytics import slo_burn
+
+    rows = slo_burn(load_events(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.n_err <= r.n_total
+        assert r.burn_1h >= 0 and r.burn_6h >= 0
+        # alert implies both windows over their thresholds
+        if r.alert:
+            assert r.burn_1h > 1.2 and r.burn_6h > 1.1
