@@ -1182,3 +1182,47 @@ QUERIES["events-streaming-heatmap"] = q_events_streaming_heatmap
 from pandasqlite_spark.functions.analytics import ORACLES as _HM_ORACLES  # noqa: E402
 
 ORACLES["events-streaming-heatmap"] = _HM_ORACLES["events-heatmap-hour-weekday"]
+
+
+def q_events_streaming_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events-slo-burn``: the per-hour
+    total/error counts are maintained by a complete-mode streaming
+    aggregation (state = |hours| rows, bounded by the calendar), and
+    the two burn windows + alert flags are computed batch-side over
+    the drained hour series — trailing-frame ratios over a global
+    order are not row-incremental, and the post-step is |hours| rows.
+    This is exactly how a production burn alerter runs: streaming
+    keeps the counters, the alert evaluation ticks over the tiny
+    aggregate.  Shares the batch key's oracle."""
+    from pandasqlite_spark.functions.analytics import SLO_TARGET_X1M
+
+    stream = read_events_stream(spark, sf_dir)
+    hours = stream.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+    )
+    name, _ = run_stream_to_memory(hours, mode="complete")
+    t = spark.table(name)
+    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    budget = SLO_TARGET_X1M / 1_000_000.0
+    short_rate = F.col("n_err").cast("double") / F.col("n_total")
+    long_rate = F.sum("n_err").over(w6).cast("double") / F.sum("n_total").over(w6)
+    return t.select(
+        "hr",
+        "n_total",
+        "n_err",
+        F.round(short_rate / F.lit(budget), 6).alias("burn_1h"),
+        F.round(long_rate / F.lit(budget), 6).alias("burn_6h"),
+        ((short_rate / F.lit(budget) > 1.2) & (long_rate / F.lit(budget) > 1.1)).alias(
+            "alert"
+        ),
+    ).orderBy("hr")
+
+
+QUERIES["events-streaming-slo-burn"] = q_events_streaming_slo_burn
+
+from pandasqlite_spark.functions.analytics import ORACLES as _SLO_ORACLES  # noqa: E402
+
+ORACLES["events-streaming-slo-burn"] = _SLO_ORACLES["events-slo-burn"]
