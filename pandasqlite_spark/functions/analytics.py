@@ -4494,3 +4494,65 @@ ORACLES["events-slo-burn"] = """
            sr / 0.2 > 1.2 AND lr / 0.2 > 1.1 AS alert
     FROM rates ORDER BY hr
 """
+
+
+def abtest_srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for `events-abtest-lift`: the
+    chi-square statistic of the observed arm split against the
+    designed 50/50 — the FIRST thing an experiment platform checks,
+    because a lift read off a skewed assignment is invalid no matter
+    how significant it looks (Fabijan et al.'s diagnosis-before-
+    readout rule).  χ² with 1 df ≈ 3.84 at p=0.05; the flag trips
+    above it.
+
+    Same md5-parity assignment expression as the lift key (so the two
+    keys audit the SAME experiment), exact integer arm counts from
+    one distinct-collapse, and the χ² arithmetic runs once on a
+    single row: ``Σ (obs − exp)² / exp`` with exp = n/2.
+    """
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    users = events.select("user_id").distinct().withColumn("arm", arm)
+    counts = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    # (obs−n/2)²/(n/2) summed over both arms = (n_a−n_b)²/n, exactly
+    chisq = (
+        (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    ).cast("double") / n.cast("double")
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chisq, 6).alias("srm_chisq"),
+        (chisq > F.lit(3.841459)).alias("srm_violated"),
+    )
+
+
+def q_events_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abtest_srm_check(load_events(spark, sf_dir))
+
+
+QUERIES["events-abtest-srm"] = q_events_abtest_srm
+
+ORACLES["events-abtest-srm"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+               AS arm
+      FROM u),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM arms)
+    SELECT n_a, n_b,
+           ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / (n_a + n_b), 6) AS srm_chisq,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+             > 3.841459 AS srm_violated
+    FROM counts
+"""

@@ -2152,3 +2152,77 @@ ORACLES["embedding-quantization-error"] = """
            ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_abs_err
     FROM per GROUP BY pos ORDER BY pos
 """
+
+
+N_HAMMING_BITS = 64
+HAMMING_TOPK = 10
+
+
+def hamming_signatures(emb: DataFrame, n_bits: int = N_HAMMING_BITS) -> DataFrame:
+    """Sign-bit binarization: each embedding collapses to one 64-bit
+    integer (bit j set iff component j ≥ 0) — a 32× smaller index
+    whose Hamming distance approximates angular distance.  Pure
+    row-local integer arithmetic inside codegen; no shuffle at all."""
+    # bit 63's place value is Long.MIN_VALUE in two's complement — the
+    # additive build stays in-range (partial sums of bits 0..62 are
+    # ≤ 2^63−1; adding −2^63 lands in [−2^63, −1]), ANSI-safe.
+    def _w(j: int) -> int:
+        return (1 << j) if j < 63 else -(1 << 63)
+
+    bits = sum(
+        (F.when(F.col("embedding").getItem(j) >= 0, F.lit(_w(j)).cast("bigint"))
+         .otherwise(F.lit(0).cast("bigint")))
+        for j in range(n_bits)
+    )
+    return emb.select("vec_id", bits.alias("sig"))
+
+
+def hamming_topk(emb: DataFrame, query_vec_id: int = 0, k: int = HAMMING_TOPK) -> DataFrame:
+    """Binarized ANN baseline: top-k nearest vectors to a query by
+    Hamming distance over the sign-bit signatures —
+    ``bit_count(sig XOR qsig)`` is exact integer arithmetic, so unlike
+    float cosine the ranking is bit-identical in any engine and under
+    any partitioning (ties broken by vec_id).
+
+    This is the cheapest member of the compression-ANN family
+    (`embedding-quantize` int8 → `simsearch-pq-adc` → this): 1 bit per
+    dimension, distance = one XOR + popcount per row, and the scan is
+    a single projection + `TakeOrderedAndProject` — no join, no
+    groupBy, nothing but the broadcast 1-row query signature.
+    """
+    sigs = hamming_signatures(emb)
+    q = sigs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("sig").alias("qsig")
+    )
+    return (
+        sigs.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.bit_count(F.expr("sig ^ qsig")).cast("int").alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(k)
+    )
+
+
+def q_simsearch_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hamming_topk(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["simsearch-hamming-topk"] = q_simsearch_hamming
+
+_HAMMING_BITS_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN CAST({(1 << j) if j < 63 else -(1 << 63)} AS BIGINT) ELSE 0 END)"
+    for j in range(N_HAMMING_BITS)
+)
+
+ORACLES["simsearch-hamming-topk"] = f"""
+    WITH sigs AS (
+      SELECT vec_id, {_HAMMING_BITS_SQL} AS sig FROM embeddings),
+    q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(bit_count(xor(sig, qsig)) AS INTEGER) AS hamming
+    FROM sigs, q WHERE vec_id <> 0
+    ORDER BY hamming, vec_id LIMIT {HAMMING_TOPK}
+"""

@@ -50,6 +50,7 @@ NESTED_LOOP_OK = {
     "simsearch-nprobe-curve",  # 1-row recall/candidate-count summary broadcasts
     "dedup-threshold-curve",  # 4-row τ fan-out broadcast over the collapsed pair set
     "mixture-epoch-schedule",  # 1-row corpus-total + weight-normalizer broadcasts
+    "simsearch-hamming-topk",  # 1-row broadcast query signature (like simsearch-topk)
     "subquery-scalar",  # scalar subquery == 1-row broadcast
     "subquery-correlated",
     "tpch-q11",  # 1-row global-total broadcast

@@ -180,3 +180,24 @@ def test_slo_burn_alert_consistency(spark, sf_dir):
         # alert implies both windows over their thresholds
         if r.alert:
             assert r.burn_1h > 1.2 and r.burn_6h > 1.1
+
+
+def test_hamming_topk_bounds(spark, sf_dir):
+    from pandasqlite_spark.functions.similarity import hamming_topk
+
+    rows = hamming_topk(load(spark, sf_dir, "embeddings")).collect()
+    assert len(rows) == 10
+    dists = [r.hamming for r in rows]
+    assert dists == sorted(dists)
+    assert all(0 <= d <= 64 for d in dists)
+    assert all(r.vec_id != 0 for r in rows)
+
+
+def test_abtest_srm_consistent_with_lift_arms(spark, sf_dir):
+    from pandasqlite_spark.functions.analytics import abtest_srm_check
+
+    row = abtest_srm_check(load_events(spark, sf_dir)).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert row.srm_chisq >= 0
+    # flag must agree with the statistic it is derived from
+    assert row.srm_violated == (row.srm_chisq > 3.841459)
