@@ -2226,3 +2226,106 @@ ORACLES["simsearch-hamming-topk"] = f"""
     FROM sigs, q WHERE vec_id <> 0
     ORDER BY hamming, vec_id LIMIT {HAMMING_TOPK}
 """
+
+
+def q_simsearch_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 1-bit Hamming index (`simsearch-hamming-topk`)
+    vs exact cosine, per query — the eval that prices the 32×
+    compression: sign-bit signatures keep most of the neighborhood
+    structure (random-hyperplane LSH theory: P[bit agrees] =
+    1 − θ/π), and this key MEASURES how much survives on this corpus
+    instead of citing the theorem.
+
+    Scale shape: the exact side reuses the batched k-NN join's
+    one-shuffle dot reduction; the Hamming side is a projection + one
+    rank window over Q×|corpus| integer distances (each row ONE
+    xor+popcount — no 64-term dot); the recall join is 2·Q·k rows."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_n, k = 8, 5
+    queries = emb.filter(F.col("vec_id") < q_n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= q_n)
+    exact = knn_join_exact(corpus, queries, k=k).select("query_id", "vec_id")
+    sigs = hamming_signatures(corpus)
+    qsigs = hamming_signatures(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding"))
+    ).select(F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig"))
+    dists = sigs.crossJoin(F.broadcast(qsigs)).select(
+        "query_id", "vec_id", F.bit_count(F.expr("sig ^ qsig")).cast("int").alias("h")
+    )
+    w = W.partitionBy("query_id").orderBy("h", "vec_id")
+    approx = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["simsearch-hamming-recall"] = q_simsearch_hamming_recall
+
+ORACLES["simsearch-hamming-recall"] = f"""
+    WITH allv AS (
+      SELECT vec_id, t.i AS pos,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+      FROM embeddings, generate_series(1, 64) t(i)),
+    q AS (SELECT vec_id AS query_id, pos, x AS qx FROM allv WHERE vec_id < 8),
+    e AS (SELECT vec_id, pos, x FROM allv WHERE vec_id >= 8),
+    ne AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS ne FROM e GROUP BY 1),
+    nq AS (SELECT query_id, CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q GROUP BY 1),
+    d AS (
+      SELECT q.query_id, e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot
+      FROM e JOIN q ON e.pos = q.pos GROUP BY 1, 2),
+    s AS (
+      SELECT d.query_id, d.vec_id,
+             d.dot / (sqrt(ne.ne) * sqrt(nq.nq)) AS cosine
+      FROM d JOIN ne ON ne.vec_id = d.vec_id
+             JOIN nq ON nq.query_id = d.query_id),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM s) WHERE rn <= 5),
+    sigs AS (
+      SELECT vec_id, {_HAMMING_BITS_SQL} AS sig FROM embeddings),
+    dist AS (
+      SELECT sq.vec_id AS query_id, se.vec_id,
+             bit_count(xor(se.sig, sq.sig)) AS h
+      FROM sigs sq JOIN sigs se ON se.vec_id >= 8
+      WHERE sq.vec_id < 8),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY h, vec_id) AS rn
+        FROM dist) WHERE rn <= 5),
+    hits AS (
+      SELECT a.query_id, COUNT(*) AS n_hit
+      FROM approx a JOIN exact x
+        ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+      GROUP BY 1)
+    SELECT qq.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM q) qq
+    LEFT JOIN hits h ON h.query_id = qq.query_id
+    ORDER BY qq.query_id
+"""

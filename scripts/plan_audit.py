@@ -51,6 +51,7 @@ NESTED_LOOP_OK = {
     "dedup-threshold-curve",  # 4-row τ fan-out broadcast over the collapsed pair set
     "mixture-epoch-schedule",  # 1-row corpus-total + weight-normalizer broadcasts
     "simsearch-hamming-topk",  # 1-row broadcast query signature (like simsearch-topk)
+    "simsearch-hamming-recall",  # 8-row broadcast query-signature batch
     "subquery-scalar",  # scalar subquery == 1-row broadcast
     "subquery-correlated",
     "tpch-q11",  # 1-row global-total broadcast

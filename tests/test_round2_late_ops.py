@@ -201,3 +201,13 @@ def test_abtest_srm_consistent_with_lift_arms(spark, sf_dir):
     assert row.srm_chisq >= 0
     # flag must agree with the statistic it is derived from
     assert row.srm_violated == (row.srm_chisq > 3.841459)
+
+
+def test_hamming_recall_bounds(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["simsearch-hamming-recall"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_hit <= 5
+        assert abs(r.recall_at_5 - r.n_hit / 5.0) < 1e-9
