@@ -4556,3 +4556,58 @@ ORACLES["events-abtest-srm"] = """
              > 3.841459 AS srm_violated
     FROM counts
 """
+
+
+FRESHNESS_SLA_HOURS = 2
+
+
+def freshness_gate(events: DataFrame) -> DataFrame:
+    """Data-freshness expectations gate: per event type, the latest
+    event time, its lag behind the stream's global high-water mark,
+    and a staleness flag at a 2-hour SLA — the "did source X stop
+    emitting" check every ingestion DAG runs before publishing a
+    partition (the freshness member of the `validate-expectations`
+    family).
+
+    All time math is exact integer microseconds; the global max
+    arrives via a window over the |types| aggregate rows, not a
+    scalar-broadcast join.  Scale shape: ONE map-side-combinable
+    groupBy collapses the stream to |types| rows; everything after is
+    constant-size.
+    """
+    per_type = events.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy()
+    lag_us = F.max("last_us").over(w) - F.col("last_us")
+    lag_hours = F.round(lag_us.cast("double") / 3_600_000_000.0, 6)
+    # epoch micros, not a rendered timestamp string: engines disagree
+    # on trailing-zero fractional-second formatting, integers never do
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.col("last_us").alias("last_seen_us"),
+        lag_hours.alias("lag_hours"),
+        (lag_us > FRESHNESS_SLA_HOURS * 3_600_000_000).alias("stale"),
+    ).orderBy("event_type")
+
+
+def q_validate_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return freshness_gate(load_events(spark, sf_dir))
+
+
+QUERIES["validate-freshness"] = q_validate_freshness
+
+ORACLES["validate-freshness"] = """
+    WITH per_type AS (
+      SELECT event_type, MAX(epoch_us(ts)) AS last_us,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT event_type, n_events,
+           last_us AS last_seen_us,
+           ROUND(CAST(MAX(last_us) OVER () - last_us AS DOUBLE)
+                 / 3600000000.0, 6) AS lag_hours,
+           MAX(last_us) OVER () - last_us > 7200000000 AS stale
+    FROM per_type ORDER BY event_type
+"""

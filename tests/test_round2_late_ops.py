@@ -211,3 +211,14 @@ def test_hamming_recall_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hit <= 5
         assert abs(r.recall_at_5 - r.n_hit / 5.0) < 1e-9
+
+
+def test_freshness_gate_invariants(spark, sf_dir):
+    from pandasqlite_spark.functions.analytics import freshness_gate
+
+    rows = freshness_gate(load_events(spark, sf_dir)).collect()
+    assert rows
+    assert any(r.lag_hours == 0.0 for r in rows)  # the high-water type itself
+    for r in rows:
+        assert r.lag_hours >= 0
+        assert r.stale == (r.lag_hours > 2.0)
