@@ -355,6 +355,14 @@ def _rewrite_glob(sql: str, spans: list[str]) -> str:
         # so keep LIKE and mark it so the ILIKE pass skips this one
         return f"{m.group(1)} LIKE\x01 \x00{idx}\x00"
 
+    # SQLite also accepts a double-quoted pattern (``GLOB "x*"``);
+    # double quotes aren't masked (they're ambiguous with identifiers),
+    # so promote just these to masked single-quoted spans first.
+    def promote(m: re.Match) -> str:
+        spans.append(f"'{m.group(1)}'")
+        return f"GLOB \x00{len(spans) - 1}\x00"
+
+    sql = re.sub(r'GLOB\s+"([^"]*)"', promote, sql, flags=re.IGNORECASE)
     # anchor: mask token, double-quoted identifier (not yet rewritten
     # at this stage), close-paren, or dotted identifier
     return re.sub(

@@ -3924,10 +3924,16 @@ def q_events_dp_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise arithmetic is per-row."""
     events = load_events(spark, sf_dir)
     counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    # u ∈ (−1/2, 1/2): 4 md5 hex chars → integer in [0, 65536) → shift
+    # u ∈ (−1/2, 1/2) OPEN at both ends: the +0.5 half-step keeps u off
+    # the −1/2 boundary (hash '0000' would give u = −0.5 exactly and
+    # ln(0) — NULL in Spark, −inf/raise in DuckDB: divergent).
     u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(DP_SEED), "event_type")), 1, 4), 16, 10)
-        .cast("double")
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(DP_SEED), "event_type")), 1, 4), 16, 10
+            ).cast("double")
+            + 0.5
+        )
         / 65536.0
         - 0.5
     )
@@ -3949,7 +3955,7 @@ ORACLES["events-dp-laplace-counts"] = f"""
       SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
     u AS (
       SELECT event_type, n,
-             ('0x' || substr(md5('{DP_SEED}' || event_type), 1, 4))::BIGINT
+             (('0x' || substr(md5('{DP_SEED}' || event_type), 1, 4))::BIGINT + 0.5)
                / 65536.0 - 0.5 AS u
       FROM counts)
     SELECT event_type, n,
@@ -4432,30 +4438,33 @@ ORACLES["events-convert-latency"] = """
 SLO_TARGET_X1M = 200_000  # error-budget: 20% error share, as ppm
 
 
-def slo_burn(events: DataFrame) -> DataFrame:
-    """Multi-window SLO burn-rate alerts (the Google-SRE fast+slow
-    burn pattern): per hour, the 1-hour and trailing-6-hour error
-    shares as burn multiples of a 20% error budget, with the alert
-    flag requiring BOTH windows hot (fast window catches the spike,
-    slow window suppresses flappy one-hour blips).
-
-    Counts stay exact longs through the frame sums — the trailing-6h
-    rate divides two summed integers, never averages floats — so both
-    engines produce identical doubles.  Scale shape: the corpus
-    collapses to |hours| rows in one partial-agg groupBy; both frame
-    windows run on that bounded series.
-    """
-    hours = events.groupBy(
-        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hr")
-    ).agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+def slo_burn_from_hours(hours: DataFrame) -> DataFrame:
+    """Burn-rate evaluation over an hourly (hr, n_total, n_err)
+    series — shared by the batch and streaming SLO keys.  The series
+    is GAP-FILLED first (sequence(min,max) left-join, counts
+    coalesced to 0) so the 6-row trailing frame always spans exactly
+    six wall-clock hours; without the grid, quiet gaps silently
+    stretch the slow window and defeat the flap suppression it
+    exists to provide.  Zero-traffic hours carry burn 0 by
+    definition (no requests → no budget spent) via explicit CASE
+    guards, keeping both engines off the 0/0 path."""
+    bounds = hours.groupBy().agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hr"))
+    filled = grid.join(hours, "hr", "left").select(
+        "hr",
+        F.coalesce("n_total", F.lit(0)).alias("n_total"),
+        F.coalesce("n_err", F.lit(0)).alias("n_err"),
     )
     w6 = Window.orderBy("hr").rowsBetween(-5, 0)
-    short_rate = F.col("n_err").cast("double") / F.col("n_total")
-    long_rate = F.sum("n_err").over(w6).cast("double") / F.sum("n_total").over(w6)
+    short_rate = F.when(F.col("n_total") == 0, F.lit(0.0)).otherwise(
+        F.col("n_err").cast("double") / F.col("n_total")
+    )
+    t6 = F.sum("n_total").over(w6)
+    long_rate = F.when(t6 == 0, F.lit(0.0)).otherwise(
+        F.sum("n_err").over(w6).cast("double") / t6
+    )
     budget = SLO_TARGET_X1M / 1_000_000.0
-    out = hours.select(
+    out = filled.select(
         "hr",
         "n_total",
         "n_err",
@@ -4468,6 +4477,29 @@ def slo_burn(events: DataFrame) -> DataFrame:
     return out.orderBy("hr")
 
 
+def slo_burn(events: DataFrame) -> DataFrame:
+    """Multi-window SLO burn-rate alerts (the Google-SRE fast+slow
+    burn pattern): per hour, the 1-hour and trailing-6-hour error
+    shares as burn multiples of a 20% error budget, with the alert
+    flag requiring BOTH windows hot (fast window catches the spike,
+    slow window suppresses flappy one-hour blips).
+
+    Counts stay exact longs through the frame sums — the trailing-6h
+    rate divides two summed integers, never averages floats — so both
+    engines produce identical doubles.  Scale shape: the corpus
+    collapses to |hours| rows in one partial-agg groupBy; the
+    gap-filled grid and both frame windows run on that bounded
+    series (see ``slo_burn_from_hours``).
+    """
+    hours = events.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+    )
+    return slo_burn_from_hours(hours)
+
+
 def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slo_burn(load_events(spark, sf_dir))
 
@@ -4475,17 +4507,27 @@ def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["events-slo-burn"] = q_events_slo_burn
 
 ORACLES["events-slo-burn"] = """
-    WITH hours AS (
+    WITH hours0 AS (
       SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
              COUNT(*) AS n_total,
              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                AS BIGINT) AS n_err
       FROM events GROUP BY 1),
+    grid AS (
+      SELECT UNNEST(range(mn, mx + 1)) AS hr
+      FROM (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hours0)),
+    hours AS (
+      SELECT g.hr,
+             COALESCE(h.n_total, 0) AS n_total,
+             COALESCE(h.n_err, 0) AS n_err
+      FROM grid g LEFT JOIN hours0 h ON g.hr = h.hr),
     rates AS (
       SELECT hr, n_total, n_err,
-             CAST(n_err AS DOUBLE) / n_total AS sr,
-             CAST(SUM(n_err) OVER w6 AS DOUBLE)
-               / SUM(n_total) OVER w6 AS lr
+             CASE WHEN n_total = 0 THEN 0.0
+                  ELSE CAST(n_err AS DOUBLE) / n_total END AS sr,
+             CASE WHEN SUM(n_total) OVER w6 = 0 THEN 0.0
+                  ELSE CAST(SUM(n_err) OVER w6 AS DOUBLE)
+                       / SUM(n_total) OVER w6 END AS lr
       FROM hours
       WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
     SELECT hr, n_total, n_err,

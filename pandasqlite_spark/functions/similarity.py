@@ -262,32 +262,65 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH bucket path (scale): rows-only check
+# LSH bucket path (scale): Rademacher random-hyperplane projection
 # ---------------------------------------------------------------------------
 
 N_PLANES = 8
-_SEED = 42
+_SEED = "lshplane|"
+
+
+def _rademacher_signs(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """±1 hyperplane coefficients derived from md5 parity — the
+    Achlioptas (2003) database-friendly random projection: sign
+    matrices preserve the random-hyperplane LSH collision guarantee
+    while every coefficient is a literal both engines can share."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{_SEED}{j}|{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
 
 
 def lsh_bucket_ids(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataFrame:
-    """Sign-random-projection bucket id per row via one vectorized
-    pandas UDF (Arrow batches; numpy matmul — no per-row Python)."""
-    import numpy as np
+    """Sign-random-projection bucket id per row — bit j is the sign of
+    the dot product with a ±1 (Rademacher) hyperplane, the bucket the
+    ``n_planes``-bit concatenation.  Unlike an axis-aligned sign bucket
+    every plane mixes ALL coordinates, so bucket balance doesn't hinge
+    on any single dimension's distribution.
 
-    from pandasqlite_spark.operators.common import ensure_package_on_workers
+    Entirely codegen (an explicit ±x[d] chain per plane — no pandas
+    UDF, no shuffle); the same left-to-right double-precision chain is
+    emitted in the DuckDB oracle, so signs are bit-identical and the
+    key carries a full value-hash oracle (round-2 verdict item 3: the
+    old numpy-gaussian variant was the registry's only rows-only key).
+    """
+    signs = _rademacher_signs(n_planes, dim)
+    bucket = None
+    for j, row in enumerate(signs):
+        chain = " + ".join(
+            f"({'' if s > 0 else '-'}CAST(embedding[{d}] AS DOUBLE))"
+            for d, s in enumerate(row)
+        )
+        bit = F.when(F.expr(chain) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket.cast("int"))
 
-    ensure_package_on_workers(emb.sparkSession)
 
-    rng = np.random.default_rng(_SEED)
-    planes = rng.standard_normal((dim, n_planes)).astype("float32")
-
-    @F.pandas_udf("int")
-    def bucket(v: pd.Series) -> pd.Series:
-        mat = np.vstack(v.to_numpy())  # (batch, dim)
-        bits = (mat @ planes) >= 0  # (batch, n_planes)
-        return pd.Series((bits * (1 << np.arange(n_planes))).sum(axis=1).astype("int32"))
-
-    return emb.withColumn("bucket", bucket("embedding"))
+def _lsh_bucket_sql(n_planes: int = N_PLANES, dim: int = 64) -> str:
+    """The identical ±chain in DuckDB's 1-indexed array syntax."""
+    signs = _rademacher_signs(n_planes, dim)
+    bits = []
+    for j, row in enumerate(signs):
+        chain = " + ".join(
+            f"({'' if s > 0 else '-'}CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d, s in enumerate(row)
+        )
+        bits.append(f"(CASE WHEN ({chain}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
 
 
 def bucketed_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
@@ -1076,7 +1109,7 @@ QUERIES = {
     "simsearch-ivf": q_simsearch_ivf,
     "dedup-embedding-cosine": q_dedup_embedding_cosine,
     "dedup-embedding-bucketed": q_dedup_embedding_bucketed,
-    "simsearch-lsh-buckets": q_simsearch_lsh_buckets,  # rows-only (numpy path)
+    "simsearch-lsh-buckets": q_simsearch_lsh_buckets,
     "embedding-quantize": q_embedding_quantize,
     "simsearch-sq-rerank": q_simsearch_sq_rerank,
 }
@@ -1303,6 +1336,12 @@ ORACLES = {
         FROM r GROUP BY 1 ORDER BY 1
     """,
     "simsearch-ivf": _IVF_ORACLE,
+    "simsearch-lsh-buckets": f"""
+        WITH s AS (
+          SELECT vec_id, CAST({{bucket}} AS INTEGER) AS bucket FROM embeddings)
+        SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
+        FROM s GROUP BY 1
+    """.replace("{bucket}", _lsh_bucket_sql()),
     "dedup-embedding-cosine": _EMB_DUP_ORACLE,
     "dedup-embedding-bucketed": _EMB_BUCKETED_ORACLE,
     "simsearch-topk": """

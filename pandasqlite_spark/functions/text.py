@@ -1569,8 +1569,14 @@ def rake_keyphrases(docs: DataFrame, top: int = RAKE_TOP) -> DataFrame:
     phrased = marked.withColumn(
         "phrase_id", F.sum(F.col("is_stop").cast("int")).over(w)
     ).filter(~F.col("is_stop"))
+    # collect_list order is NOT contractual in Spark — sort by pos inside
+    # the aggregate so phrase text is order-deterministic under any
+    # repartitioning between the window and this groupBy.
     phrases = phrased.groupBy("doc_id", "phrase_id").agg(
-        F.array_join(F.collect_list("tok"), " ").alias("phrase"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), r -> r.tok)"),
+            " ",
+        ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
     )
     # word stats over phrase members: freq = occurrences, degree = Σ plen

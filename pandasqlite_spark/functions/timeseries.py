@@ -1703,7 +1703,8 @@ def q_events_lcs_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
           (dp, t) -> array_append(dp,
             CASE
               WHEN t < {n1} OR t % {n1} = 0 THEN 0
-              WHEN CAST(t / {n1} AS INT) > size(sa) OR t % {n1} > size(sb) THEN 0
+              WHEN CAST(t / {n1} AS INT) > size(sa) OR t % {n1} > size(sb)
+                THEN greatest(element_at(dp, t - {n1} + 1), element_at(dp, t))
               WHEN sa[CAST(t / {n1} AS INT) - 1] = sb[t % {n1} - 1]
                 THEN element_at(dp, t - {n1}) + 1
               ELSE greatest(element_at(dp, t - {n1} + 1), element_at(dp, t))
@@ -1746,7 +1747,8 @@ ORACLES["events-lcs-journeys"] = f"""
                CASE
                  WHEN r.t + 1 < {LCS_N + 1} OR (r.t + 1) % {LCS_N + 1} = 0 THEN 0
                  WHEN (r.t + 1) // {LCS_N + 1} > len(two.sa)
-                      OR (r.t + 1) % {LCS_N + 1} > len(two.sb) THEN 0
+                      OR (r.t + 1) % {LCS_N + 1} > len(two.sb)
+                   THEN GREATEST(r.dp[r.t + 2 - {LCS_N + 1}], r.dp[r.t + 1])
                  WHEN two.sa[(r.t + 1) // {LCS_N + 1}]
                       = two.sb[(r.t + 1) % {LCS_N + 1}]
                    THEN r.dp[r.t + 1 - {LCS_N + 1}] + 1

@@ -1193,8 +1193,10 @@ def q_events_streaming_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     order are not row-incremental, and the post-step is |hours| rows.
     This is exactly how a production burn alerter runs: streaming
     keeps the counters, the alert evaluation ticks over the tiny
-    aggregate.  Shares the batch key's oracle."""
-    from pandasqlite_spark.functions.analytics import SLO_TARGET_X1M
+    aggregate.  Shares the batch key's oracle AND its gap-fill +
+    burn post-step (``slo_burn_from_hours``), so both twins carry
+    the same six-wall-clock-hour slow-window semantics."""
+    from pandasqlite_spark.functions.analytics import slo_burn_from_hours
 
     stream = read_events_stream(spark, sf_dir)
     hours = stream.groupBy(
@@ -1204,21 +1206,7 @@ def q_events_streaming_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
     )
     name, _ = run_stream_to_memory(hours, mode="complete")
-    t = spark.table(name)
-    w6 = W.orderBy("hr").rowsBetween(-5, 0)
-    budget = SLO_TARGET_X1M / 1_000_000.0
-    short_rate = F.col("n_err").cast("double") / F.col("n_total")
-    long_rate = F.sum("n_err").over(w6).cast("double") / F.sum("n_total").over(w6)
-    return t.select(
-        "hr",
-        "n_total",
-        "n_err",
-        F.round(short_rate / F.lit(budget), 6).alias("burn_1h"),
-        F.round(long_rate / F.lit(budget), 6).alias("burn_6h"),
-        ((short_rate / F.lit(budget) > 1.2) & (long_rate / F.lit(budget) > 1.1)).alias(
-            "alert"
-        ),
-    ).orderBy("hr")
+    return slo_burn_from_hours(spark.table(name))
 
 
 QUERIES["events-streaming-slo-burn"] = q_events_streaming_slo_burn

@@ -140,6 +140,11 @@ def test_rewrite_table_placeholder_token_aware():
             "SELECT * FROM t WHERE a LIKE 'x%' AND b GLOB '*z'",
             "SELECT * FROM t WHERE a ILIKE 'x%' AND b LIKE '%z'",
         ),
+        # SQLite also accepts a double-quoted GLOB pattern
+        (
+            'SELECT * FROM t WHERE name GLOB "Foo*"',
+            "SELECT * FROM t WHERE name LIKE 'Foo%'",
+        ),
         ("SELECT strftime('%s', ts) FROM t", "SELECT unix_timestamp(ts) FROM t"),
         (
             "SELECT unixepoch(ts), unixepoch() FROM t",
