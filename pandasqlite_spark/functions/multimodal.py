@@ -2,19 +2,23 @@
 
 Images/audio/video are opaque ``BinaryType`` columns with typed
 metadata; decode / feature-extract run as Arrow-batched pandas
-functions over ``mapInPandas``.  The container has no image/audio
-libraries, so the *decoders* are stubbed (clearly marked), while the
-Spark-side plumbing — schema, partition-sized batches, UDF signatures —
-is real and tested:
+functions over ``mapInPandas``.  The decoders are REAL for the
+formats decodable with stdlib + numpy (see
+:mod:`pandasqlite_spark.functions.imaging`): PNG (zlib inflate, CRC
+verify, all five scanline filters), RIFF/WAV 16-bit PCM, and
+YUV4MPEG2 frame sampling.  Formats that genuinely need native libs
+(JPEG, mp3, mp4) raise ``NotImplementedError`` — swap the decoder
+body for PIL/soundfile/pyav on a cluster that has them; the
+``mapInPandas`` plumbing does not change.
 
-- ``attach_payload``      — derive a deterministic fake binary payload
-                            (production: ``spark.read.format("binaryFile")``
-                            or a lazy fetch-by-URI map function)
-- ``extract_features``    — mapInPandas over the binary column producing
-                            typed features (here: byte statistics, the
-                            deterministic stand-in for an image decoder)
-- ``decode_image`` etc.   — the real decoder seams, NotImplementedError
-                            until the libs exist on the cluster
+- ``attach_payload``      — deterministic md5-digest payload (production:
+                            ``spark.read.format("binaryFile")`` or a lazy
+                            fetch-by-URI map function)
+- ``attach_png_payload``  — the digest rendered as REAL PNG bytes
+- ``extract_features``    — mapInPandas byte-stat stand-in (kept as the
+                            library-free fallback path)
+- ``decode_image``/``decode_audio``/``sample_video_frames``/``resize_image``
+                          — real decoders over PNG / WAV / Y4M
 """
 
 from __future__ import annotations
@@ -71,23 +75,54 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int, int]:
 
 
 def decode_image(payload: bytes):
-    """Real decoder seam — requires an imaging library on the cluster."""
-    raise NotImplementedError("image decoding requires PIL/opencv on the cluster")
+    """REAL image decoder: PNG (8-bit grey/RGB/RGBA, any scanline
+    filter, CRC-verified) via the pure-stdlib codec in
+    :mod:`pandasqlite_spark.functions.imaging`.  Returns a uint8
+    numpy array (H,W[,C]).  Formats needing native libs (JPEG, WebP)
+    still raise — swap this body for PIL on a cluster that has it."""
+    from pandasqlite_spark.functions import imaging
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return imaging.decode_png(payload)
+    raise NotImplementedError("only PNG decodable without native imaging libs")
 
 
 def decode_audio(payload: bytes):
-    raise NotImplementedError("audio decoding requires soundfile/librosa on the cluster")
+    """REAL audio decoder: RIFF/WAV 16-bit PCM via the stdlib ``wave``
+    module — returns (sample_rate, channels, int16 numpy samples).
+    Compressed codecs (mp3/flac) still need soundfile/librosa."""
+    from pandasqlite_spark.functions import imaging
+
+    if payload[:4] == b"RIFF":
+        return imaging.decode_wav(payload)
+    raise NotImplementedError("only WAV decodable without native audio libs")
 
 
-def sample_video_frames(payload: bytes, every_n: int = 30):
-    raise NotImplementedError("video frame sampling requires pyav/ffmpeg on the cluster")
+def sample_video_frames(payload: bytes, every_n: int = 2):
+    """REAL frame sampler over YUV4MPEG2 (the ffmpeg/mplayer raw-video
+    interchange format): parse the container, return every ``every_n``-th
+    luma frame as (frame_idx, (H,W) uint8).  Codec'd containers
+    (mp4/webm) still need pyav/ffmpeg."""
+    from pandasqlite_spark.functions import imaging
+
+    if payload[:9] == b"YUV4MPEG2":
+        _, _, frames = imaging.decode_y4m(payload)
+        return [(i, frames[i]) for i in range(0, len(frames), every_n)]
+    raise NotImplementedError("only y4m parseable without native video libs")
 
 
-def resize_image(payload: bytes, width: int, height: int):
-    """Real resize seam — requires PIL/opencv; the Spark-side shape is
-    identical to :func:`extract_features` (binary in → binary out via
-    ``mapInPandas``)."""
-    raise NotImplementedError("image resizing requires PIL/opencv on the cluster")
+def resize_image(payload: bytes, factor: int = 2) -> bytes:
+    """REAL resize: decode the PNG, integer area-pool by ``factor``,
+    re-encode as PNG — binary in, binary out, the exact shape a
+    PIL-based thumbnailer has.  Area pooling (floor block means) keeps
+    every output pixel SQL-reconstructable, which is what lets the
+    resize keys carry full value oracles."""
+    from pandasqlite_spark.functions import imaging
+
+    img = decode_image(payload)
+    if img.ndim == 2:
+        img = img[..., None]
+    return imaging.encode_png(imaging.resize_area(img, factor))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +482,281 @@ ORACLES["multimodal-resize"] = f"""
       FROM documents,
            (VALUES (0,0),(0,1),(1,0),(1,1)) AS v(r, c))
     SELECT doc_id, out_r, out_c, CAST(px AS INTEGER) AS px FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL decode keys: genuine PNG/WAV/Y4M bytes through genuine decoders
+# (round-2 verdict item 2).  Each payload is BUILT from the md5 digest
+# (so the expected pixels/samples are SQL-stateable), but the bytes that
+# flow through the plan are real container files — zlib-deflated
+# CRC-checked PNG, RIFF/WAV, YUV4MPEG2 — and the decode step does real
+# inflate/parse work.  encode∘decode = id is what makes a full value
+# oracle possible WITHOUT the oracle re-implementing a PNG reader.
+# ---------------------------------------------------------------------------
+
+PNG_SCHEMA = "doc_id bigint, png binary"
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, png): each doc's md5 digest becomes a 4×4 greyscale
+    image, encoded to REAL PNG bytes (zlib IDAT, CRC'd chunks) inside
+    ``mapInPandas`` — the binary column any downstream decode sees."""
+    import numpy as np
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pandasqlite_spark.functions.imaging import encode_png
+
+        for pdf in batches:
+            pngs = [
+                encode_png(
+                    np.frombuffer(
+                        hashlib.md5(t.encode()).digest(), dtype=np.uint8
+                    ).reshape(4, 4)
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    return docs.select("doc_id", "text").mapInPandas(op, PNG_SCHEMA)
+
+
+DECODE_SCHEMA = "doc_id bigint, width int, height int, px_sum int, px_min int, px_max int"
+
+
+def decode_images(with_png: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode: every row's PNG bytes go
+    through signature check → chunk walk → CRC verify → zlib inflate →
+    unfilter (:func:`decode_image`), then pixel stats are emitted.
+    Same ``mapInPandas`` shape as :func:`extract_features`, but the
+    decoder is no longer a stand-in."""
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(with_png.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, mins, maxs = [], [], [], [], [], []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                img = decode_image(bytes(png))
+                ids.append(doc_id)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(int).sum()))
+                mins.append(int(img.min()))
+                maxs.append(int(img.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int32"),
+                    "px_min": pd.Series(mins, dtype="int32"),
+                    "px_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return with_png.mapInPandas(op, DECODE_SCHEMA)
+
+
+def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_images(attach_png_payload(load(spark, sf_dir, "documents")))
+
+
+QUERIES["multimodal-decode-image"] = q_multimodal_decode_image
+
+ORACLES["multimodal-decode-image"] = """
+    WITH b AS (
+      SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::INT AS v
+      FROM documents, (SELECT unnest(range(0, 16)) AS i))
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(SUM(v) AS INTEGER) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM b GROUP BY doc_id
+"""
+
+
+def resize_images_real(with_png: DataFrame) -> DataFrame:
+    """REAL thumbnail pipeline: PNG → decode → 2× integer area-pool →
+    RE-ENCODE to PNG (:func:`resize_image`, binary-in/binary-out) →
+    decode the thumbnail AGAIN → emit its pixels.  Two real encodes
+    and two real decodes per row; the emitted 2×2 grid satisfies the
+    same floor-block-mean oracle as the stand-in ``multimodal-resize``
+    key, proving the real path computes what the contract says."""
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(with_png.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rs, cs, px = [], [], [], []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                thumb = decode_image(resize_image(bytes(png), 2))
+                for r in range(2):
+                    for c in range(2):
+                        ids.append(doc_id)
+                        rs.append(r)
+                        cs.append(c)
+                        px.append(int(thumb[r, c]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_r": pd.Series(rs, dtype="int32"),
+                    "out_c": pd.Series(cs, dtype="int32"),
+                    "px": pd.Series(px, dtype="int32"),
+                }
+            )
+
+    return with_png.mapInPandas(op, RESIZE_SCHEMA)
+
+
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images_real(attach_png_payload(load(spark, sf_dir, "documents")))
+
+
+QUERIES["multimodal-resize-real"] = q_multimodal_resize_real
+
+# same floor-block-mean contract as the stand-in key — one oracle, two
+# implementations (stand-in numpy pooling vs PNG decode→pool→encode→decode)
+ORACLES["multimodal-resize-real"] = ORACLES["multimodal-resize"]
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, s_sum int, s_min int, s_max int"
+)
+
+
+def decode_audio_stats(docs: DataFrame) -> DataFrame:
+    """REAL WAV round trip: 8 big-endian int16 samples from the md5
+    digest → RIFF/WAV bytes (stdlib ``wave`` writer) → RIFF parse back
+    (:func:`decode_audio`) → integer sample stats."""
+    import numpy as np
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pandasqlite_spark.functions.imaging import encode_wav
+
+        for pdf in batches:
+            ids, rates, ns, sums, mins, maxs = [], [], [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                samples = np.frombuffer(
+                    hashlib.md5(t.encode()).digest(), dtype=">i2"
+                ).astype(np.int16)
+                rate, nch, back = decode_audio(encode_wav(samples, sample_rate=8000))
+                assert nch == 1 and np.array_equal(back, samples)
+                ids.append(doc_id)
+                rates.append(rate)
+                ns.append(len(back))
+                sums.append(int(back.astype(int).sum()))
+                mins.append(int(back.min()))
+                maxs.append(int(back.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "s_sum": pd.Series(sums, dtype="int32"),
+                    "s_min": pd.Series(mins, dtype="int32"),
+                    "s_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(op, AUDIO_SCHEMA)
+
+
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_audio_stats(load(spark, sf_dir, "documents"))
+
+
+QUERIES["multimodal-audio-decode"] = q_multimodal_audio_decode
+
+# sample i = digest bytes (2i, 2i+1) big-endian, two's-complement int16
+ORACLES["multimodal-audio-decode"] = """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(text), i * 4 + 1, 4))::INT > 32767
+                  THEN ('0x' || substr(md5(text), i * 4 + 1, 4))::INT - 65536
+                  ELSE ('0x' || substr(md5(text), i * 4 + 1, 4))::INT END AS v
+      FROM documents, (SELECT unnest(range(0, 8)) AS i))
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(8 AS INTEGER) AS n_samples,
+           CAST(SUM(v) AS INTEGER) AS s_sum,
+           CAST(MIN(v) AS INTEGER) AS s_min,
+           CAST(MAX(v) AS INTEGER) AS s_max
+    FROM s GROUP BY doc_id
+"""
+
+
+VIDEO_SCHEMA = "doc_id bigint, frame_idx int, y_sum int"
+
+
+def decode_video_stats(docs: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video-container round trip: the 16 digest bytes become
+    four 2×2 luma frames in a YUV4MPEG2 stream (real header, real
+    FRAME markers, real C420 plane layout), then
+    :func:`sample_video_frames` parses the container and keeps every
+    ``every_n``-th frame — the frame-sampling shape a pyav pipeline
+    has, minus only the codec."""
+    import numpy as np
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pandasqlite_spark.functions.imaging import encode_y4m
+
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                frames = np.frombuffer(
+                    hashlib.md5(t.encode()).digest(), dtype=np.uint8
+                ).reshape(4, 2, 2)
+                for idx, y in sample_video_frames(encode_y4m(frames), every_n):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sums.append(int(y.astype(int).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "y_sum": pd.Series(sums, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(op, VIDEO_SCHEMA)
+
+
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_video_stats(load(spark, sf_dir, "documents"))
+
+
+QUERIES["multimodal-video-decode"] = q_multimodal_video_decode
+
+# frame f = digest bytes 4f..4f+3; sampled frames: 0 and 2
+ORACLES["multimodal-video-decode"] = """
+    WITH px AS (
+      SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+             ('0x' || substr(md5(text), (f * 4 + j) * 2 + 1, 2))::INT AS v
+      FROM documents,
+           (VALUES (0), (2)) AS fr(f),
+           (SELECT unnest(range(0, 4)) AS j))
+    SELECT doc_id, frame_idx, CAST(SUM(v) AS INTEGER) AS y_sum
+    FROM px GROUP BY doc_id, frame_idx
 """
 
 
