@@ -23,8 +23,8 @@ PySpark API, the Apache-2.0 reference repo, and published papers.
 from pandasqlite_spark.session import get_spark
 from pandasqlite_spark.core.ingest import ingest
 from pandasqlite_spark.core.text2sql import text2sql
-from pandasqlite_spark.core.llm import FakeLLM, sanity_check
+from pandasqlite_spark.core.llm import FakeLLM, ReplayLLM, sanity_check
 
-__all__ = ["get_spark", "ingest", "text2sql", "FakeLLM", "sanity_check"]
+__all__ = ["get_spark", "ingest", "text2sql", "FakeLLM", "ReplayLLM", "sanity_check"]
 
 __version__ = "0.1.0"

@@ -33,6 +33,41 @@ class LLMNotSane(RuntimeError):
     pass
 
 
+class ReplayLLM:
+    """Replays a RECORDED transcript of completions, in order — the
+    offline stand-in for a real model that, unlike :class:`FakeLLM`'s
+    scripted question→answer table, reproduces the *shape* of real
+    completions (chatty preambles, unfenced SQL, wrong identifiers,
+    SQLite-isms) so the extract → dialect-rewrite → repair loop is
+    exercised on realistic input, not on answers crafted to parse.
+
+    The sanity-check probe is answered inline (it is not part of the
+    recorded turn sequence); every other call consumes the next
+    transcript entry.  Prompts are recorded in ``self.prompts`` so
+    tests can assert what the repair loop actually sent (e.g. that the
+    second prompt carries the analyzer's error text).  Running past the
+    end of the transcript raises — a repair loop that needs more turns
+    than the recording has is a behavior change worth failing on.
+    """
+
+    def __init__(self, transcript: list[str]):
+        self.transcript = list(transcript)
+        self.prompts: list[str] = []
+        self._i = 0
+
+    def __call__(self, prompt: str) -> str:
+        if "sanity check" in prompt.lower():
+            return "YES"
+        self.prompts.append(prompt)
+        if self._i >= len(self.transcript):
+            raise AssertionError(
+                f"transcript exhausted after {len(self.transcript)} turns"
+            )
+        out = self.transcript[self._i]
+        self._i += 1
+        return out
+
+
 def sanity_check(llm_callback: LLMCallback) -> None:
     """One-shot "reply YES" probe, memoized per callback (semantics of
     reference ``pandasqlite/pandasqlite.py:253-280``, with the callback

@@ -177,7 +177,9 @@ ORACLES = _oracles()
 COVERAGE_K = 5
 
 
-def coverage_select(docs: DataFrame, k: int = COVERAGE_K) -> DataFrame:
+def coverage_select(
+    docs: DataFrame, k: int = COVERAGE_K, _plan_probe: list | None = None
+) -> DataFrame:
     """Greedy max-coverage data selection: pick ``k`` documents, each
     round choosing the doc that covers the most not-yet-covered distinct
     tokens (facility-location/submodular selection — the classic
@@ -221,7 +223,18 @@ def coverage_select(docs: DataFrame, k: int = COVERAGE_K) -> DataFrame:
         selected.append((step, doc, gain))
         new_toks = pairs.filter(F.col("doc_id") == doc).select("tok")
         covered = new_toks if covered is None else covered.union(new_toks).distinct()
-        remaining = remaining.join(F.broadcast(covered), "tok", "left_anti")
+        # lineage truncation each round: `covered` otherwise stacks one
+        # union().distinct() layer per step and `remaining` one
+        # anti-join layer — constant plan depth at any k (the
+        # kmeans_lloyd/connected-components device)
+        covered = covered.localCheckpoint(eager=False)
+        remaining = remaining.join(
+            F.broadcast(covered), "tok", "left_anti"
+        ).localCheckpoint(eager=False)
+        if _plan_probe is not None:
+            _plan_probe.append(
+                len(remaining._jdf.queryExecution().analyzed().toString().splitlines())
+            )
     pairs.unpersist()
     return spark.createDataFrame(
         selected, "step int, doc_id bigint, gain bigint"

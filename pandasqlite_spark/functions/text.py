@@ -1183,7 +1183,9 @@ ORACLES = {
 BPE_MERGES = 3
 
 
-def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_merges(
+    docs: DataFrame, n_merges: int = BPE_MERGES, _plan_probe: list | None = None
+) -> DataFrame:
     """Derive the first ``n_merges`` BPE merge rules from the corpus:
     start from character symbols, repeatedly count adjacent symbol
     pairs weighted by word frequency, and merge the most frequent pair
@@ -1234,7 +1236,12 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             F.replace(F.replace(F.col("seq"), F.lit(pat), F.lit(rep)),
                       F.lit(pat), F.lit(rep)).alias("seq"),
             "freq",
-        )
+        # per-round lineage truncation: without it the plan nests one
+        # replace-on-replace layer per merge and analysis cost grows
+        # with n_merges (same device as kmeans_lloyd/connected comps)
+        ).localCheckpoint(eager=False)
+        if _plan_probe is not None:
+            _plan_probe.append(len(w._jdf.queryExecution().analyzed().toString().splitlines()))
     return docs.sparkSession.createDataFrame(
         out, "step int, left_sym string, right_sym string, merged string, cnt bigint"
     )

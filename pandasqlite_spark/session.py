@@ -19,8 +19,53 @@ be ~2-3× total cores or left to AQE's coalescing).
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# A known location of a PURE-PYTHON google.protobuf (Apache-2.0, vendored
+# by the Google Cloud SDK) in containers that lack a pip-installed one.
+_PROTOBUF_FALLBACK_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def enable_spark4_stateful_runner() -> bool:
+    """Best-effort enablement of Spark 4's ``transformWithStateInPandas``
+    driver worker, which hard-requires ``google.protobuf`` in the Python
+    that the JVM spawns.  If protobuf isn't importable but a vendored
+    pure-Python copy exists on disk, prepend it to ``PYTHONPATH`` (the
+    spawned runner inherits the env) and append it to ``sys.path`` (so
+    this process never shadows site-packages).  Returns True when
+    ``google.protobuf.descriptor`` is importable after the attempt.
+
+    MUST run before the first SparkSession is created in the process:
+    the JVM captures its environment at launch and passes it to every
+    runner it spawns — called at this module's import for that reason.
+    ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is protobuf's own
+    documented escape hatch for the minor-version gap between Spark's
+    generated StateMessage bindings and the vendored runtime.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        if not os.path.isdir(os.path.join(_PROTOBUF_FALLBACK_DIR, "google", "protobuf")):
+            return False
+        existing = os.environ.get("PYTHONPATH", "")
+        if _PROTOBUF_FALLBACK_DIR not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                _PROTOBUF_FALLBACK_DIR + ((os.pathsep + existing) if existing else "")
+            )
+        if _PROTOBUF_FALLBACK_DIR not in sys.path:
+            sys.path.append(_PROTOBUF_FALLBACK_DIR)
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            return False
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    return True
+
+
+# import-time: the shim is only effective if it precedes JVM launch
+SPARK4_STATEFUL_AVAILABLE = enable_spark4_stateful_runner()
 
 
 def get_spark(

@@ -767,6 +767,56 @@ def q_events_streaming_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "start_id")
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def q_events_streaming_pattern_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP pattern detector on Spark 4's
+    ``transformWithStateInPandas`` (typed named state, RocksDB column
+    families) — the third implementation of the SAME click→purchase→
+    error contract, sharing the batch key's oracle like the
+    ``applyInPandasWithState`` twin.
+
+    The new API needs the streaming Python runner (google.protobuf —
+    enabled process-wide by ``session.enable_spark4_stateful_runner``)
+    and a column-family-capable state store, so the provider conf is
+    flipped to RocksDB for this query and restored after the drain.  If
+    the runner cannot start in the current environment the key degrades
+    to the applyInPandasWithState twin — the RESULT contract is
+    identical either way, and ``stateful.LAST_PATTERN_API`` records
+    which path served the run (tests assert "tws" so a silent
+    environment regression is caught)."""
+    from pandasqlite_spark.session import SPARK4_STATEFUL_AVAILABLE
+    from pandasqlite_spark.streaming import stateful
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    if SPARK4_STATEFUL_AVAILABLE:
+        try:
+            prev = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+            try:
+                stream = stateful.sequence_match_stream_tws(
+                    read_events_stream(spark, sf_dir)
+                )
+                name, q = run_stream_to_memory(stream, mode="append")
+                if q.exception() is None:
+                    stateful.LAST_PATTERN_API["api"] = "tws"
+                    return spark.table(name).orderBy("user_id", "start_id")
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+        except Exception:
+            pass
+    stateful.LAST_PATTERN_API["api"] = "fallback"
+    stream = stateful.sequence_match_stream(read_events_stream(spark, sf_dir), evict=False)
+    name, _ = run_stream_to_memory(stream, mode="append")
+    return spark.table(name).orderBy("user_id", "start_id")
+
+
 def q_events_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``events-rate-limit``: throttle to the first
     event per (user, type, minute) as a watermark-bounded windowed
@@ -846,6 +896,7 @@ QUERIES = {
     "events-stateful-profiles": q_events_stateful_profiles,
     "events-streaming-attribution": q_events_streaming_attribution,
     "events-streaming-pattern": q_events_streaming_pattern,
+    "events-streaming-pattern-tws": q_events_streaming_pattern_tws,
     "events-streaming-late-drop": q_events_streaming_late_drop,
     "events-tumbling-agg": q_events_tumbling,
     "events-sliding-agg": q_events_sliding,
@@ -1043,6 +1094,8 @@ ORACLES["events-streaming-sliding"] = ORACLES["events-sliding-agg"]
 from pandasqlite_spark.functions.analytics import ORACLES as _AN_ORACLES  # noqa: E402
 
 ORACLES["events-streaming-pattern"] = _AN_ORACLES["events-pattern-match"]
+# Spark-4 transformWithStateInPandas twin: same contract, same oracle
+ORACLES["events-streaming-pattern-tws"] = _AN_ORACLES["events-pattern-match"]
 
 ORACLES["events-streaming-late-drop"] = """
     WITH u AS (SELECT epoch_us(ts) AS us FROM events),

@@ -252,3 +252,95 @@ def attribution_stream(events: DataFrame, evict: bool = True) -> DataFrame:
         if evict
         else GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the CEP state machine on the new API
+# ---------------------------------------------------------------------------
+
+# which API actually served the last events-streaming-pattern-tws run —
+# "tws" (transformWithStateInPandas) or "fallback" (applyInPandasWithState).
+# Tests assert "tws" so a silent environment regression is visible.
+LAST_PATTERN_API: dict = {"api": None}
+
+
+def sequence_match_stream_tws(events: DataFrame) -> DataFrame:
+    """The click→purchase→error detector of :func:`sequence_match_stream`
+    rebuilt on Spark 4's ``transformWithStateInPandas`` — the successor
+    API where state is TYPED and NAMED (a ``ValueState`` holding the
+    last-two-events context) instead of a single positional tuple, and
+    timers/TTL are first-class.  Same pattern semantics, same output
+    schema, same oracle as the applyInPandasWithState twin.
+
+    Requires the streaming Python runner (google.protobuf — see
+    ``session.enable_spark4_stateful_runner``) and a state store with
+    column families (RocksDB); the caller sets the provider conf.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(events.sparkSession)
+
+    class SequenceMatchProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._ctx = handle.getValueState("ctx", CEP_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            batch = pd.concat(list(rows), ignore_index=True)
+            if len(batch) == 0:
+                return
+            batch = batch.sort_values(["us", "event_id"], ignore_index=True)
+            t1, us1, id1, t2, us2, id2 = (
+                self._ctx.get() if self._ctx.exists() else (None, 0, 0, None, 0, 0)
+            )
+            carry = pd.DataFrame(
+                {"event_type": [t1, t2], "us": [us1, us2], "event_id": [id1, id2]}
+            ).dropna(subset=["event_type"])
+            all_rows = pd.concat([carry, batch], ignore_index=True)
+            p1t = all_rows["event_type"].shift(2)
+            p1us = all_rows["us"].shift(2)
+            p1id = all_rows["event_id"].shift(2)
+            p2t = all_rows["event_type"].shift(1)
+            is_new = all_rows.index >= len(carry)
+            mask = (
+                (p1t == "click")
+                & (p2t == "purchase")
+                & (all_rows["event_type"] == "error")
+                & (all_rows["us"] - p1us <= _CEP_BOUND_US)
+                & is_new
+            )
+            tail = all_rows.tail(2)
+            tt = list(tail["event_type"])
+            tu = list(tail["us"].astype("int64"))
+            ti = list(tail["event_id"].astype("int64"))
+            if len(tail) == 2:
+                self._ctx.update((tt[0], tu[0], ti[0], tt[1], tu[1], ti[1]))
+            else:
+                self._ctx.update((None, 0, 0, tt[0], tu[0], ti[0]))
+            n_hits = int(mask.sum())
+            yield pd.DataFrame(
+                {
+                    # .to_numpy(): the masked series keep their original
+                    # positional index — mixing them with a fresh 0..n-1
+                    # index would misalign and NaN-pad the frame
+                    "user_id": pd.Series([user_id] * n_hits, dtype="int64"),
+                    "start_id": p1id[mask].astype("int64").to_numpy(),
+                    "span_s": ((all_rows["us"][mask] - p1us[mask]) / 1_000_000.0).to_numpy(),
+                }
+            )
+
+        def close(self):
+            pass
+
+    with_us = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    return with_us.groupBy("user_id").transformWithStateInPandas(
+        SequenceMatchProcessor(),
+        outputStructType=CEP_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",  # finite drain: no timers, availableNow terminates
+    )

@@ -8,6 +8,11 @@ sf0.01, inspects the executed plan, and flags scale anti-patterns —
   path is not);
 - ``BatchEvalPython`` (row-at-a-time Python — never acceptable; the
   Arrow path is ``ArrowEvalPython``);
+- ``Window`` operators with NO partition spec (single-partition global
+  sort — fine over a bounded aggregate like an hourly grid or a top-k
+  shortlist, a scale-killer over raw rows; every such window must be
+  declared in ``GLOBAL_WINDOW_OK`` with its boundedness argument —
+  round-2 verdict item 4: the invariant used to live in prose only);
 - per-key Exchange counts (the shuffle budget), so a shuffle that
   sneaks into a formerly shuffle-free operator shows up in the diff of
   PLAN_AUDIT.md.
@@ -100,6 +105,58 @@ NESTED_LOOP_OK = {
     "simsearch-pq-adc",  # 16-row broadcast codebook + 1-row broadcast query
 }
 
+# keys whose partition-less Window runs over a DECLARED-BOUNDED input
+# (collapsed aggregate, top-k shortlist, calendar grid — row counts
+# independent of corpus size, SCALING.md "Global windows" invariant).
+# Populated from the audited plans; any NEW global window fails the
+# audit until it is argued bounded and added here.
+GLOBAL_WINDOW_OK: set[str] = set()
+
+
+def _load_global_window_ok() -> set[str]:
+    """The allowlist lives in scripts/global_windows_ok.txt (one key per
+    line, '#' comments) so the audit diff shows allowlist edits."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "global_windows_ok.txt")
+    keys = set()
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    keys.add(line)
+    return keys
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan line (bracket-depth scan)."""
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]" and depth > 0:
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+_WINDOW_LINE_RE = re.compile(r"^[\s:+\-*()0-9]*Window\s+\[")
+
+
+def count_global_windows(plan: str) -> int:
+    """Window operators with only (exprs, order) groups — no partition
+    spec group — in the executed-plan text."""
+    n = 0
+    for line in plan.splitlines():
+        if _WINDOW_LINE_RE.match(line):
+            body = line[line.index("Window") + len("Window") :]
+            if len(_top_level_groups(body)) < 3:
+                n += 1
+    return n
+
+
 # streaming keys execute on build (memory-sink round trip) — planned
 # against the batch twin's semantics elsewhere; skip plan text checks.
 SKIP = {k for k in entrymod.queries() if k.startswith("events-streaming")}
@@ -110,6 +167,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit")
     queries = entrymod.queries()
+    global_ok = GLOBAL_WINDOW_OK | _load_global_window_ok()
     rows, violations = [], []
     for key in sorted(queries):
         if key in SKIP:
@@ -128,6 +186,7 @@ def main() -> int:
         # always flags
         row_py = re.search(r"BatchEvalPython(?!UDTF)", plan) is not None
         udtf_py = "BatchEvalPythonUDTF" in plan
+        n_gwin = count_global_windows(plan)
         flags = []
         if nested and key not in NESTED_LOOP_OK:
             flags.append("UNDECLARED-NESTED-LOOP")
@@ -135,6 +194,8 @@ def main() -> int:
             flags.append("ROW-PYTHON")
         if udtf_py and key not in UDTF_OK:
             flags.append("UNDECLARED-UDTF")
+        if n_gwin and key not in global_ok:
+            flags.append("UNDECLARED-GLOBAL-WINDOW")
         if flags:
             violations.append((key, ",".join(flags)))
         rows.append(
@@ -144,15 +205,16 @@ def main() -> int:
                 "y" if "BroadcastHashJoin" in plan else "",
                 "y" if "SortMergeJoin" in plan else "",
                 "nl" if nested else "",
+                n_gwin or "",
                 ",".join(flags),
             )
         )
     print("# PLAN AUDIT — executed-plan shapes per key (sf0.01)\n")
     print("Generated by `scripts/plan_audit.py`; flags fail the audit.\n")
-    print("| key | exchanges | bcast join | smj | nested-loop | flags |")
-    print("|---|---|---|---|---|---|")
+    print("| key | exchanges | bcast join | smj | nested-loop | global-win | flags |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
-        print("| {} | {} | {} | {} | {} | {} |".format(*r))
+        print("| {} | {} | {} | {} | {} | {} | {} |".format(*r))
     print(f"\n{len(rows)} keys audited; {len(violations)} violations.")
     for key, flag in violations:
         print(f"- VIOLATION {key}: {flag}")

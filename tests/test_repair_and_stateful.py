@@ -117,3 +117,75 @@ def test_streaming_cep_matches_across_batch_boundary():
     )
     out3 = pd.concat(list(_detect_sequence((7,), iter([b3]), st)), ignore_index=True)
     assert len(out3) == 0
+
+
+def test_streaming_pattern_tws_uses_spark4_api(spark, sf_dir):
+    """events-streaming-pattern-tws must be served by
+    transformWithStateInPandas in this environment (the vendored-
+    protobuf shim + RocksDB provider make it runnable); a silent
+    degradation to the applyInPandasWithState fallback fails here even
+    though the RESULT contract is identical."""
+    from pandasqlite_spark.streaming import stateful
+    from pandasqlite_spark.streaming.events import (
+        q_events_streaming_pattern,
+        q_events_streaming_pattern_tws,
+    )
+
+    tws = q_events_streaming_pattern_tws(spark, sf_dir).collect()
+    assert stateful.LAST_PATTERN_API["api"] == "tws"
+    legacy = q_events_streaming_pattern(spark, sf_dir).collect()
+    assert [tuple(r) for r in tws] == [tuple(r) for r in legacy]
+
+
+def test_repair_loop_on_realistic_transcript(spark):
+    """A recorded-style transcript (chatty preamble + wrong column on
+    turn 1, SQLite-isms + double-quoted literal on turn 2) through
+    run_with_repair: the first attempt must fail analysis, the repair
+    prompt must carry the previous SQL and the analyzer error, and the
+    repaired turn must execute correctly after dialect rewriting —
+    the full prompt → extract → rewrite → repair → execute loop on
+    completions NOT crafted to parse cleanly."""
+    import pandas as pd
+
+    from pandasqlite_spark import FakeLLM, ReplayLLM, ingest
+    from pandasqlite_spark.core.text2sql import run_with_repair
+
+    pdf = pd.DataFrame(
+        {
+            "Product Line": ["Camping", "Golf", "Camping"],
+            "Revenue!": [120.0, 80.0, 40.0],
+        }
+    )
+    results, _, _ = ingest(spark, [pdf], FakeLLM())  # enrichment turns
+
+    tname = results[0]["hash"]
+
+    transcript = [
+        # turn 1: prose wrapper + fenced SQL, but invents a column name
+        (
+            "Sure! To compute revenue per product line, you can aggregate"
+            " the revenue column grouped by the line, like this:\n\n"
+            f"```sql\nSELECT product_category, SUM(Revenue_) AS total\n"
+            f"FROM {tname} GROUP BY product_category ORDER BY 1;\n```\n"
+            "Let me know if you need anything else!"
+        ),
+        # turn 2 (after the error feedback): right column, but leans on
+        # SQLite habits — GROUP_CONCAT and a double-quoted literal
+        (
+            "Apologies — `product_category` does not exist; the column is"
+            " `Product_Line`. Here is the corrected query:\n\n"
+            f'```sql\nSELECT Product_Line, SUM(Revenue_) AS total,\n'
+            f"       GROUP_CONCAT(Product_Line) AS lines\n"
+            f'FROM {tname}\nWHERE Product_Line <> "Running"\n'
+            f"GROUP BY Product_Line ORDER BY Product_Line;\n```"
+        ),
+    ]
+    llm = ReplayLLM(transcript)
+    df = run_with_repair(spark, "total revenue per product line", results, llm)
+    rows = [(r[0], r[1]) for r in df.collect()]
+    assert rows == [("Camping", 160.0), ("Golf", 80.0)]
+    # the repair prompt carried the failing SQL and the analyzer error
+    assert len(llm.prompts) == 2
+    assert "[PREVIOUS ATTEMPT]" in llm.prompts[1]
+    assert "product_category" in llm.prompts[1]
+    assert "[ERROR]" in llm.prompts[1]

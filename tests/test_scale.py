@@ -562,3 +562,36 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
         assert "dynamicpruning" not in plan_text().lower()
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+
+
+def test_bpe_merges_plan_depth_constant(spark, sf_dir):
+    """Per-round localCheckpoint keeps the word-table plan depth flat:
+    without it, each merge stacks a replace-on-replace projection layer
+    and analysis cost grows with n_merges."""
+    from pandasqlite_spark.functions.text import bpe_merges
+    from pandasqlite_spark.operators.common import load
+
+    probe = []
+    bpe_merges(load(spark, sf_dir, "documents"), n_merges=6, _plan_probe=probe)
+    assert len(probe) >= 4
+    assert max(probe) == min(probe), probe  # constant across rounds
+
+
+def test_coverage_select_plan_depth_constant(spark):
+    """Same invariant for the greedy coverage loop: `remaining`'s plan
+    must not accumulate one anti-join layer per selection step.  Docs
+    with pairwise-disjoint vocabularies force one selection per doc,
+    so the loop provably runs k rounds."""
+    from pandasqlite_spark.functions.curate import coverage_select
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}x{j}" for j in range(8 - i)))
+            for i in range(6)
+        ],
+        "doc_id long, text string",
+    )
+    probe = []
+    coverage_select(docs, k=5, _plan_probe=probe)
+    assert len(probe) >= 4
+    assert max(probe) == min(probe), probe
