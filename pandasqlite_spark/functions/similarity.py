@@ -196,14 +196,23 @@ def _pair_cosine(pairs: DataFrame) -> DataFrame:
     )
 
 
+EXACT_BASELINE_CAP = 2000  # fixed reference subset for the n² baseline
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection on the embedding space: all pairs with
     cosine >= threshold.  This is the EXACT-RECALL oracle baseline —
-    the pair join is an explicit n²/2 product.  The default operator a
-    user should reach for is :func:`embedding_near_dupes` /
-    ``dedup-embedding-bucketed``, which restricts candidates to LSH
-    buckets and reranks with the same exact scoring."""
-    e = _dec_rows(load(spark, sf_dir, "embeddings"))
+    the pair join is an explicit n²/2 product — so it runs on a FIXED
+    reference subset (``vec_id < 2000``: the whole corpus at sf ≤ 0.1,
+    a pinned 2k-vector eval slice above), the standard ANN-eval
+    device: ground truth on a bounded slice, never on the corpus.
+    The default operator a user should reach for is
+    :func:`embedding_near_dupes` / ``dedup-embedding-bucketed``, which
+    restricts candidates to LSH buckets, reranks with the same exact
+    scoring, and runs UNCAPPED at any scale."""
+    e = _dec_rows(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_BASELINE_CAP)
+    )
     a = e.select(F.col("vec_id").alias("va"), F.col("xs").alias("xa"), F.col("nn").alias("na"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("xs").alias("xb"), F.col("nn").alias("nb"))
     return _pair_cosine(a.join(b, F.col("va") < F.col("vb"))).filter(
@@ -691,6 +700,75 @@ def q_simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_exact(emb.filter(F.col("vec_id") >= 8), queries, k=5)
 
 
+def q_simsearch_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated batch ANN retrieval — the SCALE form of
+    ``simsearch-knn-join``: both the query batch and the corpus are
+    assigned to coarse cells (broadcast centroids, one narrow pass
+    each), candidates are the same-cell equi-join (shuffle moves
+    (query, candidate) id pairs — ~1/N_CELLS of brute force), and the
+    exact decimal cosine reranks candidates only.  Emits the
+    production retrieval result (query_id, rank, vec_id, cosine);
+    `simsearch-recall-eval` prices exactly this operator's recall
+    against brute force, and `simsearch-nprobe-curve` its
+    candidate-count/recall tradeoff.
+
+    At 100 TB: assignment never shuffles the corpus (centroids
+    broadcast), the candidate join is an equi-join on cell, the
+    rerank is bounded by the cell population — the FAISS IVF-Flat
+    layout as relational algebra."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_n, k = 8, 5
+    queries = emb.filter(F.col("vec_id") < q_n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= q_n)
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    a_corpus = ivf_assign(corpus, cents)
+    a_q = ivf_assign(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
+        cents,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = a_q.join(a_corpus.select("vec_id", "cell"), "cell").select(
+        "query_id", "vec_id"
+    )
+    e = corpus.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+    )
+    qd = queries.select("query_id", F.posexplode("qv").alias("pos", "qx")).select(
+        "query_id", "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
+    )
+    ne = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
+    nq = qd.groupBy("query_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
+    )
+    dots = (
+        cand.join(e, "vec_id")
+        .join(qd, ["query_id", "pos"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
+    )
+    s = (
+        dots.join(ne, "vec_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------
@@ -1103,6 +1181,7 @@ QUERIES = {
     "simsearch-topk": q_simsearch_topk,
     "simsearch-pq-adc": q_simsearch_pq,
     "simsearch-knn-join": q_simsearch_knn_join,
+    "simsearch-ivf-knn-join": q_simsearch_ivf_knn_join,
     "simsearch-recall-eval": q_simsearch_recall_eval,
     "simsearch-mmr-rerank": q_simsearch_mmr,
     "simsearch-filtered": q_simsearch_filtered,
@@ -1185,7 +1264,8 @@ _EMB_DUP_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, t.i AS pos,
              CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
-      FROM embeddings, generate_series(1, 64) t(i)),
+      FROM embeddings, generate_series(1, 64) t(i)
+      WHERE vec_id < {EXACT_BASELINE_CAP}),
     n AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS nn FROM e GROUP BY 1),
     d AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -1336,6 +1416,49 @@ ORACLES = {
         FROM r GROUP BY 1 ORDER BY 1
     """,
     "simsearch-ivf": _IVF_ORACLE,
+    "simsearch-ivf-knn-join": """
+        WITH allv AS (
+          SELECT vec_id, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        c AS (SELECT vec_id AS cid, pos, x AS cx FROM allv WHERE vec_id < 8),
+        assign_all AS (
+          SELECT a.vec_id, c.cid, CAST(SUM(a.x * c.cx) AS DOUBLE) AS adot
+          FROM allv a JOIN c ON a.pos = c.pos GROUP BY 1, 2),
+        cells AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY adot DESC, cid) AS rn
+            FROM assign_all) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, pos, x AS qx FROM allv WHERE vec_id < 8),
+        e AS (SELECT vec_id, pos, x FROM allv WHERE vec_id >= 8),
+        ne AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS ne FROM e GROUP BY 1),
+        nq AS (SELECT query_id, CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q GROUP BY 1),
+        cand AS (
+          SELECT cq.vec_id AS query_id, ce.vec_id
+          FROM cells cq JOIN cells ce ON ce.cell = cq.cell
+          WHERE cq.vec_id < 8 AND ce.vec_id >= 8),
+        d AS (
+          SELECT q.query_id, e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot
+          FROM cand
+          JOIN e ON e.vec_id = cand.vec_id
+          JOIN q ON q.query_id = cand.query_id AND q.pos = e.pos
+          GROUP BY 1, 2),
+        s AS (
+          SELECT d.query_id, d.vec_id,
+                 d.dot / (sqrt(ne.ne) * sqrt(nq.nq)) AS cosine
+          FROM d JOIN ne ON ne.vec_id = d.vec_id
+                 JOIN nq ON nq.query_id = d.query_id)
+        SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id,
+               ROUND(cosine, 6) AS cosine
+        FROM (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rn
+          FROM s) WHERE rn <= 5
+        ORDER BY query_id, rank
+    """,
     "simsearch-lsh-buckets": f"""
         WITH s AS (
           SELECT vec_id, CAST({{bucket}} AS INTEGER) AS bucket FROM embeddings)

@@ -102,6 +102,7 @@ NESTED_LOOP_OK = {
     "range-join",  # declared range/theta join
     "asof-join",
     "tpch-q7",  # 2-row × 2-row nation-pair product (constant dimension cross)
+    "layout-zorder",  # 1-row (pmax, smax) quantization-bounds broadcast
     "simsearch-pq-adc",  # 16-row broadcast codebook + 1-row broadcast query
 }
 
