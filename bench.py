@@ -94,6 +94,16 @@ def _queries(sf_dir: str):
             "doc_id", token_count().alias("n_tokens"), quality_score().alias("q")
         )
 
+    def _decode(spark, d):
+        from pandasqlite_spark.functions.multimodal import q_multimodal_decode_image
+
+        return q_multimodal_decode_image(spark, d)
+
+    def _ivf_knn(spark, d):
+        from pandasqlite_spark.functions.similarity import q_simsearch_ivf_knn_join
+
+        return q_simsearch_ivf_knn_join(spark, d)
+
     return {
         "q1_pricing_summary": R.q_agg_count_sum_avg_min_max,
         "q2_region_revenue_join": R.q_join_inner_equi,
@@ -123,6 +133,13 @@ def _queries(sf_dir: str):
         # bounded sequential recurrence: gap-filled hourly grid + the
         # path-carrying Viterbi fold (collapse-then-fold throughput)
         "q17_burst_viterbi": _burst,
+        # REAL codec round trip per row (PNG encode -> inflate+unfilter
+        # decode) inside mapInPandas — the Python/Arrow batch-transfer
+        # + per-row compute throughput probe
+        "q18_multimodal_decode": _decode,
+        # cell-restricted ANN retrieval: broadcast centroid assign +
+        # same-cell candidate join + decimal rerank (the IVF scale path)
+        "q19_ivf_knn_join": _ivf_knn,
     }
 
 
