@@ -637,6 +637,45 @@ def q_events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stateful_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events-stateful-profiles`` on Spark 4's
+    ``transformWithStateInPandas``, with the same final-state
+    reduction and the same oracle.  Falls back to the
+    applyInPandasWithState form when the streaming Python runner is
+    unavailable (same degradation contract as
+    ``events-streaming-pattern-tws``)."""
+    from pandasqlite_spark.session import SPARK4_STATEFUL_AVAILABLE
+    from pandasqlite_spark.streaming import stateful
+
+    final = lambda name: (  # noqa: E731
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("last_ms").alias("last_ms"))
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    if SPARK4_STATEFUL_AVAILABLE:
+        try:
+            prev = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+            try:
+                stream = stateful.user_profiles_stream_tws(
+                    read_events_stream(spark, sf_dir)
+                )
+                name, q = run_stream_to_memory(stream, mode="update")
+                if q.exception() is None:
+                    return final(name)
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+        except Exception:
+            pass
+    stream = stateful.user_profiles_stream(read_events_stream(spark, sf_dir), evict=False)
+    name, _ = run_stream_to_memory(stream, mode="update")
+    return final(name)
+
+
 def q_events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming last-touch attribution driven to completion: per-user
     last-click state credits purchases as they arrive; the result must
@@ -894,6 +933,7 @@ QUERIES = {
     "events-streaming-enrich": q_events_streaming_enrich,
     "events-streaming-rate-limit": q_events_streaming_rate_limit,
     "events-stateful-profiles": q_events_stateful_profiles,
+    "events-stateful-profiles-tws": q_events_stateful_profiles_tws,
     "events-streaming-attribution": q_events_streaming_attribution,
     "events-streaming-pattern": q_events_streaming_pattern,
     "events-streaming-pattern-tws": q_events_streaming_pattern_tws,
@@ -1114,6 +1154,8 @@ ORACLES["events-stateful-profiles"] = """
            MAX(epoch_ms(ts)) AS last_ms
     FROM events GROUP BY user_id
 """
+# Spark-4 typed-state twin: same contract, same oracle
+ORACLES["events-stateful-profiles-tws"] = ORACLES["events-stateful-profiles"]
 
 
 ORACLES["events-streaming-attribution"] = """

@@ -344,3 +344,58 @@ def sequence_match_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",  # finite drain: no timers, availableNow terminates
     )
+
+
+def user_profiles_stream_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """:func:`user_profiles_stream` on Spark 4's
+    ``transformWithStateInPandas``: the per-user (count, total,
+    last-seen) profile in a typed ValueState.  Unlike the
+    applyInPandasWithState form, eviction here is STATE-LEVEL TTL
+    (``getValueState(..., ttlDurationMs=...)``) rather than a
+    processing-time timer — so a finite availableNow drain terminates
+    normally even with eviction configured (the timer-based form had
+    to disable eviction for finite drains; see
+    ``user_profiles_stream``'s evict=False note)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(events.sparkSession)
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle):
+            if ttl_ms is None:
+                self._p = handle.getValueState("profile", STATE_SCHEMA)
+            else:
+                self._p = handle.getValueState("profile", STATE_SCHEMA, ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total, last_ms = (
+                self._p.get() if self._p.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_ms = max(last_ms, int(pdf["ms"].max()))
+            self._p.update((n, total, last_ms))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total": [total],
+                    "last_ms": [last_ms],
+                }
+            )
+
+        def close(self):
+            pass
+
+    with_ms = events.withColumn("ms", F.unix_millis("ts"))
+    return with_ms.groupBy("user_id").transformWithStateInPandas(
+        ProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
