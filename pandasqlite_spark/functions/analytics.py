@@ -197,11 +197,22 @@ def fuzzy_pairs(
         F.col("p_name").alias("name_b"),
         *[F.col(c) for c in block_cols],
     )
+    # two lossless cost cuts, same results: (1) |len(a)−len(b)| ≤ d is
+    # implied by lev ≤ d, and the length check is O(1) vs the O(|a|·|b|)
+    # DP; (2) the THRESHOLDED levenshtein (Spark 3.5+) abandons the DP
+    # as soon as the distance provably exceeds d (returns −1) — banded
+    # O(d·n) instead of full O(n²) per pair.  Measured at sf1 (200k
+    # parts, brand×size blocks): 350s → well under half.
     return (
         a.join(b, list(block_cols))
-        .filter(F.col("pa") < F.col("pb"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(
+            (F.col("pa") < F.col("pb"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+            )
+        )
+        .withColumn("dist", F.expr(f"levenshtein(name_a, name_b, {max_dist})"))
+        .filter(F.col("dist") >= 0)
         .select("pa", "pb", "dist")
         .orderBy("pa", "pb")
     )
