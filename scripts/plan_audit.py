@@ -162,6 +162,7 @@ def count_global_windows(plan: str) -> int:
 # against the batch twin's semantics elsewhere; skip plan text checks.
 SKIP = {k for k in entrymod.queries() if k.startswith("events-streaming")}
 SKIP.add("events-stateful-profiles")
+SKIP.add("events-stateful-profiles-tws")
 
 
 def main() -> int:

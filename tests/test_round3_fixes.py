@@ -103,3 +103,28 @@ def test_dp_laplace_noise_always_finite(spark, sf_dir):
     for r in rows:
         assert r.noise is not None and np.isfinite(r.noise)
         assert r.released is not None and np.isfinite(r.released)
+
+
+def test_fast_compare_agrees_with_canon(spark, sf_dir, monkeypatch):
+    """The vectorized hash fast path must agree with the tuple-canon
+    slow path: equal frames pass, a single perturbed value fails."""
+    import numpy as np
+
+    from tests import util as U
+
+    monkeypatch.setattr(U, "_FAST_COMPARE_MIN_ROWS", 1)
+    df = spark.createDataFrame(
+        [(i, float(i) / 3.0, f"s{i}", None if i % 7 == 0 else i % 3)
+         for i in range(500)],
+        "a long, b double, c string, d int",
+    )
+    pdf = df.toPandas()
+    assert U.compare(df, pdf) == []
+    bad = pdf.copy()
+    bad.loc[123, "b"] = 99.5
+    problems = U.compare(df, bad)
+    assert problems and "values differ" in problems[0]
+    # cross-type false-match guard: int 5 must not equal string '5'
+    sa = spark.createDataFrame([(5,)], "x string").selectExpr("CAST(x AS STRING) AS x")
+    import pandas as pd
+    assert U.compare(sa, pd.DataFrame({"x": [5]}))  # non-empty problems
