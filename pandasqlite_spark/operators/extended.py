@@ -509,7 +509,12 @@ def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("I").alias("op"), F.lit(1).alias("seq"),
     )
     changes = deletes.unionByName(upd1).unionByName(upd2).unionByName(inserts)
-    w = W.partitionBy("key").orderBy(F.desc("seq"))
+    # TOTAL order: above sf0.1 the +2M insert keys can collide with
+    # real snapshot keys, creating tied (key, seq) pairs whose
+    # row_number pick would be engine-arbitrary — the op tiebreak keeps
+    # last-writer-wins deterministic under collisions (caught by the
+    # sf1 sweep; invisible at sf0.1 where max key < 2M)
+    w = W.partitionBy("key").orderBy(F.desc("seq"), F.desc("op"))
     last = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -989,7 +994,8 @@ ORACLES: dict[str, str] = {
           FROM o WHERE key % 97 = 0),
         last AS (
           SELECT key, price, op FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) rn
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                         ORDER BY seq DESC, op DESC) rn
             FROM changes) WHERE rn = 1)
         SELECT COALESCE(o.key, last.key) AS key,
                CASE WHEN last.op IS NOT NULL THEN last.price

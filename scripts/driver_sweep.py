@@ -57,6 +57,13 @@ def main() -> int:
     spark = vanilla_spark() if vanilla else get_spark("driver_sweep")
     if vanilla:
         print(f"vanilla session: ansi={spark.conf.get('spark.sql.ansi.enabled')}")
+    # COLLECTION plumbing, not engine conf: the comparator's toPandas
+    # without Arrow converts row-at-a-time (30+ min for a 6M-row result
+    # at sf1 — the long pole of the first sf1 sweep attempt).  Arrow
+    # changes how the driver RECEIVES rows, never what the engine
+    # computes, so the vanilla-session independence the sweep exists to
+    # prove is untouched.  Runtime-settable, so set it for both modes.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     con = duckdb_connection(sf_dir)
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     if only is not None:
@@ -67,7 +74,10 @@ def main() -> int:
         queries = {k: v for k, v in queries.items() if k in only}
     t0 = time.perf_counter()
     failures: list[tuple[str, object]] = []
+    verbose = os.environ.get("SWEEP_VERBOSE") == "1"
     for key in sorted(queries):
+        if verbose:
+            print(f"KEY {key}", flush=True)
         t1 = time.perf_counter()
         try:
             df = queries[key](spark, sf_dir)

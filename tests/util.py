@@ -124,14 +124,28 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     if len(got) >= _FAST_COMPARE_MIN_ROWS and len(got) == len(oracle_pdf):
         import numpy as np
 
-        ha = np.sort(pd.util.hash_pandas_object(_canon_strings(got), index=False).to_numpy())
-        hb = np.sort(pd.util.hash_pandas_object(_canon_strings(oracle_pdf), index=False).to_numpy())
-        if np.array_equal(ha, hb):
+        hu_a = pd.util.hash_pandas_object(_canon_strings(got), index=False).to_numpy()
+        hu_b = pd.util.hash_pandas_object(_canon_strings(oracle_pdf), index=False).to_numpy()
+        if np.array_equal(np.sort(hu_a), np.sort(hu_b)):
             return problems
-        # hashes differ -> fall through to the slow path for diagnostics
+        # mismatch: derive example rows from the hash multiset diff
+        # instead of the O(n) python tuple path (which took 10+ min on
+        # multi-million-row frames during the sf1 sweep)
+        only_a = np.setdiff1d(hu_a, hu_b)
+        only_b = np.setdiff1d(hu_b, hu_a)
+        ex_a = got.iloc[np.flatnonzero(np.isin(hu_a, only_a))[:3]].to_dict("records")
+        ex_b = oracle_pdf.iloc[np.flatnonzero(np.isin(hu_b, only_b))[:3]].to_dict("records")
+        problems.append(
+            f"values differ (hash multiset); spark-only~{ex_a} oracle-only~{ex_b}"
+        )
+        return problems
     a, b = canon(got), canon(oracle_pdf)
     if a != b:
-        diff_a = [r for r in a if r not in set(map(tuple, b))][:3]
-        diff_b = [r for r in b if r not in set(map(tuple, a))][:3]
+        # hoist the sets: evaluating set(map(tuple, b)) inside the
+        # comprehension condition rebuilds it PER ROW — O(n²), the
+        # livelock that ate the first sf1 sweep's diagnostics
+        set_b, set_a = set(map(tuple, b)), set(map(tuple, a))
+        diff_a = [r for r in a if r not in set_b][:3]
+        diff_b = [r for r in b if r not in set_a][:3]
         problems.append(f"values differ; spark-only={diff_a} oracle-only={diff_b}")
     return problems
