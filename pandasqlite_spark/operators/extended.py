@@ -496,12 +496,28 @@ def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("key"), F.lit(None).cast("double").alias("price"),
         F.lit("D").alias("op"), F.lit(1).alias("seq"),
     )
+    # price bumps in EXACT decimal: ROUND(double * 1.1, 2) rounds a
+    # binary value whose decimal boundary cases Spark (BigDecimal
+    # HALF_UP on the shortest decimal repr) and DuckDB (pure binary)
+    # resolve differently — divergent keys appear once the sf1 key
+    # selection hits a boundary price.  DECIMAL(12,2) × DECIMAL(2,1)
+    # is exact, and decimal HALF_UP rounding agrees in both engines.
+    def bump(factor: str) -> Column:
+        return (
+            F.round(
+                F.col("o_totalprice").cast("decimal(12,2)")
+                * F.lit(factor).cast("decimal(2,1)"),
+                2,
+            )
+            .cast("double")
+        )
+
     upd1 = o.filter((k % 17 == 0) & (k % 31 != 0)).select(
-        k.alias("key"), F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        k.alias("key"), bump("1.1").alias("price"),
         F.lit("U").alias("op"), F.lit(1).alias("seq"),
     )
     upd2 = o.filter((k % 34 == 0) & (k % 31 != 0)).select(
-        k.alias("key"), F.round(F.col("o_totalprice") * 1.2, 2).alias("price"),
+        k.alias("key"), bump("1.2").alias("price"),
         F.lit("U").alias("op"), F.lit(2).alias("seq"),
     )
     inserts = o.filter(k % 97 == 0).select(
@@ -984,10 +1000,14 @@ ORACLES: dict[str, str] = {
           SELECT key, CAST(NULL AS DOUBLE) AS price, 'D' AS op, 1 AS seq
           FROM o WHERE key % 31 = 0
           UNION ALL
-          SELECT key, ROUND(o_totalprice * 1.1, 2), 'U', 1
+          SELECT key,
+                 CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2))
+                            * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE), 'U', 1
           FROM o WHERE key % 17 = 0 AND key % 31 <> 0
           UNION ALL
-          SELECT key, ROUND(o_totalprice * 1.2, 2), 'U', 2
+          SELECT key,
+                 CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2))
+                            * CAST(1.2 AS DECIMAL(2,1)), 2) AS DOUBLE), 'U', 2
           FROM o WHERE key % 34 = 0 AND key % 31 <> 0
           UNION ALL
           SELECT key + 2000000, ROUND(o_totalprice, 2), 'I', 1

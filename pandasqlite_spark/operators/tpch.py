@@ -41,7 +41,19 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 pricing summary: one scan, map-side partial agg, tiny shuffle
     (|groups| × |partitions| rows)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    charge = _disc_price() * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    # charge uses NARROW input precisions on purpose: with (18,2)
+    # operands the triple product overflows DECIMAL(38) — Spark then
+    # rounds (allowPrecisionLoss) while DuckDB promotes to DOUBLE, two
+    # different inexact paths that diverged by 1 ulp at sf1.  With
+    # (12,2)·(4,2) inputs the product is DECIMAL(24,6): exactly
+    # representable, bit-identical sums in both engines at any SF.
+    ext12 = F.col("l_extendedprice").cast("decimal(12,2)")
+    one4 = F.lit(1).cast("decimal(4,2)")
+    charge = (
+        ext12
+        * (one4 - F.col("l_discount").cast("decimal(4,2)"))
+        * (one4 + F.col("l_tax").cast("decimal(4,2)"))
+    )
     n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -59,7 +71,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_sq").cast("double").alias("sum_qty"),
             F.col("_sb").cast("double").alias("sum_base_price"),
             F.col("_sd").cast("double").alias("sum_disc_price"),
-            F.col("_sc").cast("double").alias("sum_charge"),
+            # round the charge sum to scale 2 BEFORE the double cast:
+            # at scale 6 the unscaled value tops 2^53 and the
+            # decimal→double conversion itself rounds differently
+            # across engines (Java's correctly-rounded string path vs
+            # a two-step int→double/10^scale) — at scale 2 the
+            # unscaled value is exactly double-representable
+            F.round(F.col("_sc"), 2).cast("double").alias("sum_charge"),
             (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
             (F.col("_sb").cast("double") / F.col("count_order")).alias("avg_price"),
             (F.col("_sdisc").cast("double") / F.col("count_order")).alias("avg_disc"),
@@ -705,7 +723,10 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                CAST(SUM({_DISC}) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM({_DISC} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
                CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
