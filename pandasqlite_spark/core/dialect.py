@@ -337,7 +337,7 @@ def _rewrite_misc_sqlite(sql: str, spans: list[str]) -> str:
 _GLOB_SAFE_RE = re.compile(r"^'[^%_]*'$")
 
 
-def _rewrite_glob(sql: str, spans: list[str]) -> str:
+def _rewrite_glob(sql: str, spans: list[str], identifiers: set[str] | None = None) -> str:
     """``x GLOB '<pat>'`` → case-sensitive LIKE with ``*``→``%``,
     ``?``→``_`` — only when the pattern contains no LIKE
     metacharacters of its own (else left untouched to fail loudly
@@ -356,10 +356,19 @@ def _rewrite_glob(sql: str, spans: list[str]) -> str:
         return f"{m.group(1)} LIKE\x01 \x00{idx}\x00"
 
     # SQLite also accepts a double-quoted pattern (``GLOB "x*"``);
-    # double quotes aren't masked (they're ambiguous with identifiers),
-    # so promote just these to masked single-quoted spans first.
+    # double quotes aren't masked (they're ambiguous with identifiers)
+    # and SQLite resolves a double-quoted GLOB operand as an IDENTIFIER
+    # first, so promote to a pattern literal only when the text carries
+    # glob metacharacters (*, ?, [) or is provably not a known column —
+    # ``x GLOB "col"`` (a column reference) must stay an identifier.
     def promote(m: re.Match) -> str:
-        spans.append(f"'{m.group(1)}'")
+        text = m.group(1)
+        is_pattern = any(ch in text for ch in "*?[") or (
+            identifiers and text.lower() not in identifiers
+        )
+        if not is_pattern:
+            return m.group(0)
+        spans.append(f"'{text}'")
         return f"GLOB \x00{len(spans) - 1}\x00"
 
     sql = re.sub(r'GLOB\s+"([^"]*)"', promote, sql, flags=re.IGNORECASE)
@@ -389,7 +398,7 @@ def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> st
     masked = _rewrite_now_forms(masked, spans)
     masked = _rewrite_julianday(masked)
     masked = _rewrite_misc_sqlite(masked, spans)
-    masked = _rewrite_glob(masked, spans)
+    masked = _rewrite_glob(masked, spans, identifiers)
     masked = re.sub(
         r"(\x00\d+\x00|\)|\w+(?:\.\w+)?)(\s+NOT)?(\s+)LIKE\s+",
         r"\1\2\3ILIKE ",

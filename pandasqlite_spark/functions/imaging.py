@@ -223,7 +223,10 @@ def resize_area(img: np.ndarray, factor: int) -> np.ndarray:
     if h % factor or w % factor:
         raise ValueError("dimensions must divide the factor")
     blocks = img.astype(np.int64).reshape(h // factor, factor, w // factor, factor, -1)
-    return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8).squeeze(-1)
+    out = (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+    # drop the channel axis only when it is size 1 (grey / (H,W,1)):
+    # an unconditional squeeze(-1) raised ValueError on RGB/RGBA input
+    return out[..., 0] if out.shape[-1] == 1 else out
 
 
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -60,7 +60,12 @@ def enable_spark4_stateful_runner() -> bool:
             from google.protobuf import descriptor  # noqa: F401
         except ImportError:
             return False
-    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        # the version-check escape hatch is for the VENDORED pure-Python
+        # runtime's minor-version gap only — when a healthy site-packages
+        # protobuf imported on the first try, leave the check on so a
+        # genuine gencode/runtime incompatibility on a properly
+        # provisioned cluster still fails loudly
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
     return True
 
 

@@ -103,7 +103,10 @@ def _detect_sequence(
     if state.hasTimedOut:
         state.remove()
         return
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    dfs = list(pdfs)
+    if not dfs:  # pd.concat([]) raises before the empty-batch guard
+        return
+    batch = pd.concat(dfs, ignore_index=True)
     if len(batch) == 0:
         return
     batch = batch.sort_values(["us", "event_id"], ignore_index=True)
@@ -289,7 +292,12 @@ def sequence_match_stream_tws(events: DataFrame) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
-            batch = pd.concat(list(rows), ignore_index=True)
+            # materialize before concat: pd.concat([]) raises ValueError,
+            # and a timer-driven invocation (future timeMode) sends no rows
+            dfs = list(rows)
+            if not dfs:
+                return
+            batch = pd.concat(dfs, ignore_index=True)
             if len(batch) == 0:
                 return
             batch = batch.sort_values(["us", "event_id"], ignore_index=True)

@@ -180,6 +180,28 @@ def test_dialect_keeps_known_identifiers_quoted():
     assert out == "SELECT `Unit_cost` FROM t"
 
 
+def test_glob_double_quoted_column_stays_identifier():
+    # SQLite resolves a double-quoted GLOB operand as an identifier
+    # FIRST: ``x GLOB "col"`` compares against the COLUMN col, so it
+    # must not be promoted to a pattern literal (round-3 ADVICE)
+    out = rewrite_sqlite_to_spark(
+        'SELECT * FROM t WHERE a GLOB "pat_col"', identifiers={"a", "pat_col"}
+    )
+    assert "LIKE" not in out and "GLOB" in out
+    # no metacharacters and no schema knowledge → conservative: untouched
+    out2 = rewrite_sqlite_to_spark('SELECT * FROM t WHERE a GLOB "plain"')
+    assert "LIKE" not in out2
+    # metacharacters always mean a pattern, even if schema is unknown
+    out3 = rewrite_sqlite_to_spark('SELECT * FROM t WHERE a GLOB "pre*"')
+    assert out3 == "SELECT * FROM t WHERE a LIKE 'pre%'"
+    # known schema + not a column + no metachars → SQLite's legacy
+    # string-literal fallback applies, promote to an exact-match pattern
+    out4 = rewrite_sqlite_to_spark(
+        'SELECT * FROM t WHERE a GLOB "xyz"', identifiers={"a", "b"}
+    )
+    assert out4 == "SELECT * FROM t WHERE a LIKE 'xyz'"
+
+
 @pytest.mark.parametrize(
     "src,expected",
     [

@@ -142,3 +142,23 @@ def test_resize_image_binary_roundtrip():
     assert thumb.shape == (2, 2)
     want = img.astype(int).reshape(2, 2, 2, 2).sum(axis=(1, 3)) // 4
     assert np.array_equal(thumb, want)
+
+
+def test_resize_area_rgb():
+    # round-3 ADVICE: unconditional squeeze(-1) raised ValueError on
+    # multi-channel input — RGB must mean-pool per channel
+    img = _rng(22).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    pooled = im.resize_area(img, 2)
+    assert pooled.shape == (2, 2, 3)
+    want = img.astype(int).reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) // 4
+    assert np.array_equal(pooled, want)
+
+
+def test_resize_image_rgb_roundtrip():
+    from pandasqlite_spark.functions import multimodal as mm
+
+    img = _rng(23).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    thumb = im.decode_png(mm.resize_image(im.encode_png(img), 2))
+    assert thumb.shape == (2, 2, 3)
+    want = img.astype(int).reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) // 4
+    assert np.array_equal(thumb, want)

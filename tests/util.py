@@ -113,7 +113,12 @@ _FAST_COMPARE_MIN_ROWS = 100_000
 
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     """Returns a list of mismatch descriptions (empty = match)."""
-    got = spark_df.toPandas()
+    return compare_frames(spark_df.toPandas(), oracle_pdf)
+
+
+def compare_frames(got: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """compare() after the Spark side is already collected — lets the
+    sweep time (spark collect, oracle, compare) as separate phases."""
     problems = []
     if sorted(got.columns) != sorted(oracle_pdf.columns):
         problems.append(f"columns: spark={sorted(got.columns)} oracle={sorted(oracle_pdf.columns)}")
@@ -127,6 +132,24 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         hu_a = pd.util.hash_pandas_object(_canon_strings(got), index=False).to_numpy()
         hu_b = pd.util.hash_pandas_object(_canon_strings(oracle_pdf), index=False).to_numpy()
         if np.array_equal(np.sort(hu_a), np.sort(hu_b)):
+            # Hash-multiset equality uses 64-bit row hashes: a collision
+            # pairing a spark-only row with a DIFFERENT oracle-only row
+            # would silently mask a divergence.  Birthday bound: for n
+            # rows the chance any two distinct canonical strings share a
+            # hash is < n²/2⁶⁴ (≈ 2e-6 at n=6M), and masking further
+            # requires the collision to land symmetrically in both
+            # frames.  To bound the residual risk, spot-check the rows
+            # carrying the k smallest hashes (deterministic sample; the
+            # same hashes select corresponding rows on both sides when
+            # no collision occurred) through the exact canon path.
+            k = 16
+            idx_a = np.argsort(hu_a, kind="stable")[:k]
+            idx_b = np.argsort(hu_b, kind="stable")[:k]
+            if canon(got.iloc[idx_a]) != canon(oracle_pdf.iloc[idx_b]):
+                problems.append(
+                    "hash multisets equal but exact spot-check differs "
+                    "(64-bit collision masking a divergence)"
+                )
             return problems
         # mismatch: derive example rows from the hash multiset diff
         # instead of the O(n) python tuple path (which took 10+ min on
