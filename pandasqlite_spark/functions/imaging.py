@@ -248,3 +248,408 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     top = img_f[y0][:, x0] * (1 - wx) + img_f[y0][:, x1] * wx
     bot = img_f[y1][:, x0] * (1 - wx) + img_f[y1][:, x1] * wx
     return np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): pure-numpy encoder + decoder.
+#
+# The decoder handles the real-world baseline profile — SOF0, 8-bit,
+# greyscale or YCbCr with any JFIF sampling (4:4:4, 4:2:0, 4:2:2),
+# multiple DQT/DHT segments, restart markers, byte stuffing — because a
+# 100 TB multimodal corpus is mostly baseline JPEG.  Progressive (SOF2),
+# arithmetic coding, and 12-bit precision raise NotImplementedError.
+#
+# The encoder emits single-component (greyscale) baseline files with the
+# ITU T.81 Annex K luminance Huffman tables and a caller-chosen
+# quantization table.  With a flat all-ones table, an image made of
+# CONSTANT 8x8 blocks round-trips EXACTLY (each block is DC-only and the
+# DC coefficient 8*(v-128) is an integer), which is what lets the
+# multimodal-decode-jpeg key carry a full value oracle without the
+# oracle re-implementing a JPEG reader.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: A @ block @ A.T == JPEG FDCT
+_DCT_A = np.array([
+    [((1 / np.sqrt(2)) if u == 0 else 1.0) * 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)]
+    for u in range(8)
+])
+
+# ITU T.81 Annex K.3 luminance tables (public spec constants)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline greyscale JPEG bytes for an (H,W) uint8 array — real
+    FDCT, quantization, zigzag run-length, Annex-K Huffman coding, byte
+    stuffing.  ``qtable`` is a (8,8) int array (default: all ones, i.e.
+    maximum quality; constant 8x8 blocks then round-trip exactly).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (DC predictor reset), exercising the decoder's resync path."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("greyscale encoder: expected (H,W)")
+    h, w = img.shape
+    q = np.ones((8, 8), np.int64) if qtable is None else np.asarray(qtable, np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("qtable must be (8,8) with entries in 1..255")
+    ph, pw = -h % 8, -w % 8  # pad by edge replication to full blocks
+    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    hb, wb = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = padded.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT_A, blocks, _DCT_A)
+    quant = np.round(coeffs / q).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, _ZIGZAG]
+
+    dc_code = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_code = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    scan_parts: list[bytes] = []
+    for m, blk in enumerate(zz):
+        if restart_interval and m and m % restart_interval == 0:
+            scan_parts.append(bw.flush())
+            scan_parts.append(bytes([0xFF, 0xD0 + ((m // restart_interval) - 1) % 8]))
+            bw = _BitWriter()
+            prev_dc = 0
+        size, bits = _magnitude(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        c, ln = dc_code[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_code[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = ac_code[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+        if run:
+            c, ln = ac_code[0x00]  # EOB
+            bw.write(c, ln)
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q.reshape(-1)[_ZIGZAG]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += dht(0x00, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(0x10, _AC_LUM_BITS, _AC_LUM_VALS)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 unstuffing; stops at any
+    non-stuffing marker (RSTn handled by the caller via resync)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end (T.81 F.2.2.5)
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed FF
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # a real marker: pad with 1-bits, let the caller resync
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def resync(self) -> None:
+        """Drop buffered bits and skip an RSTn marker at the cursor."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for canonical T.81 tables."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a BASELINE (SOF0, 8-bit, Huffman) JPEG to uint8 (H,W) for
+    greyscale or (H,W,3) RGB for YCbCr — any JFIF sampling (4:4:4,
+    4:2:0, 4:2:2), multiple DQT/DHT segments, DRI/RSTn restart markers.
+    Progressive (SOF2) / arithmetic / 12-bit variants raise
+    NotImplementedError (the documented seam for PIL on a full cluster)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_order: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG unsupported (baseline only)")
+        if marker in (0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError("non-baseline SOF unsupported")
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                tab = _huff_decode_table(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = payload[0]
+            for i in range(ns):
+                cs, tds = payload[1 + 2 * i], payload[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_order.append(
+                    {"comp": comp, "dc": tds >> 4, "ac": tds & 15}
+                )
+            pos = pos + 2 + ln
+            break
+        elif marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        pos += 2 + ln
+    if not scan_order or not comps:
+        raise ValueError("missing SOF/SOS")
+
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    # per-component quantized-coefficient storage (filled in MCU order)
+    store = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+        for c in comps
+    }
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcus_x * mcus_y
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            br.resync()
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for s in scan_order:
+            c = s["comp"]
+            dct, act = dc_tabs[s["dc"]], ac_tabs[s["ac"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, np.int64)
+                    size = _read_symbol(br, dct)
+                    diff = _extend(br.bits(size), size)
+                    pred[c["id"]] += diff
+                    blk[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(br, act)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overrun")
+                        blk[k] = _extend(br.bits(sz), sz)
+                        k += 1
+                    store[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = blk
+
+    planes = {}
+    for c in comps:
+        zz = store[c["id"]]
+        nby, nbx = zz.shape[:2]
+        coeff = np.zeros((nby * nbx, 64), np.float64)
+        coeff[:, _ZIGZAG] = zz.reshape(-1, 64)
+        coeff = coeff.reshape(-1, 8, 8) * qtables[c["tq"]]
+        spatial = np.einsum("xu,nuv,yv->nxy", _DCT_A.T, coeff, _DCT_A.T)
+        plane = (
+            spatial.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # upsample to full resolution by sample replication
+        ry, rx = max_v // c["v"], max_h // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes[c["id"]] = plane[:h, :w]
+
+    if len(comps) == 1:
+        return planes[comps[0]["id"]].astype(np.uint8)
+    if len(comps) == 3:
+        y, cb, cr = (planes[c["id"]] for c in comps)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"{len(comps)}-component JPEG unsupported")

@@ -5,10 +5,11 @@ metadata; decode / feature-extract run as Arrow-batched pandas
 functions over ``mapInPandas``.  The decoders are REAL for the
 formats decodable with stdlib + numpy (see
 :mod:`pandasqlite_spark.functions.imaging`): PNG (zlib inflate, CRC
-verify, all five scanline filters), RIFF/WAV 16-bit PCM, and
+verify, all five scanline filters), baseline JPEG (SOF0 Huffman DCT,
+greyscale/YCbCr, restart markers), RIFF/WAV 16-bit PCM, and
 YUV4MPEG2 frame sampling.  Formats that genuinely need native libs
-(JPEG, mp3, mp4) raise ``NotImplementedError`` — swap the decoder
-body for PIL/soundfile/pyav on a cluster that has them; the
+(progressive JPEG, mp3, mp4) raise ``NotImplementedError`` — swap the
+decoder body for PIL/soundfile/pyav on a cluster that has them; the
 ``mapInPandas`` plumbing does not change.
 
 - ``attach_payload``      — deterministic md5-digest payload (production:
@@ -76,15 +77,18 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int, int]:
 
 def decode_image(payload: bytes):
     """REAL image decoder: PNG (8-bit grey/RGB/RGBA, any scanline
-    filter, CRC-verified) via the pure-stdlib codec in
-    :mod:`pandasqlite_spark.functions.imaging`.  Returns a uint8
-    numpy array (H,W[,C]).  Formats needing native libs (JPEG, WebP)
-    still raise — swap this body for PIL on a cluster that has it."""
+    filter, CRC-verified) and baseline JPEG (SOF0 Huffman, greyscale or
+    YCbCr 4:4:4/4:2:0/4:2:2, restart markers) via the pure-numpy codecs
+    in :mod:`pandasqlite_spark.functions.imaging`.  Returns a uint8
+    numpy array (H,W[,C]).  Progressive JPEG / WebP still raise — swap
+    this body for PIL on a cluster that has it."""
     from pandasqlite_spark.functions import imaging
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return imaging.decode_png(payload)
-    raise NotImplementedError("only PNG decodable without native imaging libs")
+    if payload[:2] == b"\xff\xd8":
+        return imaging.decode_jpeg(payload)
+    raise NotImplementedError("format not decodable without native imaging libs")
 
 
 def decode_audio(payload: bytes):
@@ -850,4 +854,98 @@ ORACLES["multimodal-phash-pairs"] = f"""
     FROM cand
     WHERE bit_count(xor(pha, phb)) <= {PHASH_MAX_HAMMING}
     ORDER BY doc_a, doc_b
+"""
+
+
+JPEG_SCHEMA = "doc_id bigint, jpg binary"
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, jpg): each doc's 16 md5 digest bytes become a 32×32
+    greyscale image of 4×4 CONSTANT 8×8 blocks, encoded to REAL baseline
+    JPEG bytes (FDCT, flat quant table, Annex-K Huffman, byte stuffing,
+    restart markers every 2 MCUs) inside ``mapInPandas``.  Constant
+    blocks are DC-only with an integer DC coefficient, so the lossy
+    format round-trips these images EXACTLY — which is what lets the
+    decode key carry a full value oracle (the same encode∘decode
+    identity trick as the PNG key, stated for JPEG's one exactly
+    representable subspace)."""
+    import numpy as np
+
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pandasqlite_spark.functions.imaging import encode_jpeg
+
+        for pdf in batches:
+            jpgs = [
+                encode_jpeg(
+                    np.frombuffer(hashlib.md5(t.encode()).digest(), dtype=np.uint8)
+                    .reshape(4, 4)
+                    .repeat(8, 0)
+                    .repeat(8, 1),
+                    restart_interval=2,
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+    return docs.select("doc_id", "text").mapInPandas(op, JPEG_SCHEMA)
+
+
+def decode_jpegs(with_jpg: DataFrame) -> DataFrame:
+    """Arrow-batched REAL JPEG decode: marker walk → DQT/DHT/SOF0/DRI
+    parse → Huffman entropy decode with restart resync → dequant →
+    IDCT → pixel stats.  Same ``mapInPandas`` shape as
+    :func:`decode_images`; only the codec differs."""
+    from pandasqlite_spark.operators.common import ensure_package_on_workers
+
+    ensure_package_on_workers(with_jpg.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, mins, maxs = [], [], [], [], [], []
+            for doc_id, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                img = decode_image(bytes(jpg))
+                ids.append(doc_id)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(int).sum()))
+                mins.append(int(img.min()))
+                maxs.append(int(img.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int32"),
+                    "px_min": pd.Series(mins, dtype="int32"),
+                    "px_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return with_jpg.mapInPandas(op, DECODE_SCHEMA)
+
+
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_jpegs(attach_jpeg_payload(load(spark, sf_dir, "documents")))
+
+
+QUERIES["multimodal-decode-jpeg"] = q_multimodal_decode_jpeg
+
+# each digest byte paints a constant 8x8 block: decoded pixel sum is
+# 64 * sum(bytes); min/max are the byte min/max; dims are fixed 32x32
+ORACLES["multimodal-decode-jpeg"] = """
+    WITH b AS (
+      SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::INT AS v
+      FROM documents, (SELECT unnest(range(0, 16)) AS i))
+    SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(64 * SUM(v) AS INTEGER) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM b GROUP BY doc_id
 """

@@ -138,13 +138,20 @@ def main() -> int:
                     else None
                 )
                 if cpath and os.path.exists(cpath):
-                    with open(cpath, "rb") as fh:
-                        opdf = pickle.load(fh)
+                    try:
+                        with open(cpath, "rb") as fh:
+                            opdf = pickle.load(fh)
+                    except Exception:  # corrupt/partial cache: recompute
+                        opdf = None
                 if opdf is None:
                     opdf = con.sql(oracles[key]).df()
                     if cpath:
-                        with open(cpath, "wb") as fh:
-                            pickle.dump(opdf, fh)
+                        try:  # cache is an optimization, never a failure
+                            os.makedirs(cache_dir, exist_ok=True)
+                            with open(cpath, "wb") as fh:
+                                pickle.dump(opdf, fh)
+                        except OSError:
+                            pass
                 oracle_s = time.perf_counter() - to
                 rec["oracle_rows"] = len(opdf)
                 tc = time.perf_counter()

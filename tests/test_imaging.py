@@ -125,8 +125,11 @@ def test_resize_bilinear_identity_and_constant():
 def test_decode_dispatch_rejects_foreign_formats():
     from pandasqlite_spark.functions import multimodal as mm
 
+    # baseline JPEG now decodes; PROGRESSIVE still raises through the seam
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0JFIF-like")
+        mm.decode_image(b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00\x08")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"RIFF....WEBPVP8 webp-like")
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x03mp3-like")
     with pytest.raises(NotImplementedError):
@@ -162,3 +165,113 @@ def test_resize_image_rgb_roundtrip():
     assert thumb.shape == (2, 2, 3)
     want = img.astype(int).reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) // 4
     assert np.array_equal(thumb, want)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (round-3 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_block_exact_roundtrip():
+    # the oracle contract: constant 8x8 blocks are DC-only and the DC
+    # coefficient 8*(v-128) is integer, so with a flat qtable the
+    # encode∘decode composition is the identity
+    bytes16 = _rng(31).integers(0, 256, 16, dtype=np.uint8)
+    img = bytes16.reshape(4, 4).repeat(8, 0).repeat(8, 1)
+    back = im.decode_jpeg(im.encode_jpeg(img))
+    assert back.shape == (32, 32)
+    assert np.array_equal(back, img)
+
+
+def test_jpeg_random_near_exact_and_odd_dims():
+    rng = _rng(33)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    back = im.decode_jpeg(im.encode_jpeg(img))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+    img2 = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    back2 = im.decode_jpeg(im.encode_jpeg(img2))
+    assert back2.shape == (13, 21)
+    assert np.abs(back2.astype(int) - img2.astype(int)).max() <= 2
+
+
+def test_jpeg_coarse_qtable_decodes():
+    img = _rng(35).integers(0, 256, (16, 16), dtype=np.uint8)
+    q = np.full((8, 8), 16, np.int64)
+    back = im.decode_jpeg(im.encode_jpeg(img, qtable=q))
+    assert back.shape == (16, 16)
+    # lossy but sane: within half the quant step of a DC-only bound
+    assert np.abs(back.astype(int) - img.astype(int)).max() < 64
+
+
+def test_jpeg_restart_markers():
+    img = _rng(37).integers(0, 256, (32, 48), dtype=np.uint8)
+    for ri in (1, 3, 7):
+        back = im.decode_jpeg(im.encode_jpeg(img, restart_interval=ri))
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_rejected():
+    with pytest.raises(NotImplementedError):
+        im.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00\x08")
+    with pytest.raises(ValueError):
+        im.decode_jpeg(b"not a jpeg")
+
+
+def _build_color_jpeg_420(y0: int, cb0: int, cr0: int, mcus_x: int, mcus_y: int) -> bytes:
+    """Hand-assemble a 3-component 4:2:0 baseline JPEG with constant
+    planes (Y=y0, Cb=cb0, Cr=cr0) using the module's own Huffman
+    machinery — exercises the decoder's multi-component MCU walk,
+    chroma upsampling, and YCbCr→RGB conversion against exactly
+    computable expectations."""
+    import struct
+
+    dc_code = im._huff_codes(im._DC_LUM_BITS, im._DC_LUM_VALS)
+    ac_code = im._huff_codes(im._AC_LUM_BITS, im._AC_LUM_VALS)
+    bw = im._BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def put_block(cid: int, v: int) -> None:
+        dc = 8 * (v - 128)
+        size, bits = im._magnitude(dc - pred[cid])
+        pred[cid] = dc
+        c, ln = dc_code[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(bits, size)
+        c, ln = ac_code[0x00]  # EOB: constant block has no AC
+        bw.write(c, ln)
+
+    for _ in range(mcus_x * mcus_y):
+        for _ in range(4):  # Y is 2x2 blocks per MCU
+            put_block(1, y0)
+        put_block(2, cb0)
+        put_block(3, cr0)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    h, w = mcus_y * 16, mcus_x * 16
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes(64 * [1]))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(im._DC_LUM_BITS) + bytes(im._DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(im._AC_LUM_BITS) + bytes(im._AC_LUM_VALS))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return out + scan + b"\xff\xd9"
+
+
+def test_jpeg_color_420_decode():
+    y0, cb0, cr0 = 120, 90, 200
+    rgb = im.decode_jpeg(_build_color_jpeg_420(y0, cb0, cr0, 2, 1))
+    assert rgb.shape == (16, 32, 3)
+    want_r = int(np.clip(round(y0 + 1.402 * (cr0 - 128)), 0, 255))
+    want_g = int(np.clip(round(y0 - 0.344136 * (cb0 - 128) - 0.714136 * (cr0 - 128)), 0, 255))
+    want_b = int(np.clip(round(y0 + 1.772 * (cb0 - 128)), 0, 255))
+    assert (rgb[..., 0] == want_r).all()
+    assert (rgb[..., 1] == want_g).all()
+    assert (rgb[..., 2] == want_b).all()
