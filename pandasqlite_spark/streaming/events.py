@@ -865,9 +865,16 @@ def q_events_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame
     ``first()`` would depend on arrival order.  State per key is one
     struct; the 2-minute watermark evicts closed minutes.  Shares the
     batch key's oracle."""
-    stream = read_events_stream(spark, sf_dir)
+    agg = streaming_rate_limit(read_events_stream(spark, sf_dir))
+    name, _ = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)
+
+
+def streaming_rate_limit(stream: DataFrame) -> DataFrame:
+    """The rate-limit aggregation over any events stream — split out so
+    the arrival-order tests can drive it from a shuffled file source."""
     ev = stream.withColumn("us", F.unix_micros("ts"))
-    agg = (
+    return (
         ev.withWatermark("ts", "2 minutes")
         .groupBy(F.window("ts", "1 minute").alias("w"), "user_id", "event_type")
         .agg(
@@ -886,8 +893,6 @@ def q_events_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_suppressed",
         )
     )
-    name, _ = run_stream_to_memory(agg, mode="complete")
-    return spark.table(name)
 
 
 def q_events_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,3 +189,134 @@ def test_repair_loop_on_realistic_transcript(spark):
     assert "[PREVIOUS ATTEMPT]" in llm.prompts[1]
     assert "product_category" in llm.prompts[1]
     assert "[ERROR]" in llm.prompts[1]
+
+
+# ---------------------------------------------------------------------------
+# ReplayLLM failure-transcript breadth (round-3 verdict item 8): each
+# recorded transcript reproduces one realistic completion defect, and
+# each test asserts the SPECIFIC repair that fired — not just that some
+# answer eventually came back.
+# ---------------------------------------------------------------------------
+
+
+def _gosales_frame():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "Product Line": ["Camping", "Golf", "Camping", "Running"],
+            "Revenue!": [120.0, 80.0, 40.0, 10.0],
+        }
+    )
+
+
+def test_replay_wrong_table_name_repaired(spark):
+    """Turn 1 invents a friendly table name (`sales_data`) instead of
+    the hash-named view; the analyzer's TABLE_OR_VIEW_NOT_FOUND must be
+    fed back, and turn 2's corrected reference must execute."""
+    from pandasqlite_spark import FakeLLM, ReplayLLM, ingest
+    from pandasqlite_spark.core.text2sql import run_with_repair
+
+    results, _, _ = ingest(spark, [_gosales_frame()], FakeLLM())
+    tname = results[0]["hash"]
+    llm = ReplayLLM(
+        [
+            "```sql\nSELECT SUM(Revenue_) AS total FROM sales_data\n```",
+            f"My mistake — the table is `{tname}`:\n\n"
+            f"```sql\nSELECT SUM(Revenue_) AS total FROM {tname}\n```",
+        ]
+    )
+    out = run_with_repair(spark, "total revenue", results, llm).collect()
+    assert out[0]["total"] == 250.0
+    assert len(llm.prompts) == 2
+    assert "[ERROR]" in llm.prompts[1]
+    # the repair prompt names the missing table so the model can act
+    assert "sales_data" in llm.prompts[1]
+
+
+def test_replay_unfenced_sql_parses_via_fallback(spark):
+    """Turn 1 wraps unfenced SQL in prose (the raw-text fallback then
+    feeds unparseable text to Catalyst); turn 2 is BARE SQL with no
+    fence at all — the fallback must execute it as-is, proving fence
+    extraction is an optimization, not a requirement."""
+    from pandasqlite_spark import FakeLLM, ReplayLLM, ingest
+    from pandasqlite_spark.core.text2sql import run_with_repair
+
+    results, _, _ = ingest(spark, [_gosales_frame()], FakeLLM())
+    tname = results[0]["hash"]
+    llm = ReplayLLM(
+        [
+            "Here is the query you asked for:\n"
+            f"SELECT COUNT(*) AS n FROM {tname}\n"
+            "It counts all rows.",
+            f"SELECT COUNT(*) AS n FROM {tname}",
+        ]
+    )
+    out = run_with_repair(spark, "how many rows", results, llm).collect()
+    assert out[0]["n"] == 4
+    assert len(llm.prompts) == 2
+    assert "```" not in llm.transcript[1]
+
+
+def test_replay_refusal_then_answer(spark):
+    """Turn 1 is a refusal with no SQL at all; the loop must treat it
+    as a failed attempt, carry the refusal text as [PREVIOUS ATTEMPT],
+    and execute turn 2's real answer."""
+    from pandasqlite_spark import FakeLLM, ReplayLLM, ingest
+    from pandasqlite_spark.core.text2sql import run_with_repair
+
+    results, _, _ = ingest(spark, [_gosales_frame()], FakeLLM())
+    tname = results[0]["hash"]
+    refusal = "I'm sorry, I can't write SQL for that request."
+    llm = ReplayLLM(
+        [
+            refusal,
+            f"```sql\nSELECT MAX(Revenue_) AS top FROM {tname}\n```",
+        ]
+    )
+    out = run_with_repair(spark, "largest revenue", results, llm).collect()
+    assert out[0]["top"] == 120.0
+    assert "[PREVIOUS ATTEMPT]" in llm.prompts[1]
+    assert refusal.split(",")[0] in llm.prompts[1]
+
+
+def test_replay_sqlite_isms_rewritten_first_try(spark):
+    """A completion leaning on SQLite habits (GROUP_CONCAT, MIN(a,b),
+    a GLOB double-quoted pattern, printf) must execute on the FIRST
+    attempt — the dialect rewriter, not the repair loop, is the fix;
+    a second prompt would mean the rewriter missed something."""
+    from pandasqlite_spark import FakeLLM, ReplayLLM, ingest
+    from pandasqlite_spark.core.text2sql import run_with_repair
+
+    results, _, _ = ingest(spark, [_gosales_frame()], FakeLLM())
+    tname = results[0]["hash"]
+    llm = ReplayLLM(
+        [
+            "Sure:\n```sql\n"
+            "SELECT GROUP_CONCAT(Product_Line) AS lines,\n"
+            "       MIN(1, 2) AS m,\n"
+            "       printf('%d rows', COUNT(*)) AS label\n"
+            f'FROM {tname} WHERE Product_Line GLOB "Camp*"\n'
+            "```",
+        ]
+    )
+    df = run_with_repair(spark, "camping lines", results, llm)
+    row = df.collect()[0]
+    assert len(llm.prompts) == 1  # no repair turn fired
+    assert row["m"] == 1
+    assert row["label"] == "2 rows"
+    assert sorted(row["lines"].split(",")) == ["Camping", "Camping"]
+
+
+def test_replay_exhausted_transcript_raises(spark):
+    """A loop that needs more turns than the recording has must raise
+    (the ReplayLLM contract), not silently recycle completions."""
+    import pytest as _pytest
+
+    from pandasqlite_spark import FakeLLM, ReplayLLM, ingest
+    from pandasqlite_spark.core.text2sql import run_with_repair
+
+    results, _, _ = ingest(spark, [_gosales_frame()], FakeLLM())
+    llm = ReplayLLM(["```sql\nSELECT nope FROM nowhere\n```"])
+    with _pytest.raises(Exception):
+        run_with_repair(spark, "q", results, llm, max_repairs=2)

@@ -135,3 +135,127 @@ def test_foreach_batch_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
         F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
     ).collect()[0]
     assert agg(back) == agg(src)
+
+
+# ---------------------------------------------------------------------------
+# arrival-order proof for the stateful twins (round-3 verdict item 6):
+# the production drain replays ONE ordered file; here the same events
+# arrive as three time-cut micro-batches whose rows are SHUFFLED within
+# each batch (the within-watermark disorder a real source delivers).
+# Results must be identical to the ordered-arrival production run for
+# every arrival seed — proving the positional-pick / state machinery is
+# genuinely arrival-order-proof, not fixture-order-lucky.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _shuffled_arrival_dir(spark, sf_dir, tmp_path, seed, n_cuts=3):
+    """Write events as ``n_cuts`` event-time-cut batch files (oldest
+    mtime first, so the file source replays them in time order —
+    cross-batch order is the stateful twins' documented contract), each
+    file's ROWS permuted by ``seed``."""
+    import os
+    import time as _t
+
+    pdf = (
+        load_events(spark, sf_dir)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .toPandas()
+        .sort_values("us", ignore_index=True)
+    )
+    rng = np.random.default_rng(seed)
+    cuts = np.array_split(np.arange(len(pdf)), n_cuts)
+    src = tmp_path / f"arrival_{seed}"
+    src.mkdir()
+    now = _t.time()
+    for i, idx in enumerate(cuts):
+        batch = pdf.iloc[rng.permutation(idx)].reset_index(drop=True)
+        dest = src / f"b{i}.parquet"
+        batch.to_parquet(dest, index=False)
+        t = now - 60 * (n_cuts - i)
+        os.utime(dest, (t, t))
+    return str(src)
+
+
+def _stream_from(spark, src_dir):
+    return (
+        spark.readStream.schema(
+            "event_id bigint, us bigint, user_id bigint,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros("us"))
+    )
+
+
+def _canon_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_cep_twins_arrival_order_proof(spark, sf_dir, tmp_path, seed):
+    from pandasqlite_spark.streaming import stateful
+    from pandasqlite_spark.streaming.events import (
+        _ROCKSDB_PROVIDER,
+        q_events_streaming_pattern,
+        run_stream_to_memory,
+    )
+
+    want = _canon_rows(q_events_streaming_pattern(spark, sf_dir))
+    src = _shuffled_arrival_dir(spark, sf_dir, tmp_path, seed)
+
+    # applyInPandasWithState twin
+    stream = stateful.sequence_match_stream(_stream_from(spark, src), evict=False)
+    name, _ = run_stream_to_memory(stream, mode="append")
+    assert _canon_rows(spark.table(name)) == want
+
+    # transformWithStateInPandas twin (RocksDB column families)
+    from pandasqlite_spark.session import SPARK4_STATEFUL_AVAILABLE
+
+    if SPARK4_STATEFUL_AVAILABLE:
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        try:
+            stream = stateful.sequence_match_stream_tws(_stream_from(spark, src))
+            name, q = run_stream_to_memory(stream, mode="append")
+            assert q.exception() is None
+            assert _canon_rows(spark.table(name)) == want
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_attribution_rate_limit_arrival_order_proof(spark, sf_dir, tmp_path, seed):
+    from pandasqlite_spark.streaming import stateful
+    from pandasqlite_spark.streaming.events import (
+        q_events_streaming_attribution,
+        q_events_streaming_rate_limit,
+        run_stream_to_memory,
+        streaming_rate_limit,
+    )
+
+    src = _shuffled_arrival_dir(spark, sf_dir, tmp_path, seed)
+
+    want_attr = _canon_rows(q_events_streaming_attribution(spark, sf_dir))
+    stream = stateful.attribution_stream(_stream_from(spark, src), evict=False)
+    name, _ = run_stream_to_memory(stream, mode="append")
+    assert _canon_rows(spark.table(name)) == want_attr
+
+    want_rl = _canon_rows(q_events_streaming_rate_limit(spark, sf_dir))
+    agg = streaming_rate_limit(_stream_from(spark, src))
+    name, _ = run_stream_to_memory(agg, mode="complete")
+    assert _canon_rows(spark.table(name)) == want_rl
