@@ -104,6 +104,11 @@ def _queries(sf_dir: str):
 
         return q_simsearch_ivf_knn_join(spark, d)
 
+    def _decode_jpeg(spark, d):
+        from pandasqlite_spark.functions.multimodal import q_multimodal_decode_jpeg
+
+        return q_multimodal_decode_jpeg(spark, d)
+
     return {
         "q1_pricing_summary": R.q_agg_count_sum_avg_min_max,
         "q2_region_revenue_join": R.q_join_inner_equi,
@@ -140,6 +145,10 @@ def _queries(sf_dir: str):
         # cell-restricted ANN retrieval: broadcast centroid assign +
         # same-cell candidate join + decimal rerank (the IVF scale path)
         "q19_ivf_knn_join": _ivf_knn,
+        # baseline JPEG round trip per row (FDCT+Huffman encode →
+        # entropy decode+IDCT) inside mapInPandas — the heavier-codec
+        # sibling of q18's PNG probe
+        "q20_multimodal_jpeg": _decode_jpeg,
     }
 
 
