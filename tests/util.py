@@ -86,6 +86,8 @@ def _canon_strings(df: pd.DataFrame) -> pd.Series:
     discriminating power to ``canon`` with type tags, but far cheaper
     on multi-million-row frames — the comparator, not the engines, was
     the long pole of the sf1 sweep on row-wise keys."""
+    import numpy as np
+
     cols = sorted(df.columns)
     parts = []
     for c in cols:
@@ -94,11 +96,27 @@ def _canon_strings(df: pd.DataFrame) -> pd.Series:
         if kind in "iu" and not s.isna().any():
             p = "int:" + s.astype("int64").astype(str)
         elif kind == "f":
-            p = s.map(lambda v: "None" if pd.isna(v) else f"float:{float(v).hex()}")
+            # bit-exact via the raw float64 bits (bijective with .hex(),
+            # fully vectorized — the per-value hex map was 140s+ on one
+            # 6M-row key of the sf1 sweep); NaNs canonicalize to None
+            arr = s.to_numpy(dtype="float64", na_value=float("nan"))
+            bits = arr.view("int64").astype(str)
+            p = pd.Series("float:" + pd.Series(bits, index=s.index), index=s.index)
+            p[np.isnan(arr)] = "None"
         elif kind == "b":
             p = s.map(lambda v: f"bool:{bool(v)}")
         elif kind == "M":
-            p = s.map(lambda v: "None" if pd.isna(v) else f"obj:{_norm(v)!r}")
+            # normalize the storage unit (duckdb: us, arrow: ns) before
+            # taking epoch bits so identical instants stringify equally
+            sn = s
+            if getattr(s.dtype, "tz", None) is not None:
+                sn = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            sn = sn.astype("datetime64[ns]")
+            vals = sn.to_numpy(dtype="datetime64[ns]").view("int64").astype(str)
+            p = pd.Series("ts:" + pd.Series(vals, index=s.index), index=s.index)
+            p[sn.isna()] = "None"
+        elif kind == "O" and pd.api.types.infer_dtype(s, skipna=True) == "string":
+            p = ("str:" + s.astype("string")).fillna("None").astype(str)
         else:
             p = s.map(_tag_value)
         parts.append(p.astype(str))
