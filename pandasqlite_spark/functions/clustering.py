@@ -165,8 +165,15 @@ def _kmeans_cte_body(k: int = 8, iters: int = 2) -> str:
           GROUP BY p.label, e.dim),
         dsum{i} AS (
           SELECT e.vec_id, c.label, c.n,
-                 SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
-                     * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS sq
+                 -- (19,6): force int128 decimal multiply in DuckDB --
+                 -- its (15,6)x(15,6) product stays in int64 storage
+                 -- (DECIMAL(18,12)) and overflows once |term| > ~1e3,
+                 -- which sf1 magnitudes reach (round-4 sweep find);
+                 -- Spark widens (15,6)x(15,6) to (31,12) on its own,
+                 -- so the engine side needs no change and the VALUES
+                 -- are identical in both engines
+                 SUM(CAST(c.n * e.v - c.s AS DECIMAL(19,6))
+                     * CAST(c.n * e.v - c.s AS DECIMAL(19,6))) AS sq
           FROM ex e JOIN cent{i} c ON e.dim = c.dim
           GROUP BY e.vec_id, c.label, c.n),
         d{i} AS (
@@ -370,8 +377,15 @@ ORACLES = {
           FROM ex GROUP BY label, dim),
         dsum AS (
           SELECT e.vec_id, c.label, c.n,
-                 SUM(CAST(c.n * e.v - c.s AS DECIMAL(15,6))
-                     * CAST(c.n * e.v - c.s AS DECIMAL(15,6))) AS sq
+                 -- (19,6): force int128 decimal multiply in DuckDB --
+                 -- its (15,6)x(15,6) product stays in int64 storage
+                 -- (DECIMAL(18,12)) and overflows once |term| > ~1e3,
+                 -- which sf1 magnitudes reach (round-4 sweep find);
+                 -- Spark widens (15,6)x(15,6) to (31,12) on its own,
+                 -- so the engine side needs no change and the VALUES
+                 -- are identical in both engines
+                 SUM(CAST(c.n * e.v - c.s AS DECIMAL(19,6))
+                     * CAST(c.n * e.v - c.s AS DECIMAL(19,6))) AS sq
           FROM ex e JOIN cent c ON e.dim = c.dim
           GROUP BY e.vec_id, c.label, c.n),
         d AS (

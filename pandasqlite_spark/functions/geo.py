@@ -65,8 +65,13 @@ def haversine_km(lat1, lon1, lat2, lon2) -> F.Column:
 def geo_radius_join(users: DataFrame, sites: DataFrame) -> DataFrame:
     """users(user_id, lat, lon) × sites(site_id, slat, slon) →
     (user_id, n_sites) within RADIUS_KM, via 3×3-cell candidate join."""
-    cell_lat = F.floor(F.col("lat") / CELL_DEG)
-    cell_lon = F.floor(F.col("lon") / CELL_DEG)
+    # longitude cells form a RING of 36 (−18..17): the ±1 neighbor step
+    # wraps modulo 36 so a probe at lon −179.9 reaches a site at +179.5
+    # (haversine is periodic in dlon; the sf1 sweep caught three users
+    # whose only in-radius site sat across the antimeridian — invisible
+    # at sf≤0.1 where no point pair straddled ±180).  Latitude needs no
+    # wrap (confined to ±60°).
+    n_lon_cells = int(360 / CELL_DEG)
     u = users.withColumn(
         "cell",
         F.explode(
@@ -74,7 +79,8 @@ def geo_radius_join(users: DataFrame, sites: DataFrame) -> DataFrame:
                 f"flatten(transform(sequence(-1, 1), di -> "
                 f"transform(sequence(-1, 1), dj -> "
                 f"struct(floor(lat / {CELL_DEG}) + di AS ci,"
-                f" floor(lon / {CELL_DEG}) + dj AS cj))))"
+                f" pmod(floor(lon / {CELL_DEG}) + dj + {n_lon_cells // 2},"
+                f" {n_lon_cells}) - {n_lon_cells // 2} AS cj))))"
             )
         ),
     ).select("user_id", "lat", "lon", F.col("cell.ci").alias("ci"), F.col("cell.cj").alias("cj"))

@@ -499,6 +499,22 @@ ORACLES["multimodal-resize"] = f"""
 # oracle possible WITHOUT the oracle re-implementing a PNG reader.
 # ---------------------------------------------------------------------------
 
+def _spread_for_codec(df: DataFrame) -> DataFrame:
+    """Python-codec stages are CPU-bound PER ROW: when the upstream
+    scan yields fewer partitions than executor slots (one small parquet
+    file under maxPartitionBytes scans as 1-2 partitions), the
+    Arrow-batched decode serializes onto 1-2 cores — observed as
+    q20_multimodal_jpeg running 38s at sf1 on 2 of 32 cores.  A
+    round-robin repartition to the default parallelism costs one
+    shuffle of (doc_id, text) — trivial next to the per-row codec work
+    it parallelizes.  At 100 TB the scan already yields thousands of
+    partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 PNG_SCHEMA = "doc_id bigint, png binary"
 
 
@@ -528,7 +544,7 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
 
-    return docs.select("doc_id", "text").mapInPandas(op, PNG_SCHEMA)
+    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, PNG_SCHEMA)
 
 
 DECODE_SCHEMA = "doc_id bigint, width int, height int, px_sum int, px_min int, px_max int"
@@ -677,7 +693,7 @@ def decode_audio_stats(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(op, AUDIO_SCHEMA)
+    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, AUDIO_SCHEMA)
 
 
 def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,7 +758,7 @@ def decode_video_stats(docs: DataFrame, every_n: int = 2) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(op, VIDEO_SCHEMA)
+    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, VIDEO_SCHEMA)
 
 
 def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,7 +910,7 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
 
-    return docs.select("doc_id", "text").mapInPandas(op, JPEG_SCHEMA)
+    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, JPEG_SCHEMA)
 
 
 def decode_jpegs(with_jpg: DataFrame) -> DataFrame:

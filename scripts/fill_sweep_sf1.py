@@ -33,6 +33,8 @@ def main() -> int:
         bench1 = json.load(fh)
     with open(f"{REPO}/BENCH_r03.json") as fh:
         bench01 = json.load(fh)
+    if "parsed" in bench01:  # driver wrapper: {n, rc, cpus, sf, tail, parsed}
+        bench01 = bench01["parsed"]
 
     n = len(results)
     ok = sum(
