@@ -908,10 +908,22 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH path; the estimate is a row-local integer comparison of the two
     joined signatures, and the exact Jaccard touches candidate pairs
     only.  ``n_match`` is an integer and both ratios divide identical
-    ints — no float aggregation anywhere."""
+    ints — no float aggregation anywhere.
+
+    The verification runs on a DETERMINISTIC 1/16 pair sample
+    (``(doc_a·31 + doc_b) % 16 = 0`` — portable integer arithmetic the
+    oracle states identically): candidate volume grows with
+    duplicate-cluster size SQUARED (sf10's 100-way clusters produce
+    ~25M candidate pairs, whose exact shingle-set verify spilled 40 GB
+    and died on maxResultSize — the round-4 sf10 find), and a sketch
+    QUALITY readout never needs every pair, it needs an unbiased,
+    reproducible sample.  Candidate GENERATION — the part that must
+    scale — stays full."""
     d = load(spark, sf_dir, "documents")
     sig = minhash_signatures(d)
-    pairs = candidate_pairs(lsh_bands(sig))
+    pairs = candidate_pairs(lsh_bands(sig)).filter(
+        (F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)],
@@ -949,7 +961,9 @@ _EST_MATCH = " + ".join(f"CAST(a.m{i} = b.m{i} AS INTEGER)" for i in range(N_HAS
 
 ORACLES["dedup-minhash-estimate"] = f"""
     WITH sig AS ({_minhash_oracle_sig()}),
-    pairs AS ({_minhash_oracle_pairs()}),
+    pairs0 AS ({_minhash_oracle_pairs()}),
+    -- same deterministic 1/16 verification sample as the engine
+    pairs AS (SELECT * FROM pairs0 WHERE (doc_a * 31 + doc_b) % 16 = 0),
     m AS (
       SELECT p.doc_a, p.doc_b, ({_EST_MATCH}) AS n_match
       FROM pairs p

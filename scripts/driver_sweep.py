@@ -51,12 +51,26 @@ def vanilla_spark():
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # local mode hosts the executors in the driver JVM: the sf10 spot
+    # sweep OOMs at 8g (hot-bucket candidate pairs grow quadratically
+    # with duplicate-cluster size), so the heap is env-tunable — memory
+    # PER EXECUTOR is the quantity a real cluster scales, not a conf a
+    # query may depend on, so vanilla-session independence holds
+    mem = os.environ.get("SWEEP_DRIVER_MEM", "8g")
+    # like the Arrow toggle below: maxResultSize bounds what the driver
+    # RECEIVES when the comparator collects a result, never what the
+    # engine computes — sf10's dedup-minhash-estimate emits ~25M pair
+    # rows (duplicate clusters are 100-way there, and LSH candidate
+    # volume grows with cluster size squared), which exceeds the 1g
+    # default during the verification collect
+    max_result = os.environ.get("SWEEP_MAX_RESULT", "4g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("driver_sweep_vanilla")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.maxResultSize", max_result)
         .getOrCreate()
     )
 
