@@ -595,3 +595,23 @@ def test_coverage_select_plan_depth_constant(spark):
     coverage_select(docs, k=5, _plan_probe=probe)
     assert len(probe) >= 4
     assert max(probe) == min(probe), probe
+
+
+def test_codec_stages_spread_to_executor_parallelism(spark, sf_dir):
+    """A CPU-bound Python codec stage must not inherit a 1-2 partition
+    scan (one small parquet file): the sf1 bench showed the JPEG round
+    trip serializing onto 2 of 32 cores (38.5s -> 2.8s after the fix).
+    The attach/decode stages repartition to the default parallelism
+    when the scan under-partitions."""
+    from pandasqlite_spark.functions.multimodal import (
+        attach_jpeg_payload,
+        attach_png_payload,
+    )
+    from pandasqlite_spark.operators.common import load
+
+    docs = load(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    for stage in (attach_jpeg_payload(docs), attach_png_payload(docs)):
+        assert stage.rdd.getNumPartitions() >= min(
+            target, 4
+        ), stage.rdd.getNumPartitions()
