@@ -1075,16 +1075,25 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
     """The LSH banding knob, MEASURED (the `simsearch-nprobe-curve`
     counterpart for MinHash dedup): for each band count b over the same
     k-hash signatures — candidate-pair count, exact-Jaccard-verified
-    count (J ≥ τ), integer precision×10⁶, and the theoretical S-curve
+    count (J ≥ τ) on a deterministic pair sample, integer
+    precision×10⁶ from that sample, and the theoretical S-curve
     capture probability ``1 − (1 − τ^r)^b`` at the threshold.  More
     bands → cheaper rows-per-band → more candidates, lower precision;
     the readout is how you SIZE (b, r) before a 100 TB dedup run
     instead of guessing.
 
+    ``n_candidates`` is the FULL count — the quantity the knob trades
+    away — because counting the bucket join's output is cheap; the
+    exact shingle verification (the expensive part, quadratic in
+    duplicate-cluster size: ~25M pairs per config at the synthetic
+    sf10's 100-way clusters) runs on the same deterministic 1/16 pair
+    sample as ``dedup-minhash-estimate``, reported as
+    ``n_sampled``/``n_verified`` with precision over the sample.
+
     Scale shape per config: the bucket self-join shuffles (band,
-    band_sig) keys only, verification touches candidate pairs only,
-    and each config collapses to ONE row before the 3-row union.  The
-    signature groupBy subtree is identical across configs, so the
+    band_sig) keys only, verification touches sampled candidate pairs
+    only, and each config collapses to ONE row before the 3-row union.
+    The signature groupBy subtree is identical across configs, so the
     exchange is computed once and reused (ReusedExchange), not thrice.
     """
     from pyspark.sql import functions as F  # local alias for clarity
@@ -1095,20 +1104,22 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
         r = k // b
         capture = round(1.0 - (1.0 - tau ** r) ** b, 6)
         pairs = candidate_pairs(lsh_bands(sig, bands=b, k=k))
-        ver = jaccard_verify(docs, pairs)
-        row = ver.agg(
+        n_cand = pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+        sampled = pairs.filter((F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0)
+        ver = jaccard_verify(docs, sampled)
+        vagg = ver.agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0)).alias("n_verified"),
+        )
+        row = n_cand.crossJoin(vagg).select(
             F.lit(b).alias("bands"),
             F.lit(r).alias("rows_per_band"),
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0)).alias("n_verified"),
-        ).select(
-            "bands",
-            "rows_per_band",
             "n_candidates",
+            "n_sampled",
             "n_verified",
             F.floor(
                 F.col("n_verified") * F.lit(1_000_000).cast("bigint")
-                / F.col("n_candidates")
+                / F.col("n_sampled")
             ).cast("bigint").alias("precision_x1m"),
             F.lit(capture).alias("capture_at_tau"),
         )
@@ -1128,9 +1139,12 @@ def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) 
     for b in configs:
         r = k // b
         capture = round(1.0 - (1.0 - tau ** r) ** b, 6)
+        # full candidate count; exact verify on the same deterministic
+        # 1/16 pair sample as the engine (and dedup-minhash-estimate)
         parts.append(f"""
         SELECT {b} AS bands, {r} AS rows_per_band,
-               COUNT(*) AS n_candidates,
+               (SELECT COUNT(*) FROM ({_band_pairs_oracle(b, k)})) AS n_candidates,
+               COUNT(*) AS n_sampled,
                CAST(SUM(CASE WHEN CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
                      / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l)))
                      >= {tau} THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
@@ -1139,7 +1153,8 @@ def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) 
                      >= {tau} THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0
                      / COUNT(*)) AS BIGINT) AS precision_x1m,
                {capture} AS capture_at_tau
-        FROM ({_band_pairs_oracle(b, k)}) p
+        FROM (SELECT * FROM ({_band_pairs_oracle(b, k)})
+              WHERE (doc_a * 31 + doc_b) % 16 = 0) p
         JOIN shl a ON a.doc_id = p.doc_a
         JOIN shl b ON b.doc_id = p.doc_b""")
     union = "\n        UNION ALL ".join(parts)
