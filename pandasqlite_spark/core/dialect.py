@@ -334,33 +334,76 @@ def _rewrite_misc_sqlite(sql: str, spans: list[str]) -> str:
     return sql
 
 
-_GLOB_SAFE_RE = re.compile(r"^'[^%_]*'$")
+_GLOB_SAFE_RE = re.compile(r"^'[^%_\[]*'$")
+
+
+def _glob_to_regex(pat: str) -> str:
+    """A LITERAL glob pattern → anchored Java regex string.  ``*``→
+    ``.*``, ``?``→``.``, ``[seq]``/``[^seq]`` pass through (glob and
+    regex classes share syntax), everything else is escaped — so LIKE
+    metachars (``%``/``_``) and regex metachars in the pattern stay
+    literal, which a LIKE translation cannot guarantee."""
+    out, i, n = [], 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 2)  # allow a leading ] or ^] literal
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                out.append(pat[i : j + 1])
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _glob_regex_expr(operand: str) -> str:
+    """A DYNAMIC (column-valued) glob pattern → anchored-regex SQL
+    expression: escape the regex metachars (except ``* ? [ ] ^ -``,
+    which glob classes share with regex), then ``*``→``.*``,
+    ``?``→``.`` — all JVM-side ``regexp_replace``, no UDF."""
+    esc = "regexp_replace(" + operand + r", '([.$+(){}\\\\|])', '\\\\$1')"
+    star = "regexp_replace(" + esc + r", '\\*', '.*')"
+    q = "regexp_replace(" + star + r", '\\?', '.')"
+    return "concat('^', " + q + ", '$')"
 
 
 def _rewrite_glob(sql: str, spans: list[str], identifiers: set[str] | None = None) -> str:
     """``x GLOB '<pat>'`` → case-sensitive LIKE with ``*``→``%``,
-    ``?``→``_`` — only when the pattern contains no LIKE
-    metacharacters of its own (else left untouched to fail loudly
-    rather than match wrongly).  GLOB is case-sensitive, so the
-    rewrite targets LIKE, and the masking pass keeps it from the
-    later LIKE→ILIKE rule by rewriting the span in place."""
+    ``?``→``_`` when the pattern is plain; a pattern carrying LIKE
+    metachars or a ``[class]`` instead becomes an anchored ``RLIKE``
+    built from :func:`_glob_to_regex` (exact GLOB semantics — Spark has
+    no GLOB, and leaving it would fail at parse; round-4 ADVICE).
+    GLOB is case-sensitive, so the rewrites target LIKE/RLIKE, and the
+    ``\\x01`` tag keeps them from the later LIKE→ILIKE rule."""
 
     def repl(m: re.Match) -> str:
         idx = int(m.group(2))
-        if not _GLOB_SAFE_RE.match(spans[idx]):
-            return m.group(0)
-        spans[idx] = spans[idx].replace("*", "%").replace("?", "_")
-        # emit LIKE BINARY? Spark lacks it — plain LIKE is
-        # case-sensitive in Spark (only our ILIKE rewrite relaxes it),
-        # so keep LIKE and mark it so the ILIKE pass skips this one
-        return f"{m.group(1)} LIKE\x01 \x00{idx}\x00"
+        if _GLOB_SAFE_RE.match(spans[idx]):
+            spans[idx] = spans[idx].replace("*", "%").replace("?", "_")
+            # plain LIKE is case-sensitive in Spark (only our ILIKE
+            # rewrite relaxes it), so keep LIKE and mark it so the
+            # ILIKE pass skips this one
+            return f"{m.group(1)} LIKE\x01 \x00{idx}\x00"
+        # LIKE metachars / glob class in the pattern: exact anchored
+        # regex (%, _ stay literal; [seq] becomes a regex class)
+        rx = _glob_to_regex(spans[idx][1:-1].replace("''", "'"))
+        spans[idx] = "'" + rx.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return f"{m.group(1)} RLIKE\x01 \x00{idx}\x00"
 
     # SQLite also accepts a double-quoted pattern (``GLOB "x*"``);
     # double quotes aren't masked (they're ambiguous with identifiers)
     # and SQLite resolves a double-quoted GLOB operand as an IDENTIFIER
     # first, so promote to a pattern literal only when the text carries
     # glob metacharacters (*, ?, [) or is provably not a known column —
-    # ``x GLOB "col"`` (a column reference) must stay an identifier.
+    # ``x GLOB "col"`` (a column reference) is handled below as a
+    # dynamic pattern.
     def promote(m: re.Match) -> str:
         text = m.group(1)
         is_pattern = any(ch in text for ch in "*?[") or (
@@ -374,9 +417,24 @@ def _rewrite_glob(sql: str, spans: list[str], identifiers: set[str] | None = Non
     sql = re.sub(r'GLOB\s+"([^"]*)"', promote, sql, flags=re.IGNORECASE)
     # anchor: mask token, double-quoted identifier (not yet rewritten
     # at this stage), close-paren, or dotted identifier
-    return re.sub(
+    sql = re.sub(
         r'(\x00\d+\x00|"[^"]*"|\)|\w+(?:\.\w+)?)\s+GLOB\s+\x00(\d+)\x00',
         repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # remaining ``x GLOB <operand>`` forms have a column-valued (or
+    # schema-unknown double-quoted) pattern: build the anchored regex
+    # in SQL.  The later double-quoted pass resolves the operand the
+    # same way SQLite does — backtick if a known column, else a string
+    # literal (the legacy fallback) — so both meanings execute.
+    def col_repl(m: re.Match) -> str:
+        return f"{m.group(1)} RLIKE\x01 {_glob_regex_expr(m.group(2))}"
+
+    return re.sub(
+        r'(\x00\d+\x00|"[^"]*"|\)|\w+(?:\.\w+)?)\s+GLOB\s+("[^"]*"|\w+(?:\.\w+)?)',
+        col_repl,
         sql,
         flags=re.IGNORECASE,
     )

@@ -1093,8 +1093,13 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
     Scale shape per config: the bucket self-join shuffles (band,
     band_sig) keys only, verification touches sampled candidate pairs
     only, and each config collapses to ONE row before the 3-row union.
-    The signature groupBy subtree is identical across configs, so the
-    exchange is computed once and reused (ReusedExchange), not thrice.
+    The full-candidate count and the sampled-verify stats are combined
+    by a 2-row union + final aggregate (NOT a crossJoin — no nested
+    loop anywhere in the plan).  The signature groupBy subtree is
+    identical across configs, so the exchange is computed once and
+    reused (ReusedExchange), not thrice.  ``precision_x1m`` is NULL
+    when the deterministic 1/16 sample is empty (tiny SFs) — guarded
+    via nullif on both engines rather than dividing by zero.
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
@@ -1104,24 +1109,39 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
         r = k // b
         capture = round(1.0 - (1.0 - tau ** r) ** b, 6)
         pairs = candidate_pairs(lsh_bands(sig, bands=b, k=k))
-        n_cand = pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_cand = pairs.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.lit(None).cast("bigint").alias("n_sampled"),
+            F.lit(None).cast("bigint").alias("n_verified"),
+        )
         sampled = pairs.filter((F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0)
         ver = jaccard_verify(docs, sampled)
         vagg = ver.agg(
+            F.lit(None).cast("bigint").alias("n_candidates"),
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0)).alias("n_verified"),
+            F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_verified"),
         )
-        row = n_cand.crossJoin(vagg).select(
-            F.lit(b).alias("bands"),
-            F.lit(r).alias("rows_per_band"),
-            "n_candidates",
-            "n_sampled",
-            "n_verified",
-            F.floor(
-                F.col("n_verified") * F.lit(1_000_000).cast("bigint")
-                / F.col("n_sampled")
-            ).cast("bigint").alias("precision_x1m"),
-            F.lit(capture).alias("capture_at_tau"),
+        row = (
+            n_cand.unionByName(vagg)
+            .agg(
+                F.max("n_candidates").alias("n_candidates"),
+                F.max("n_sampled").alias("n_sampled"),
+                F.max("n_verified").alias("n_verified"),
+            )
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "n_sampled",
+                "n_verified",
+                F.floor(
+                    F.col("n_verified") * F.lit(1_000_000).cast("bigint")
+                    / F.expr("nullif(n_sampled, 0)")
+                ).cast("bigint").alias("precision_x1m"),
+                F.lit(capture).alias("capture_at_tau"),
+            )
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows.orderBy("bands")
@@ -1151,7 +1171,7 @@ def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) 
                CAST(FLOOR(CAST(SUM(CASE WHEN CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
                      / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l)))
                      >= {tau} THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0
-                     / COUNT(*)) AS BIGINT) AS precision_x1m,
+                     / NULLIF(COUNT(*), 0)) AS BIGINT) AS precision_x1m,
                {capture} AS capture_at_tau
         FROM (SELECT * FROM ({_band_pairs_oracle(b, k)})
               WHERE (doc_a * 31 + doc_b) % 16 = 0) p

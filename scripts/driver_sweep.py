@@ -75,9 +75,24 @@ def vanilla_spark():
     )
 
 
+def _sf_dir_fingerprint(sf_dir: str) -> str:
+    """(name, size, mtime_ns) of every parquet under sf_dir — folded
+    into the oracle cache key so regenerated testdata invalidates the
+    cache instead of serving results computed on old data (round-4
+    ADVICE: a real engine divergence could otherwise be graded against
+    stale oracle rows)."""
+    parts = []
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def _oracle_cache_path(cache_dir: str, key: str, sf_dir: str, sql: str) -> str:
     digest = hashlib.md5(
-        f"{key}\x00{os.path.abspath(sf_dir)}\x00{sql}".encode()
+        f"{key}\x00{os.path.abspath(sf_dir)}\x00"
+        f"{_sf_dir_fingerprint(sf_dir)}\x00{sql}".encode()
     ).hexdigest()
     return os.path.join(cache_dir, f"oracle_{digest}.pkl")
 

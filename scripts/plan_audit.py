@@ -165,6 +165,33 @@ SKIP.add("events-stateful-profiles")
 SKIP.add("events-stateful-profiles-tws")
 
 
+def source_digest() -> str:
+    """sha256 over every operator/source module the audit covers.
+
+    Printed into PLAN_AUDIT.md so staleness is structurally detectable:
+    `tests/test_scale.py::test_plan_audit_fresh` recomputes this digest
+    and fails if any module changed after the committed audit was
+    generated (round-4 verdict item 1 — the snapshot that shipped a
+    post-audit rewrite can't happen silently again).
+    """
+    import hashlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    paths = [os.path.join(root, "__spark_entry__.py")]
+    for dirpath, _dirnames, filenames in os.walk(
+        os.path.join(root, "pandasqlite_spark")
+    ):
+        for fn in filenames:
+            if fn.endswith(".py"):
+                paths.append(os.path.join(dirpath, fn))
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, root).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit")
@@ -213,6 +240,7 @@ def main() -> int:
         )
     print("# PLAN AUDIT — executed-plan shapes per key (sf0.01)\n")
     print("Generated by `scripts/plan_audit.py`; flags fail the audit.\n")
+    print(f"Source digest: `{source_digest()}`\n")
     skipped = sorted(SKIP & set(queries))
     print(
         f"Skipped by design ({len(skipped)} streaming keys — they execute "

@@ -130,11 +130,18 @@ def test_rewrite_table_placeholder_token_aware():
             "SELECT * FROM t WHERE name GLOB 'a?c'",
             "SELECT * FROM t WHERE name LIKE 'a_c'",
         ),
-        # a GLOB pattern containing LIKE metachars is left to fail
-        # loudly rather than silently match the wrong rows
+        # a GLOB pattern containing LIKE metachars becomes an anchored
+        # regex — %/_ stay LITERAL (GLOB semantics), * still wildcards
+        # (round-4 ADVICE: the old fail-loud GLOB passthrough was a
+        # capability regression vs SQLite)
         (
             "SELECT * FROM t WHERE name GLOB 'has%inside*'",
-            "SELECT * FROM t WHERE name GLOB 'has%inside*'",
+            "SELECT * FROM t WHERE name RLIKE '^has%inside.*$'",
+        ),
+        # glob character classes map to regex classes
+        (
+            "SELECT * FROM t WHERE name GLOB '[Ff]oo*'",
+            "SELECT * FROM t WHERE name RLIKE '^[Ff]oo.*$'",
         ),
         (
             "SELECT * FROM t WHERE a LIKE 'x%' AND b GLOB '*z'",
@@ -183,14 +190,20 @@ def test_dialect_keeps_known_identifiers_quoted():
 def test_glob_double_quoted_column_stays_identifier():
     # SQLite resolves a double-quoted GLOB operand as an identifier
     # FIRST: ``x GLOB "col"`` compares against the COLUMN col, so it
-    # must not be promoted to a pattern literal (round-3 ADVICE)
+    # must not be promoted to a pattern literal (round-3 ADVICE).
+    # Round-4 ADVICE: rather than leaving an unexecutable GLOB, the
+    # column case becomes an anchored RLIKE whose regex is built from
+    # the column value in SQL (glob → regex via regexp_replace).
     out = rewrite_sqlite_to_spark(
         'SELECT * FROM t WHERE a GLOB "pat_col"', identifiers={"a", "pat_col"}
     )
-    assert "LIKE" not in out and "GLOB" in out
-    # no metacharacters and no schema knowledge → conservative: untouched
+    assert "GLOB" not in out and "RLIKE" in out and "`pat_col`" in out
+    # no schema knowledge → same dynamic form; the double-quoted
+    # operand falls back to a string literal (SQLite's legacy
+    # resolution when no such column exists), so the query executes
+    # either way instead of failing to parse
     out2 = rewrite_sqlite_to_spark('SELECT * FROM t WHERE a GLOB "plain"')
-    assert "LIKE" not in out2
+    assert "GLOB" not in out2 and "RLIKE" in out2 and "'plain'" in out2
     # metacharacters always mean a pattern, even if schema is unknown
     out3 = rewrite_sqlite_to_spark('SELECT * FROM t WHERE a GLOB "pre*"')
     assert out3 == "SELECT * FROM t WHERE a LIKE 'pre%'"

@@ -308,6 +308,38 @@ def test_replay_sqlite_isms_rewritten_first_try(spark):
     assert sorted(row["lines"].split(",")) == ["Camping", "Camping"]
 
 
+def test_glob_dynamic_and_metachar_forms_execute(spark):
+    """The round-4 ADVICE GLOB forms must actually EXECUTE on Spark
+    with GLOB semantics: a literal pattern carrying LIKE metachars
+    (%/_ literal, * wildcard), and a column-valued pattern (per-row
+    glob built in SQL)."""
+    from pandasqlite_spark.core.dialect import rewrite_sqlite_to_spark
+
+    spark.createDataFrame(
+        [("a%b-tail", "a%b*"), ("axb-tail", "a%b*"), ("Camping", "Camp?ng")],
+        "name string, pat string",
+    ).createOrReplaceTempView("glob_t")
+    # literal pattern: % is LITERAL under GLOB (axb-tail must not match)
+    sql = rewrite_sqlite_to_spark(
+        "SELECT name FROM glob_t WHERE name GLOB 'a%b*'"
+    )
+    got = sorted(r["name"] for r in spark.sql(sql).collect())
+    assert got == ["a%b-tail"]
+    # column-valued pattern: each row matched against its own glob
+    sql2 = rewrite_sqlite_to_spark(
+        'SELECT name FROM glob_t WHERE name GLOB "pat"',
+        identifiers={"name", "pat"},
+    )
+    got2 = sorted(r["name"] for r in spark.sql(sql2).collect())
+    assert got2 == ["Camping", "a%b-tail"]
+    # character class
+    sql3 = rewrite_sqlite_to_spark(
+        "SELECT name FROM glob_t WHERE name GLOB '[Cc]amp*'"
+    )
+    got3 = sorted(r["name"] for r in spark.sql(sql3).collect())
+    assert got3 == ["Camping"]
+
+
 def test_replay_exhausted_transcript_raises(spark):
     """A loop that needs more turns than the recording has must raise
     (the ReplayLLM contract), not silently recycle completions."""

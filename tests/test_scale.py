@@ -4,6 +4,8 @@ a regression even when answers stay right."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -400,6 +402,31 @@ def test_plan_audit_passes():
         timeout=900,
     )
     assert r.returncode == 0, r.stdout[-2000:]
+
+
+def test_plan_audit_fresh():
+    """The committed PLAN_AUDIT.md must have been generated AFTER the
+    last operator-module change: its embedded source digest must match
+    a fresh recomputation (round-4 verdict item 1 — an operator rewrite
+    committed without rerunning the audit fails here in seconds, not in
+    the 15-minute full audit)."""
+    import importlib.util
+    import re as _re
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    audit_path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.md")
+    with open(audit_path) as f:
+        head = f.read(4096)
+    m = _re.search(r"Source digest: `([0-9a-f]{64})`", head)
+    assert m, "PLAN_AUDIT.md has no source digest — regenerate with scripts/plan_audit.py"
+    assert m.group(1) == mod.source_digest(), (
+        "PLAN_AUDIT.md is stale: operator modules changed since it was "
+        "generated. Rerun: python scripts/plan_audit.py > PLAN_AUDIT.md"
+    )
 
 
 def test_ohlc_single_aggregation_exchange(spark, sf_dir):

@@ -147,8 +147,10 @@ def compare_frames(got: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     if len(got) >= _FAST_COMPARE_MIN_ROWS and len(got) == len(oracle_pdf):
         import numpy as np
 
-        hu_a = pd.util.hash_pandas_object(_canon_strings(got), index=False).to_numpy()
-        hu_b = pd.util.hash_pandas_object(_canon_strings(oracle_pdf), index=False).to_numpy()
+        ca = _canon_strings(got)
+        cb = _canon_strings(oracle_pdf)
+        hu_a = pd.util.hash_pandas_object(ca, index=False).to_numpy()
+        hu_b = pd.util.hash_pandas_object(cb, index=False).to_numpy()
         if np.array_equal(np.sort(hu_a), np.sort(hu_b)):
             # Hash-multiset equality uses 64-bit row hashes: a collision
             # pairing a spark-only row with a DIFFERENT oracle-only row
@@ -160,10 +162,15 @@ def compare_frames(got: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
             # carrying the k smallest hashes (deterministic sample; the
             # same hashes select corresponding rows on both sides when
             # no collision occurred) through the exact canon path.
+            # Compare through the SAME _canon_strings domain the hashes
+            # came from — canon()'s stricter tz handling (round-4
+            # ADVICE) could report a spurious "collision" for a key
+            # that legitimately hash-matched (e.g. tz-aware-UTC vs
+            # naive timestamps, which _canon_strings normalizes).
             k = 16
             idx_a = np.argsort(hu_a, kind="stable")[:k]
             idx_b = np.argsort(hu_b, kind="stable")[:k]
-            if canon(got.iloc[idx_a]) != canon(oracle_pdf.iloc[idx_b]):
+            if list(ca.iloc[idx_a]) != list(cb.iloc[idx_b]):
                 problems.append(
                     "hash multisets equal but exact spot-check differs "
                     "(64-bit collision masking a divergence)"
