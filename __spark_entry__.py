@@ -32,3 +32,15 @@ def oracle_sql() -> dict[str, str]:
     from pandasqlite_spark.operators import registry
 
     return registry.oracle_sql()
+
+
+def oracle_sql_big() -> dict[str, str]:
+    """Optional staged (multi-statement) oracle overrides for big-SF
+    sweeps — keys whose single-statement oracle exhausts the DuckDB
+    verifier's temp disk at sf10 (50M-edge multi-hop graph expansions).
+    Not part of the driver contract; ``scripts/driver_sweep.py`` uses
+    these when present so sf10 gets a full value check instead of a
+    rows-executed record."""
+    from pandasqlite_spark.operators import registry
+
+    return registry.oracle_sql_big()

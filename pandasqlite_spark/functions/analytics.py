@@ -183,10 +183,23 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ fuzzy join
 
 def fuzzy_pairs(
-    parts: DataFrame, block_cols: tuple[str, str] = ("p_brand", "p_size"), max_dist: int = 10
+    parts: DataFrame,
+    block_cols: tuple[str, str] = ("p_brand", "p_size"),
+    max_dist: int = 10,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy self-join: Levenshtein only within equi-join blocks
-    (brand × size), so candidates are Σ C(|block|, 2) not C(n, 2)."""
+    (brand × size), so candidates are Σ C(|block|, 2) not C(n, 2).
+
+    ``sample_mod``: optional bounded-readout mode — keep only the
+    deterministic ``(pa·31 + pb) % sample_mod == 0`` slice of candidate
+    pairs BEFORE the DP runs (the ``dedup-minhash-estimate`` treatment,
+    round-4 verdict item 2).  Block candidate volume is quadratic in
+    block size, so a corpus with hot blocks (sf10's 100-way replicated
+    names: ~1.6B candidates) needs its readout bounded; blocking and the
+    length prefilter stay FULL, only the per-pair verify and the emitted
+    pair list are sampled.  ``None`` = the full join (the production
+    path, where the result goes to a sink, not a comparator)."""
     a = parts.select(
         F.col("p_partkey").alias("pa"),
         F.col("p_name").alias("name_a"),
@@ -203,15 +216,18 @@ def fuzzy_pairs(
     # as soon as the distance provably exceeds d (returns −1) — banded
     # O(d·n) instead of full O(n²) per pair.  Measured at sf1 (200k
     # parts, brand×size blocks): 350s → well under half.
-    return (
-        a.join(b, list(block_cols))
-        .filter(
-            (F.col("pa") < F.col("pb"))
-            & (
-                F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
-            )
+    cand = a.join(b, list(block_cols)).filter(
+        (F.col("pa") < F.col("pb"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+    )
+    if sample_mod is not None:
+        cand = cand.filter(
+            (F.col("pa").cast("bigint") * 31 + F.col("pb").cast("bigint"))
+            % sample_mod
+            == 0
         )
-        .withColumn("dist", F.expr(f"levenshtein(name_a, name_b, {max_dist})"))
+    return (
+        cand.withColumn("dist", F.expr(f"levenshtein(name_a, name_b, {max_dist})"))
         .filter(F.col("dist") >= 0)
         .select("pa", "pb", "dist")
         .orderBy("pa", "pb")
@@ -219,7 +235,7 @@ def fuzzy_pairs(
 
 
 def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fuzzy_pairs(load(spark, sf_dir, "part"))
+    return fuzzy_pairs(load(spark, sf_dir, "part"), sample_mod=16)
 
 
 # -------------------------------------------------- rank distributions
@@ -3597,7 +3613,9 @@ ORACLES = {
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
          AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 10
+        WHERE (a.p_partkey * 31 + b.p_partkey) % 16 = 0
+          AND abs(length(a.p_name) - length(b.p_name)) <= 10
+          AND levenshtein(a.p_name, b.p_name) <= 10
         ORDER BY pa, pb
     """,
     "window-percent-cume": """

@@ -471,6 +471,94 @@ def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
 ORACLES["graph-kcore-peel"] = _kcore_oracle()
 
 
+def _bfs_oracle_staged() -> str:
+    """Staged twin of the ``graph-bfs-hops`` oracle: the 50M-edge
+    symmetrized trade graph is materialized ONCE into a temp table,
+    then each hop is a frontier-sized join — the single-statement CTE
+    form re-expands the orders⋈lineitem distinct per hop reference and
+    filled the sf10 verifier's temp disk (round-4 SWEEP_SF10 Batch C).
+    Same rows, same final SELECT."""
+    stmts = [
+        "DROP TABLE IF EXISTS bfs_sym",
+        """CREATE TEMP TABLE bfs_sym AS
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs""",
+        "DROP TABLE IF EXISTS bfs_v0",
+        "CREATE TEMP TABLE bfs_v0 AS SELECT node, 0 AS dist FROM (VALUES (2), (4)) v(node)",
+    ]
+    for i in range(1, BFS_MAX_HOPS + 1):
+        p = i - 1
+        stmts += [
+            f"DROP TABLE IF EXISTS bfs_n{i}",
+            f"""CREATE TEMP TABLE bfs_n{i} AS
+            SELECT node, {i} AS dist FROM (
+              SELECT DISTINCT e.dst AS node FROM bfs_sym e
+              JOIN bfs_n{p} f ON e.src = f.node)
+            WHERE node NOT IN (SELECT node FROM bfs_v{p})"""
+            if i > 1
+            else f"""CREATE TEMP TABLE bfs_n{i} AS
+            SELECT node, {i} AS dist FROM (
+              SELECT DISTINCT e.dst AS node FROM bfs_sym e
+              JOIN bfs_v{p} f ON e.src = f.node)
+            WHERE node NOT IN (SELECT node FROM bfs_v{p})""",
+            f"DROP TABLE IF EXISTS bfs_v{i}",
+            f"""CREATE TEMP TABLE bfs_v{i} AS
+            SELECT * FROM bfs_v{p} UNION ALL SELECT * FROM bfs_n{i}""",
+        ]
+    stmts.append(
+        f"SELECT dist, COUNT(*) AS n_nodes FROM bfs_v{BFS_MAX_HOPS} "
+        "GROUP BY dist ORDER BY dist"
+    )
+    return ";\n".join(stmts)
+
+
+def _kcore_oracle_staged(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Staged twin of the ``graph-kcore-peel`` oracle: the symmetrized
+    co-occurrence edge set and each peel round's survivor edge set are
+    materialized once (each round only SHRINKS the previous table), so
+    the verifier's peak temp usage is one co-occurrence join instead of
+    ``rounds`` re-expansions."""
+    stmts = [
+        "DROP TABLE IF EXISTS kc_s0",
+        """CREATE TEMP TABLE kc_s0 AS
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_quantity > 45),
+        e0 AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM li a JOIN li b USING (l_orderkey)
+          WHERE a.l_suppkey < b.l_suppkey)
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        stmts += [
+            f"DROP TABLE IF EXISTS kc_k{i}",
+            f"""CREATE TEMP TABLE kc_k{i} AS
+            SELECT src FROM (SELECT src, COUNT(*) AS deg FROM kc_s{p} GROUP BY 1)
+            WHERE deg >= {k}""",
+            f"DROP TABLE IF EXISTS kc_s{i}",
+            f"""CREATE TEMP TABLE kc_s{i} AS
+            SELECT s.src, s.dst FROM kc_s{p} s
+            JOIN kc_k{i} a ON s.src = a.src
+            JOIN kc_k{i} b ON s.dst = b.src""",
+        ]
+    stmts.append(
+        f"SELECT src AS node, COUNT(*) AS degree FROM kc_s{rounds} "
+        "GROUP BY 1 ORDER BY node"
+    )
+    return ";\n".join(stmts)
+
+
+ORACLES_BIG = {
+    "graph-bfs-hops": _bfs_oracle_staged(),
+    "graph-kcore-peel": _kcore_oracle_staged(),
+}
+
+
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the supplier co-occurrence graph — the
     Pearson correlation between the degrees at each edge's endpoints

@@ -76,3 +76,17 @@ def oracle_sql() -> dict[str, str]:
     for m in _modules():
         out.update(getattr(m, "ORACLES", {}))
     return out
+
+
+def oracle_sql_big() -> dict[str, str]:
+    """Staged (multi-statement) DuckDB oracles for keys whose
+    single-statement oracle is disk-infeasible at big SFs: each
+    intermediate is materialized ONCE into a temp table instead of a
+    multiply-referenced CTE, bounding the verifier's temp spill.
+    Semantically identical to the registry oracle — the sweep harness
+    prefers these when present; the driver's sf0.01 gate keeps using
+    ``oracle_sql()``."""
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(getattr(m, "ORACLES_BIG", {}))
+    return out

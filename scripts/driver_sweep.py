@@ -129,6 +129,10 @@ def main() -> int:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     con = duckdb_connection(sf_dir)
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # staged multi-statement overrides for keys whose single-statement
+    # oracle is temp-disk-infeasible at big SFs (semantically identical
+    # — each intermediate materialized once instead of per-reference)
+    oracles = {**oracles, **getattr(entrymod, "oracle_sql_big", dict)()}
     if only is not None:
         unknown = only - set(queries)
         if unknown:
@@ -173,7 +177,9 @@ def main() -> int:
                     except Exception:  # corrupt/partial cache: recompute
                         opdf = None
                 if opdf is None:
-                    opdf = con.sql(oracles[key]).df()
+                    # execute() handles multi-statement staged oracles
+                    # (returns the final SELECT's frame)
+                    opdf = con.execute(oracles[key]).df()
                     if cpath:
                         try:  # cache is an optimization, never a failure
                             os.makedirs(cache_dir, exist_ok=True)
