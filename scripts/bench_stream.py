@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Streaming throughput/latency bench (round-4 verdict item 5).
+
+The streaming twins carry correctness + arrival-order proofs; this
+script adds the PERFORMANCE datum: events/sec through a finite
+``availableNow`` drain and the state store's peak size, per stateful
+key, at a chosen SF (default sf1 — ~6M events through one JVM).
+
+Measured per key from the StreamingQuery's progress feed (the same
+numbers a production monitor scrapes):
+
+- ``rows_in``        — total input rows consumed by the drain
+- ``wall_s``         — submit → drained wall clock (includes planning)
+- ``batch_ms``       — sum of per-batch ``triggerExecution`` durations
+- ``events_per_s``   — rows_in / (batch_ms/1000): engine throughput
+- ``state_rows_peak`` / ``state_bytes_peak`` — max over batches of the
+  state operator's ``numRowsTotal`` / ``memoryUsedBytes`` (RocksDB
+  keys also record the SST file size custom metric when present)
+
+Usage: python scripts/bench_stream.py [sf_dir] > BENCH_STREAM.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pandasqlite_spark.session import SPARK4_STATEFUL_AVAILABLE, get_spark  # noqa: E402
+from pandasqlite_spark.streaming import stateful  # noqa: E402
+from pandasqlite_spark.streaming.events import (  # noqa: E402
+    _ROCKSDB_PROVIDER,
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_rate_limit,
+    streaming_tumbling,
+)
+
+CONF_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def drain_and_measure(spark, build, mode: str, rocksdb: bool = False) -> dict:
+    prev = spark.conf.get(CONF_KEY, None)
+    if rocksdb:
+        spark.conf.set(CONF_KEY, _ROCKSDB_PROVIDER)
+    try:
+        t0 = time.perf_counter()
+        name, q = run_stream_to_memory(build(), mode=mode)
+        wall = time.perf_counter() - t0
+        if q.exception() is not None:
+            return {"err": str(q.exception())[:200]}
+        rows_in = 0
+        batch_ms = 0
+        state_rows = 0
+        state_bytes = 0
+        sst_bytes = 0
+        n_batches = 0
+        for p in q.recentProgress:
+            rows_in += p.get("numInputRows", 0)
+            n_batches += 1
+            batch_ms += p.get("durationMs", {}).get("triggerExecution", 0)
+            for so in p.get("stateOperators", []):
+                state_rows = max(state_rows, so.get("numRowsTotal", 0))
+                state_bytes = max(state_bytes, so.get("memoryUsedBytes", 0))
+                cm = so.get("customMetrics", {})
+                sst_bytes = max(sst_bytes, cm.get("rocksdbSstFileSize", 0))
+        out_rows = spark.table(name).count()
+        rec = {
+            "rows_in": rows_in,
+            "rows_out": out_rows,
+            "n_batches": n_batches,
+            "wall_s": round(wall, 2),
+            "batch_ms": batch_ms,
+            "events_per_s": round(rows_in / (batch_ms / 1000.0), 0)
+            if batch_ms
+            else None,
+            "state_rows_peak": state_rows,
+            "state_bytes_peak": state_bytes,
+        }
+        if rocksdb:
+            rec["rocksdb_sst_bytes"] = sst_bytes
+        return rec
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(CONF_KEY)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(CONF_KEY, prev)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    spark = get_spark("bench_stream")
+    src = lambda: read_events_stream(spark, sf_dir)  # noqa: E731
+
+    benches: list[tuple[str, dict]] = [
+        # stateless-ish watermark agg: the throughput ceiling reference
+        (
+            "streaming-tumbling",
+            dict(build=lambda: streaming_tumbling(src()), mode="complete"),
+        ),
+        # windowed dedup-style agg (min-struct per key-minute)
+        (
+            "streaming-rate-limit",
+            dict(build=lambda: streaming_rate_limit(src()), mode="complete"),
+        ),
+        # applyInPandasWithState per-user profile (constant state/key)
+        (
+            "stateful-profiles-apply",
+            dict(
+                build=lambda: stateful.user_profiles_stream(src(), evict=False),
+                mode="update",
+            ),
+        ),
+        # applyInPandasWithState CEP (last-2-events state machine)
+        (
+            "streaming-pattern-apply",
+            dict(
+                build=lambda: stateful.sequence_match_stream(src(), evict=False),
+                mode="append",
+            ),
+        ),
+    ]
+    if SPARK4_STATEFUL_AVAILABLE:
+        benches += [
+            # transformWithStateInPandas + RocksDB twins
+            (
+                "stateful-profiles-tws",
+                dict(
+                    build=lambda: stateful.user_profiles_stream_tws(src()),
+                    mode="update",
+                    rocksdb=True,
+                ),
+            ),
+            (
+                "streaming-pattern-tws",
+                dict(
+                    build=lambda: stateful.sequence_match_stream_tws(src()),
+                    mode="append",
+                    rocksdb=True,
+                ),
+            ),
+        ]
+
+    results = {}
+    for key, kw in benches:
+        print(f"BENCH {key}", file=sys.stderr, flush=True)
+        results[key] = drain_and_measure(spark, **kw)
+        print(f"  {results[key]}", file=sys.stderr, flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "streams": results}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
