@@ -174,18 +174,24 @@ def main() -> None:
             except Exception:
                 pass
 
-    # min of 2 measured runs per query: the second run shares no cached
-    # data (noop sink, no .cache()), so the min simply rejects one-off
-    # scheduler/GC hiccups — the standard way to report a latency that
-    # is reproducible rather than unlucky
+    # median of N warm runs per query (default 5, env-tunable): the
+    # round-4 bench drifted +24-26% on UNTOUCHED TPC-H queries under
+    # min-of-2 — shared-JVM run-to-run variance, not a regression
+    # (BENCH_NOTES.md).  The median of 5 absorbs one-off scheduler/GC
+    # hiccups in BOTH directions where a min only rejects slow
+    # outliers (and so tracks the luckiest GC window, which moves
+    # between rounds as unrelated queries shift heap usage).
+    import statistics
+
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, fn in _queries(sf_dir).items():
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -196,8 +202,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 2,
-                "stat": "min",
+                "runs_per_query": n_runs,
+                "stat": "median",
             }
         )
     )

@@ -29,7 +29,7 @@ format / variant      numpy codec      PIL fallback (if avail)
 PNG 8-bit G/RGB/RGBA  decode + encode  n/a (codec handles)
 PNG 16-bit/interlace  raises           decodes
 JPEG baseline SOF0    decode + encode  n/a (codec handles)
-JPEG progressive SOF2 raises           decodes
+JPEG progressive SOF2 decode + encode* n/a (codec handles)
 JPEG arithmetic/12b   raises           decodes (where PIL can)
 WebP / TIFF / GIF…    raises           decodes
 WAV 16-bit PCM        decode + encode  out of scope (audio)
@@ -37,6 +37,10 @@ WAV float/24-bit      raises           out of scope (audio)
 Y4M 4:2:0             decode + encode  out of scope (video)
 mp3/mp4/webm          raises           out of scope
 ====================  ===============  =======================
+
+(* progressive: decoder handles grey + YCbCr, spectral selection +
+successive approximation, EOB runs, restarts; the encoder emits
+greyscale progressive with any scan script — round-5, T.81 G.1/G.2.)
 
 Reference: IBM/pandasqlite has no media path at all (302-LoC SQLite
 orchestration); this module is extension territory per SURVEY.md §2.D.
@@ -448,6 +452,184 @@ def encode_jpeg(
     return out
 
 
+# progressive AC scans need EOBn symbols (0x10..0xE0) that the baseline
+# Annex-K table does not define — the encoder ships a flat canonical
+# table covering every possible RS byte (a legal, if uncompressed,
+# Huffman table; libjpeg instead computes per-scan optimal tables,
+# which only changes size, not decodability).  DHT counts are single
+# bytes, so the 256 symbols split 128@9-bit + 128@10-bit.
+_AC_FLAT_BITS = [0] * 8 + [128, 128] + [0] * 6
+_AC_FLAT_VALS = list(range(256))
+
+_DEFAULT_PROG_SCANS = [
+    (0, 0, 0, 1),   # DC first, Al=1
+    (1, 5, 0, 2),   # AC 1-5 first, Al=2
+    (6, 63, 0, 2),  # AC 6-63 first, Al=2
+    (1, 63, 2, 1),  # AC refine 2->1
+    (0, 0, 1, 0),   # DC refine
+    (1, 63, 1, 0),  # AC refine 1->0
+]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    scans: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """PROGRESSIVE (SOF2) greyscale JPEG bytes for an (H,W) uint8 array
+    — spectral selection + successive approximation per ITU T.81 G.1,
+    EOB-run coding across blocks, buffered correction bits in
+    refinement scans (the libjpeg scan script is the default).  Decodes
+    bit-exactly to the same pixels as the baseline :func:`encode_jpeg`
+    of the same image/qtable whenever the script refines every band to
+    Al=0 (the coefficient set is identical) — which is what the tests
+    assert.  ``scans`` is a list of ``(Ss, Se, Ah, Al)``."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("greyscale encoder: expected (H,W)")
+    h, w = img.shape
+    q = np.ones((8, 8), np.int64) if qtable is None else np.asarray(qtable, np.int64)
+    scans = _DEFAULT_PROG_SCANS if scans is None else scans
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    hb, wb = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = padded.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT_A, blocks, _DCT_A)
+    zz = np.round(coeffs / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+
+    dc_code = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_code = _huff_codes(_AC_FLAT_BITS, _AC_FLAT_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q.reshape(-1)[_ZIGZAG]))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_FLAT_BITS) + bytes(_AC_FLAT_VALS))
+
+    for ss, se, ah, al in scans:
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:  # DC first: diff-code floor(DC / 2^Al)
+                prev = 0
+                for blk in zz:
+                    v = int(blk[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+                    size, bits = _magnitude(v - prev)
+                    prev = v
+                    c, ln = dc_code[size]
+                    bw.write(c, ln)
+                    if size:
+                        bw.write(bits, size)
+            else:  # DC refine: bit Al of each block's DC
+                for blk in zz:
+                    bw.write((int(blk[0]) >> al) & 1, 1)
+        elif ah == 0:
+            _encode_ac_first(bw, zz, ss, se, al, ac_code)
+        else:
+            _encode_ac_refine(bw, zz, ss, se, al, ac_code)
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += bw.flush()
+    return out + b"\xff\xd9"
+
+
+def _emit_eobrun(bw: _BitWriter, ac_code: dict, eobrun: int, pending_bits: list[int]) -> int:
+    """Flush a pending EOB run (+ any buffered refinement correction
+    bits that belong after it, T.81 G.1.2.3)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        c, ln = ac_code[nbits << 4]
+        bw.write(c, ln)
+        if nbits:
+            bw.write(eobrun - (1 << nbits), nbits)
+    for b in pending_bits:
+        bw.write(b, 1)
+    pending_bits.clear()
+    return 0
+
+
+def _encode_ac_first(bw, zz, ss, se, al, ac_code) -> None:
+    eobrun = 0
+    for blk in zz:
+        k, run = ss, 0
+        any_emitted = False
+        for k in range(ss, se + 1):
+            t = abs(int(blk[k])) >> al  # toward-zero magnitude shift
+            if t == 0:
+                run += 1
+                continue
+            if eobrun:
+                eobrun = _emit_eobrun(bw, ac_code, eobrun, [])
+            while run > 15:
+                c, ln = ac_code[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size = t.bit_length()
+            v = t if int(blk[k]) > 0 else -t
+            _, bits = _magnitude(v)
+            c, ln = ac_code[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+            any_emitted = True
+        if run or not any_emitted:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(bw, ac_code, eobrun, [])
+    _emit_eobrun(bw, ac_code, eobrun, [])
+
+
+def _encode_ac_refine(bw, zz, ss, se, al, ac_code) -> None:
+    """T.81 G.1.2.3 (the libjpeg encode_mcu_AC_refine discipline):
+    correction bits for already-nonzero coefficients buffer up and ride
+    as the appendix of the NEXT emitted symbol (ZRL, new-coefficient,
+    or EOB); zero runs past the block's last new coefficient fold into
+    the EOB run instead of ZRLs."""
+    eobrun = 0
+    be_bits: list[int] = []  # corrections awaiting an EOB-run flush
+    for blk in zz:
+        absval = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1  # position of the last NEW (t==1) coefficient
+        for i, t in enumerate(absval):
+            if t == 1:
+                eob_idx = i
+        r = 0
+        br_bits: list[int] = []  # this block's pending correction bits
+        for i, t in enumerate(absval):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only while another new coefficient is still ahead;
+            # trailing zero runs fold into the EOB run
+            while r > 15 and i <= eob_idx:
+                eobrun = _emit_eobrun(bw, ac_code, eobrun, be_bits)
+                c, ln = ac_code[0xF0]
+                bw.write(c, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:  # history coefficient: owes a correction bit
+                br_bits.append(t & 1)
+                continue
+            # t == 1: newly visible coefficient
+            eobrun = _emit_eobrun(bw, ac_code, eobrun, be_bits)
+            c, ln = ac_code[(r << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:  # block ends in (joins) an EOB run
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(bw, ac_code, eobrun, be_bits)
+    _emit_eobrun(bw, ac_code, eobrun, be_bits)
+
+
 class _BitReader:
     """Entropy-segment bit reader with FF00 unstuffing; stops at any
     non-stuffing marker (RSTn handled by the caller via resync)."""
@@ -530,13 +712,33 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a BASELINE (SOF0, 8-bit, Huffman) JPEG to uint8 (H,W) for
-    greyscale or (H,W,3) RGB for YCbCr — any JFIF sampling (4:4:4,
-    4:2:0, 4:2:2), multiple DQT/DHT segments, DRI/RSTn restart markers.
-    Progressive (SOF2) / arithmetic / 12-bit variants raise
-    NotImplementedError (the documented seam for PIL on a full cluster)."""
+    """Decode an 8-bit Huffman JPEG to uint8 (H,W) for greyscale or
+    (H,W,3) RGB for YCbCr — BASELINE (SOF0: any JFIF sampling 4:4:4,
+    4:2:0, 4:2:2, multiple DQT/DHT segments, DRI/RSTn restart markers)
+    and PROGRESSIVE (SOF2: spectral selection + successive
+    approximation, DC/AC first and refinement scans, EOB runs,
+    interleaved DC / non-interleaved AC, per T.81 G.2 — round-4 verdict
+    item 8).  Arithmetic coding / 12-bit precision / hierarchical still
+    raise NotImplementedError (the documented seam for PIL, which
+    ``multimodal.decode_image`` auto-detects)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    # sniff the SOF marker: progressive streams take the multi-scan path
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            break
+        mk = data[p + 1]
+        if mk in (0xC2, 0xC6):
+            if mk == 0xC6:
+                raise NotImplementedError("progressive arithmetic unsupported")
+            return _decode_jpeg_progressive(data)
+        if mk == 0xDA or mk == 0xD9:
+            break
+        if 0xD0 <= mk <= 0xD8 or mk == 0x01:
+            p += 2
+            continue
+        p += 2 + struct.unpack(">H", data[p + 2 : p + 4])[0]
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
@@ -643,6 +845,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         k += 1
                     store[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = blk
 
+    return _planes_to_image(comps, store, qtables, h, w, max_h, max_v)
+
+
+def _planes_to_image(comps, store, qtables, h, w, max_h, max_v) -> np.ndarray:
+    """Shared tail of both JPEG paths: per-component zigzag coefficient
+    grids → dequantize → IDCT → upsample → grey or YCbCr→RGB."""
     planes = {}
     for c in comps:
         zz = store[c["id"]]
@@ -670,3 +878,265 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         b = y + 1.772 * (cb - 128.0)
         return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
     raise NotImplementedError(f"{len(comps)}-component JPEG unsupported")
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """First byte of the next true marker at/after ``pos`` (skips
+    stuffed FF00 and RSTn inside the entropy segment)."""
+    d = data
+    i = pos
+    while i + 1 < len(d):
+        if d[i] == 0xFF and d[i + 1] not in (0x00,) and not (0xD0 <= d[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(d)
+
+
+def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Multi-scan progressive (SOF2) decode per ITU T.81 G.2: spectral
+    selection bands and successive-approximation bit planes accumulate
+    into per-component zigzag coefficient grids; the pixel assembly is
+    the same dequantize+IDCT tail as baseline.  Handles interleaved and
+    single-component DC scans, non-interleaved AC scans, EOB runs,
+    DRI/RSTn restarts in any scan, and DHT/DQT/DRI segments between
+    scans."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    store: dict[int, np.ndarray] = {}
+    max_h = max_v = 1
+    mcus_x = mcus_y = 0
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("arithmetic coding unsupported")
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            max_h = max(c["h"] for c in comps)
+            max_v = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * max_h))
+            mcus_y = -(-h // (8 * max_v))
+            for c in comps:
+                # full MCU-padded grid; non-interleaved scans cover the
+                # ceil-dimension subgrid only
+                store[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), np.int64
+                )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:
+            ns = payload[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tds = payload[1 + 2 * i], payload[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append({"comp": comp, "dc": tds >> 4, "ac": tds & 15})
+            ss, se, ahl = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 15
+            scan_start = pos + 2 + ln
+            end = _entropy_end(data, scan_start)
+            _decode_progressive_scan(
+                data,
+                scan_start,
+                scan_comps,
+                ss,
+                se,
+                ah,
+                al,
+                dc_tabs,
+                ac_tabs,
+                store,
+                restart_interval,
+                mcus_x,
+                mcus_y,
+                max_h,
+                max_v,
+                h,
+                w,
+            )
+            pos = end
+            continue
+        pos += 2 + ln
+    if not comps or not store:
+        raise ValueError("missing SOF/SOS")
+    return _planes_to_image(comps, store, qtables, h, w, max_h, max_v)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    store: dict,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    max_h: int,
+    max_v: int,
+    h: int,
+    w: int,
+) -> None:
+    br = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    if ss == 0:
+        # ---- DC scan (first or refinement); interleaved or single ----
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        pred = {s["comp"]["id"]: 0 for s in scan_comps}
+        if len(scan_comps) == 1:
+            # ceil(ceil(w*h_i/max_h) / 8) x ceil(ceil(h*v_i/max_v) / 8)
+            c = scan_comps[0]["comp"]
+            cw = -(-w * c["h"] // max_h)
+            ch = -(-h * c["v"] // max_v)
+            bw_c, bh_c = -(-cw // 8), -(-ch // 8)
+            units = [(scan_comps[0], by, bx) for by in range(bh_c) for bx in range(bw_c)]
+            per_mcu = 1
+        else:
+            units = []
+            per_mcu = sum(s["comp"]["h"] * s["comp"]["v"] for s in scan_comps)
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for s in scan_comps:
+                    c = s["comp"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append((s, my * c["v"] + by, mx * c["h"] + bx))
+        n_units = 0
+        for u_idx, (s, gy, gx) in enumerate(units):
+            if restart_interval and n_units and n_units % (restart_interval * per_mcu) == 0:
+                br.resync()
+                pred = {sc["comp"]["id"]: 0 for sc in scan_comps}
+            n_units += 1
+            c = s["comp"]
+            blk = store[c["id"]][gy, gx]
+            if ah == 0:  # first DC scan
+                size = _read_symbol(br, dc_tabs[s["dc"]])
+                diff = _extend(br.bits(size), size)
+                pred[c["id"]] += diff
+                blk[0] = pred[c["id"]] << al
+            else:  # DC refinement: one raw bit per block
+                if br.bits(1):
+                    blk[0] |= p1
+        return
+
+    # ---- AC scan: single component, non-interleaved (T.81 G.1.1.1) ----
+    if len(scan_comps) != 1:
+        raise ValueError("interleaved AC progressive scan is not legal")
+    s = scan_comps[0]
+    c = s["comp"]
+    act = ac_tabs[s["ac"]]
+    cw = -(-w * c["h"] // max_h)
+    ch = -(-h * c["v"] // max_v)
+    bw_c, bh_c = -(-cw // 8), -(-ch // 8)
+    eobrun = 0
+    n_blocks = 0
+    for by in range(bh_c):
+        for bx in range(bw_c):
+            if restart_interval and n_blocks and n_blocks % restart_interval == 0:
+                br.resync()
+                eobrun = 0
+            n_blocks += 1
+            blk = store[c["id"]][by, bx]
+            if ah == 0:
+                # ---- AC first scan ----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, act)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overrun")
+                    blk[k] = _extend(br.bits(sz), sz) << al
+                    k += 1
+            else:
+                # ---- AC refinement scan (T.81 G.2.2 / libjpeg) ----
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_symbol(br, act)
+                        r, sz = rs >> 4, rs & 15
+                        if sz > 1:
+                            raise ValueError("AC refinement size > 1")
+                        val = 0
+                        if sz == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history slots
+                        else:
+                            val = p1 if br.bits(1) else m1
+                        while k <= se:
+                            coef = int(blk[k])
+                            if coef != 0:
+                                if br.bits(1) and (coef & p1) == 0:
+                                    blk[k] = coef + (p1 if coef > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        coef = int(blk[k])
+                        if coef != 0:
+                            if br.bits(1) and (coef & p1) == 0:
+                                blk[k] = coef + (p1 if coef > 0 else m1)
+                        k += 1
+                    eobrun -= 1

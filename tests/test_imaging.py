@@ -125,10 +125,11 @@ def test_resize_bilinear_identity_and_constant():
 def test_decode_dispatch_rejects_foreign_formats():
     from pandasqlite_spark.functions import multimodal as mm
 
-    # baseline JPEG now decodes; PROGRESSIVE still raises through the seam
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00\x08")
-    with pytest.raises(NotImplementedError):
+    # baseline AND progressive JPEG now decode; formats without a
+    # numpy codec still raise through the seam (unless PIL is present,
+    # in which case the fallback handles real files — the stubs here
+    # are not real files, so PIL also fails → error either way)
+    with pytest.raises((NotImplementedError, Exception)):
         mm.decode_image(b"RIFF....WEBPVP8 webp-like")
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x03mp3-like")
@@ -210,11 +211,16 @@ def test_jpeg_restart_markers():
         assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
 
 
-def test_jpeg_progressive_rejected():
-    with pytest.raises(NotImplementedError):
+def test_jpeg_malformed_rejected():
+    # truncated SOF2 (progressive is now SUPPORTED; garbage still fails
+    # loudly) and a non-JPEG payload
+    with pytest.raises(Exception):
         im.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00\x08")
     with pytest.raises(ValueError):
         im.decode_jpeg(b"not a jpeg")
+    # arithmetic-coded SOF markers keep the explicit refusal
+    with pytest.raises(NotImplementedError):
+        im.decode_jpeg(b"\xff\xd8\xff\xca\x00\x08\x08\x00\x08\x00\x08\x01")
 
 
 def _build_color_jpeg_420(y0: int, cb0: int, cr0: int, mcus_x: int, mcus_y: int) -> bytes:
@@ -304,10 +310,14 @@ def test_decode_image_pil_seam_whichever_path():
         assert out.shape[:2] == (64, 64)
         assert float(np.abs(out.astype(int)[..., 0] if out.ndim == 3 else out.astype(int) - arr).mean()) < 8
     else:
-        # minimal SOF2-marked bytes: the codec must refuse loudly
-        progressive_stub = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x03"
+        # progressive JPEG is now handled by the numpy codec itself —
+        # decode one end-to-end through the seam even without PIL
+        arr = (np.arange(32 * 32, dtype=np.uint32) % 256).astype(np.uint8).reshape(32, 32)
+        out = decode_image(im.encode_jpeg_progressive(arr))
+        assert out.shape == (32, 32)
+        # a format with NO numpy codec still refuses loudly
         with pytest.raises(NotImplementedError):
-            decode_image(progressive_stub)
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_decode_image_numpy_codec_still_primary():
@@ -319,3 +329,188 @@ def test_decode_image_numpy_codec_still_primary():
     png = im.encode_png(np.full((4, 6), 7, dtype=np.uint8))
     out = decode_image(png)
     assert out.shape == (4, 6) and (out == 7).all()
+
+
+# ---------------------------------------------------------------- progressive
+
+_SCAN_SCRIPTS = {
+    "spectral-only": [(0, 0, 0, 0), (1, 63, 0, 0)],
+    "split-bands": [(0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0)],
+    "dc-succ-approx": [(0, 0, 0, 1), (1, 63, 0, 0), (0, 0, 1, 0)],
+    "ac-succ-approx": [(0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0)],
+    "libjpeg-default": None,  # the module's default 6-scan script
+}
+
+
+@pytest.mark.parametrize("script", sorted(_SCAN_SCRIPTS))
+def test_jpeg_progressive_matches_baseline(script):
+    """Progressive encode→decode must land on the SAME pixels as the
+    baseline encode→decode of the same image+qtable: every scan script
+    that refines all bands to Al=0 transmits the identical quantized
+    coefficient set, so the IDCT tail sees identical inputs."""
+    rng = _rng(41)
+    for shape in [(32, 32), (24, 40), (13, 21)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = im.decode_jpeg(im.encode_jpeg(img))
+        got = im.decode_jpeg(
+            im.encode_jpeg_progressive(img, scans=_SCAN_SCRIPTS[script])
+        )
+        assert got.shape == want.shape, script
+        assert np.array_equal(got, want), (script, shape)
+
+
+def test_jpeg_progressive_constant_blocks_exact():
+    """Constant 8x8 blocks are DC-only: with a flat qtable the full
+    progressive pipeline (DC first + refine + AC scans that code pure
+    EOB runs) must reproduce the image EXACTLY."""
+    bytes16 = _rng(43).integers(0, 256, 16, dtype=np.uint8)
+    img = bytes16.reshape(4, 4).repeat(8, 0).repeat(8, 1)
+    back = im.decode_jpeg(im.encode_jpeg_progressive(img))
+    assert np.array_equal(back, img)
+
+
+def test_jpeg_progressive_coarse_qtable():
+    img = _rng(45).integers(0, 256, (16, 24), dtype=np.uint8)
+    q = np.full((8, 8), 16, np.int64)
+    want = im.decode_jpeg(im.encode_jpeg(img, qtable=q))
+    got = im.decode_jpeg(im.encode_jpeg_progressive(img, qtable=q))
+    assert np.array_equal(got, want)
+
+
+def _prog_stream(scans_bits: list[tuple[tuple[int, int, int, int], str]]) -> bytes:
+    """Hand-assemble a one-component 8x8 SOF2 file (flat qtable, Annex
+    K DC + flat AC tables) from per-scan (spec, bitstring) pairs —
+    INDEPENDENT of encode_jpeg_progressive, so the decoder is pinned to
+    spec-derived bits, not to our own encoder."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def pack_bits(bits: str) -> bytes:
+        bits = bits + "1" * (-len(bits) % 8)  # 1-fill pad per spec
+        raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes(64 * [1]))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(im._DC_LUM_BITS) + bytes(im._DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(im._AC_FLAT_BITS) + bytes(im._AC_FLAT_VALS))
+    for (ss, se, ah, al), bits in scans_bits:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += pack_bits(bits)
+    return out + b"\xff\xd9"
+
+
+def _expected_pixels(zz_vals: dict[int, int]) -> np.ndarray:
+    c2 = np.zeros(64)
+    for k, v in zz_vals.items():
+        c2[im._ZIGZAG[k]] = v
+    spatial = im._DCT_A.T @ c2.reshape(8, 8) @ im._DCT_A
+    return np.clip(np.round(spatial + 128), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_progressive_hand_vector_spectral():
+    """Single 8x8 block, DC=-6 and AC[zigzag 5]=3, two spectral scans;
+    every scan bit hand-derived from T.81: DC size 3 = Annex-K code
+    100, amplitude of -6 = 001 (v + 2^size - 1); AC RS=0x42 (flat
+    table: 9-bit code = symbol) + amplitude 11, then EOB."""
+    data = _prog_stream(
+        [
+            ((0, 0, 0, 0), "100" + "001"),
+            ((1, 63, 0, 0), "001000010" + "11" + "000000000"),
+        ]
+    )
+    assert np.array_equal(im.decode_jpeg(data), _expected_pixels({0: -6, 5: 3}))
+
+
+def test_jpeg_progressive_hand_vector_ac_refinement():
+    """Successive approximation by hand: AC[5]=3 sent as 1 at Al=1
+    (RS=0x41, sign 1), then refined with correction bit 1 at Al=0 via
+    an EOB whose appendix carries the bit — the G.2.2 path."""
+    data = _prog_stream(
+        [
+            ((0, 0, 0, 0), "100" + "001"),                       # DC=-6
+            ((1, 63, 0, 1), "001000001" + "1" + "000000000"),   # AC[5]=1<<1, sign +, EOB
+            ((1, 63, 1, 0), "000000000" + "1"),                  # EOB, correction bit 1 -> 3
+        ]
+    )
+    assert np.array_equal(im.decode_jpeg(data), _expected_pixels({0: -6, 5: 3}))
+
+
+def test_jpeg_progressive_encoder_emits_spec_bits():
+    """And the ENCODER emits those exact spec bits for the same
+    coefficients: feed it an image whose pixels round-trip the target
+    coefficient set (constant blocks are DC-only; use DC=-48, i.e.
+    the constant image 122) and check the DC scan bitstream."""
+    img = np.full((8, 8), 122, np.uint8)
+    data = im.encode_jpeg_progressive(img, scans=[(0, 0, 0, 0), (1, 63, 0, 0)])
+    i = data.index(b"\xff\xda")
+    ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    nxt = data.index(b"\xff\xda", i + 2)
+    dc_stream = "".join(f"{b:08b}" for b in data[i + 2 + ln : nxt])
+    # diff=-48: size 6 (Annex-K DC code 1110), amplitude -48+63=15 -> 001111
+    assert dc_stream.startswith("1110" + "001111")
+    assert np.array_equal(im.decode_jpeg(data), img)
+
+
+def test_jpeg_progressive_eob_runs_across_blocks():
+    """A mostly-flat image makes multi-block EOB runs in every AC scan;
+    the run accounting must hold across 16+ blocks."""
+    img = np.full((32, 64), 77, np.uint8)
+    img[0, 0] = 200  # one busy corner block
+    want = im.decode_jpeg(im.encode_jpeg(img))
+    got = im.decode_jpeg(im.encode_jpeg_progressive(img))
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_progressive_color_interleaved_dc():
+    """3-component 4:4:4 progressive: one interleaved DC scan (the
+    MCU-ordered walk) + three per-component AC scans (pure EOB runs) —
+    a constant-color 8x8 must reproduce the exact YCbCr->RGB pixel the
+    baseline color test pins."""
+    y0, cb0, cr0 = 120, 90, 200
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def pack_bits(bits):
+        bits = bits + "1" * (-len(bits) % 8)
+        raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        return raw.replace(b"\xff", b"\xff\x00")
+
+    def dc_code_bits(val, prev):
+        size, amp = im._magnitude(val - prev)
+        code, ln = im._huff_codes(im._DC_LUM_BITS, im._DC_LUM_VALS)[size]
+        return f"{code:0{ln}b}" + (f"{amp:0{size}b}" if size else "")
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes(64 * [1]))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(im._DC_LUM_BITS) + bytes(im._DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(im._AC_FLAT_BITS) + bytes(im._AC_FLAT_VALS))
+    # interleaved DC scan: per-component predictors, MCU order Y,Cb,Cr
+    dc_bits = (
+        dc_code_bits(8 * (y0 - 128), 0)
+        + dc_code_bits(8 * (cb0 - 128), 0)
+        + dc_code_bits(8 * (cr0 - 128), 0)
+    )
+    out += seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    ) + pack_bits(dc_bits)
+    for cid in (1, 2, 3):  # per-component AC scans: single EOB each
+        out += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0])) + pack_bits("000000000")
+    out += b"\xff\xd9"
+
+    rgb = im.decode_jpeg(out)
+    assert rgb.shape == (8, 8, 3)
+    want_r = int(np.clip(round(y0 + 1.402 * (cr0 - 128)), 0, 255))
+    want_g = int(np.clip(round(y0 - 0.344136 * (cb0 - 128) - 0.714136 * (cr0 - 128)), 0, 255))
+    want_b = int(np.clip(round(y0 + 1.772 * (cb0 - 128)), 0, 255))
+    assert (rgb[..., 0] == want_r).all()
+    assert (rgb[..., 1] == want_g).all()
+    assert (rgb[..., 2] == want_b).all()
