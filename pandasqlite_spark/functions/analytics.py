@@ -235,7 +235,25 @@ def fuzzy_pairs(
 
 
 def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fuzzy_pairs(load(spark, sf_dir, "part"), sample_mod=16)
+    """Bounded READOUT of the blocked fuzzy join: per-distance pair
+    histogram + distinct-doc reach over the deterministic 1/16
+    candidate sample.  The first sf10 attempt proved the pair LIST is
+    itself the quadratic object (100×-replicated names make nearly
+    every sampled candidate a match — the collect hit ~80 GB), so the
+    key collapses to ≤11 rows the way ``dedup-band-tuning`` does: the
+    engine work (blocking, length prefilter, banded DP) is identical,
+    only the emitted surface is bounded.  Pair-level output stays
+    available via :func:`fuzzy_pairs` (the production path writes it
+    to a sink, never through a comparator)."""
+    pairs = fuzzy_pairs(load(spark, sf_dir, "part"), sample_mod=16)
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("pa").alias("n_left_parts"),
+        )
+        .orderBy("dist")
+    )
 
 
 # -------------------------------------------------- rank distributions
@@ -3608,15 +3626,18 @@ ORACLES = {
         FROM ranked WHERE rn = 1 ORDER BY c_nationkey
     """,
     "fuzzy-join-levenshtein": """
-        SELECT a.p_partkey AS pa, b.p_partkey AS pb,
-               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         AND a.p_partkey < b.p_partkey
-        WHERE (a.p_partkey * 31 + b.p_partkey) % 16 = 0
-          AND abs(length(a.p_name) - length(b.p_name)) <= 10
-          AND levenshtein(a.p_name, b.p_name) <= 10
-        ORDER BY pa, pb
+        WITH pairs AS (
+          SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+                 CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+          WHERE (a.p_partkey * 31 + b.p_partkey) % 16 = 0
+            AND abs(length(a.p_name) - length(b.p_name)) <= 10
+            AND levenshtein(a.p_name, b.p_name) <= 10)
+        SELECT dist, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT pa) AS n_left_parts
+        FROM pairs GROUP BY dist ORDER BY dist
     """,
     "window-percent-cume": """
         SELECT c_custkey, c_nationkey,
