@@ -467,3 +467,80 @@ def rewrite_sqlite_to_spark(sql: str, identifiers: set[str] | None = None) -> st
     masked = masked.replace("LIKE\x01", "LIKE")
     masked = _rewrite_double_quoted_literals(masked, identifiers)
     return _unmask(masked, spans)
+
+
+# --------------------------------------------------------------------------
+# MISSING_GROUP_BY deterministic repair (§2.B-15)
+# --------------------------------------------------------------------------
+
+#: Function heads that make a select item an aggregate.  Two-argument
+#: scalar MIN/MAX are rewritten to least/greatest BEFORE this check
+#: (``_rewrite_scalar_minmax``), so a surviving ``min(``/``max(`` is
+#: the aggregate form.
+_AGG_HEAD_RE = re.compile(
+    r"\b(count|sum|avg|min|max|total|group_concat|listagg|string_agg"
+    r"|collect_list|collect_set|array_agg|any_value|median|mode"
+    r"|stddev\w*|var_\w+|variance|corr|covar\w*|bool_and|bool_or|every"
+    r"|bit_and|bit_or|bit_xor|percentile\w*|approx_\w+|first|last"
+    r"|first_value|last_value)\s*\(",
+    re.IGNORECASE,
+)
+
+_OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
+
+
+def rewrite_bare_aggregate(sql: str) -> str:
+    """SQLite permits a SELECT list that mixes aggregates with bare
+    non-grouped expressions and has no GROUP BY — it evaluates the bare
+    expression on an *arbitrary* row (`pandasqlite` inherits this via
+    SQLite; SURVEY §2.B-15).  Spark raises ``MISSING_GROUP_BY``.  This
+    wraps each non-aggregate top-level select item in ``any_value(...)``
+    — Spark's exact analog of the arbitrary-row pick — aliased to the
+    name the unwrapped expression would have produced.
+
+    Applied by :func:`~pandasqlite_spark.core.text2sql.run_with_repair`
+    as a deterministic repair ONLY after Catalyst raises
+    MISSING_GROUP_BY, never speculatively.  Conservative by design:
+    returns the input unchanged for shapes it cannot parse with
+    confidence (CTEs, set operations, an existing GROUP BY anywhere,
+    window functions) — those fall through to the LLM repair loop.
+    """
+    masked, spans = _mask_quoted_spans(sql)
+    low = masked.lower()
+    if re.search(r"\bgroup\s+by\b|\bwith\b|\bunion\b|\bintersect\b|\bexcept\b", low):
+        return sql
+    if _OVER_RE.search(masked):
+        return sql
+    head = re.match(r"^\s*select\s+(?:distinct\s+)?", masked, re.IGNORECASE)
+    if not head:
+        return sql
+    # top-level FROM (depth-0 only; a FROM inside a subquery is deeper)
+    depth, from_start = 0, None
+    for m in re.finditer(r"[()]|\bfrom\b", masked[head.end():], re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            from_start = head.end() + m.start()
+            break
+    if from_start is None:
+        return sql
+    items = _split_top_level(masked[head.end():from_start])
+    if not any(_AGG_HEAD_RE.search(it) for it in items):
+        return sql  # no aggregate at all — not the §2.B-15 shape
+    out_items = []
+    for it in items:
+        if _AGG_HEAD_RE.search(it) or it == "*":
+            out_items.append(it)
+            continue
+        alias_m = re.search(r"\s+as\s+(\x00\d+\x00|[\w.]+)\s*$", it, re.IGNORECASE)
+        if alias_m:
+            expr = it[: alias_m.start()].strip()
+            out_items.append(f"any_value({expr}) AS {alias_m.group(1)}")
+        else:
+            name = _unmask(it, spans).strip().replace("`", "")
+            out_items.append(f"any_value({it}) AS `{name}`")
+    rebuilt = masked[: head.end()] + ", ".join(out_items) + " " + masked[from_start:]
+    return _unmask(rebuilt, spans)

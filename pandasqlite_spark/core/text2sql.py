@@ -24,6 +24,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from pandasqlite_spark.core.dialect import (
+    rewrite_bare_aggregate,
     rewrite_sqlite_to_spark,
     rewrite_table_placeholder,
 )
@@ -114,6 +115,20 @@ def run_with_repair(
             return df
         except Exception as exc:  # AnalysisException and parse errors
             last_exc = exc
+            # deterministic repair first: SQLite permits bare
+            # non-grouped expressions beside aggregates (arbitrary-row
+            # pick, SURVEY §2.B-15); Spark's exact analog is
+            # any_value().  Only attempted on the precise analyzer
+            # error, and only if the rewrite changed something.
+            if "MISSING_GROUP_BY" in str(exc):
+                fixed = rewrite_bare_aggregate(sql)
+                if fixed != sql:
+                    try:
+                        df = spark.sql(fixed)
+                        df.schema
+                        return df
+                    except Exception as exc2:
+                        last_exc = exc2
             q = (
                 f"{question}\n\n[PREVIOUS ATTEMPT]\n{sql}\n\n"
                 f"[ERROR]\n{exc}\n\nFix the SQL statement."

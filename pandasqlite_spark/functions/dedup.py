@@ -1055,26 +1055,33 @@ ORACLES["dedup-paragraph-exact"] = f"""
 """
 
 
-def _band_pairs_oracle(bands: int, k: int = N_HASHES) -> str:
-    """Generalized LSH bucket-pair CTE body for an arbitrary band
-    count (same layout as :func:`lsh_bands`: band b = rows b·r..b·r+r-1)."""
+#: Buckets larger than this are excluded from the VERIFY stage (only):
+#: at r=1 a single popular min-shingle herds thousands of unrelated docs
+#: into one bucket, and the bucket self-join is quadratic in bucket size
+#: — the sf10 probe measured a 1700-doc bucket (1.4M pairs from ONE
+#: bucket, ~1B join rows for the 8-band config) whose members are almost
+#: all false positives.  256 comfortably clears the genuine duplicate
+#: clusters (≈100-doc exact-replica groups in the synthetic corpus, and
+#: the mega-cluster sizes a crawl corpus's verify stage should still
+#: afford), while capping verify cost at O(n_buckets · CAP²) — LINEAR
+#: in corpus size.  Excluded buckets are counted in ``n_mega_buckets``.
+BAND_TUNING_CAP = 256
+
+
+def _band_cte(bands: int, k: int = N_HASHES) -> str:
+    """LSH band-unpivot CTE body for an arbitrary band count (same
+    layout as :func:`lsh_bands`: band b = signature rows b·r..b·r+r-1)."""
     r = k // bands
-    sel = "\n          UNION ALL ".join(
+    return "\n          UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5({' || '.join(f'm{b * r + j}' for j in range(r))}) AS band_sig FROM sig"
         for b in range(bands)
     )
-    return f"""
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ({sel}) a JOIN ({sel}) b
-          ON a.band = b.band AND a.band_sig = b.band_sig
-          AND a.doc_id < b.doc_id
-    """
 
 
 def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) -> DataFrame:
     """The LSH banding knob, MEASURED (the `simsearch-nprobe-curve`
     counterpart for MinHash dedup): for each band count b over the same
-    k-hash signatures — candidate-pair count, exact-Jaccard-verified
+    k-hash signatures — exact candidate volume, exact-Jaccard-verified
     count (J ≥ τ) on a deterministic pair sample, integer
     precision×10⁶ from that sample, and the theoretical S-curve
     capture probability ``1 − (1 − τ^r)^b`` at the threshold.  More
@@ -1082,24 +1089,31 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
     the readout is how you SIZE (b, r) before a 100 TB dedup run
     instead of guessing.
 
-    ``n_candidates`` is the FULL count — the quantity the knob trades
-    away — because counting the bucket join's output is cheap; the
-    exact shingle verification (the expensive part, quadratic in
-    duplicate-cluster size: ~25M pairs per config at the synthetic
-    sf10's 100-way clusters) runs on the same deterministic 1/16 pair
-    sample as ``dedup-minhash-estimate``, reported as
-    ``n_sampled``/``n_verified`` with precision over the sample.
+    ``n_candidate_slots`` is the exact bucket-join output cardinality
+    Σ C(bucket, 2) summed over bands — the COMPUTE COST the knob
+    trades, computed from bucket sizes alone (one groupBy, NO join):
+    the distinct-pair count would require materializing the quadratic
+    object the knob exists to avoid (the sf10 attempt died at ~1B join
+    rows for b=8/r=1), while the slot count is exact at any scale.
+    ``n_mega_buckets`` counts buckets above :data:`BAND_TUNING_CAP` —
+    the degenerate-band signal (r=1 herds unrelated docs into
+    popular-shingle buckets).
 
-    Scale shape per config: the bucket self-join shuffles (band,
-    band_sig) keys only, verification touches sampled candidate pairs
-    only, and each config collapses to ONE row before the 3-row union.
-    The full-candidate count and the sampled-verify stats are combined
-    by a 2-row union + final aggregate (NOT a crossJoin — no nested
-    loop anywhere in the plan).  The signature groupBy subtree is
-    identical across configs, so the exchange is computed once and
-    reused (ReusedExchange), not thrice.  ``precision_x1m`` is NULL
-    when the deterministic 1/16 sample is empty (tiny SFs) — guarded
-    via nullif on both engines rather than dividing by zero.
+    Verification (the expensive part) runs only on pairs from
+    CAP-bounded buckets, sampled by the same deterministic 1/16 pair
+    predicate as ``dedup-minhash-estimate`` — and the sample predicate
+    is applied BELOW the pair-distinct, so the dedup shuffle carries
+    1/16th of the pairs.  Reported as ``n_sampled``/``n_verified``
+    with precision over the sample.
+
+    Scale shape per config: bucket sizes are one (band, band_sig)
+    groupBy; the verify self-join reuses that exchange (same key) and
+    its output is bounded by n_buckets · CAP²/16; each config
+    collapses to ONE row before the 3-row union.  The cost row and the
+    sampled-verify row are combined by a 2-row union + final aggregate
+    (NOT a crossJoin — no nested loop anywhere in the plan).
+    ``precision_x1m`` is NULL when the sample is empty (tiny SFs) —
+    guarded via nullif on both engines rather than dividing by zero.
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
@@ -1108,32 +1122,54 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
     for b in configs:
         r = k // b
         capture = round(1.0 - (1.0 - tau ** r) ** b, 6)
-        pairs = candidate_pairs(lsh_bands(sig, bands=b, k=k))
-        n_cand = pairs.agg(
-            F.count(F.lit(1)).alias("n_candidates"),
+        bands_df = lsh_bands(sig, bands=b, k=k)
+        bsz = bands_df.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        cost = bsz.agg(
+            F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("n_candidate_slots"),
+            F.sum(F.when(F.col("n") > BAND_TUNING_CAP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mega_buckets"),
             F.lit(None).cast("bigint").alias("n_sampled"),
             F.lit(None).cast("bigint").alias("n_verified"),
         )
-        sampled = pairs.filter((F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0)
+        small = bsz.filter(F.col("n") <= BAND_TUNING_CAP).select("band", "band_sig")
+        bs = bands_df.join(small, ["band", "band_sig"])
+        a, bb = bs.alias("a"), bs.alias("b")
+        sampled = (
+            a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .filter((F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0)
+            .distinct()
+        )
         ver = jaccard_verify(docs, sampled)
         vagg = ver.agg(
-            F.lit(None).cast("bigint").alias("n_candidates"),
+            F.lit(None).cast("bigint").alias("n_candidate_slots"),
+            F.lit(None).cast("bigint").alias("n_mega_buckets"),
             F.count(F.lit(1)).alias("n_sampled"),
             F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0))
             .cast("bigint")
             .alias("n_verified"),
         )
         row = (
-            n_cand.unionByName(vagg)
+            cost.unionByName(vagg)
             .agg(
-                F.max("n_candidates").alias("n_candidates"),
+                F.max("n_candidate_slots").alias("n_candidate_slots"),
+                F.max("n_mega_buckets").alias("n_mega_buckets"),
                 F.max("n_sampled").alias("n_sampled"),
                 F.max("n_verified").alias("n_verified"),
             )
             .select(
                 F.lit(b).alias("bands"),
                 F.lit(r).alias("rows_per_band"),
-                "n_candidates",
+                "n_candidate_slots",
+                "n_mega_buckets",
                 "n_sampled",
                 "n_verified",
                 F.floor(
@@ -1155,15 +1191,26 @@ QUERIES["dedup-band-tuning"] = q_dedup_band_tuning
 
 
 def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) -> str:
-    parts = []
+    cap = BAND_TUNING_CAP
+    ctes, parts = [], []
     for b in configs:
         r = k // b
         capture = round(1.0 - (1.0 - tau ** r) ** b, 6)
-        # full candidate count; exact verify on the same deterministic
-        # 1/16 pair sample as the engine (and dedup-minhash-estimate)
+        ctes.append(f"bands{b} AS (\n          {_band_cte(b, k)})")
+        ctes.append(
+            f"bsz{b} AS (SELECT band, band_sig, COUNT(*) AS n"
+            f" FROM bands{b} GROUP BY band, band_sig)"
+        )
+        # exact slot count + mega-bucket count from bucket sizes alone;
+        # exact verify on CAP-bounded buckets under the same
+        # deterministic 1/16 pair sample as the engine (and
+        # dedup-minhash-estimate)
         parts.append(f"""
         SELECT {b} AS bands, {r} AS rows_per_band,
-               (SELECT COUNT(*) FROM ({_band_pairs_oracle(b, k)})) AS n_candidates,
+               (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM bsz{b})
+                 AS n_candidate_slots,
+               (SELECT CAST(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM bsz{b}) AS n_mega_buckets,
                COUNT(*) AS n_sampled,
                CAST(SUM(CASE WHEN CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
                      / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l)))
@@ -1173,11 +1220,17 @@ def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) 
                      >= {tau} THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0
                      / NULLIF(COUNT(*), 0)) AS BIGINT) AS precision_x1m,
                {capture} AS capture_at_tau
-        FROM (SELECT * FROM ({_band_pairs_oracle(b, k)})
-              WHERE (doc_a * 31 + doc_b) % 16 = 0) p
+        FROM (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bands{b} x
+              JOIN bands{b} y ON x.band = y.band AND x.band_sig = y.band_sig
+                AND x.doc_id < y.doc_id
+              JOIN bsz{b} s ON s.band = x.band AND s.band_sig = x.band_sig
+              WHERE s.n <= {cap}
+                AND (x.doc_id * 31 + y.doc_id) % 16 = 0) p
         JOIN shl a ON a.doc_id = p.doc_a
         JOIN shl b ON b.doc_id = p.doc_b""")
     union = "\n        UNION ALL ".join(parts)
+    cte_block = ",\n        ".join(ctes)
     return f"""
         WITH sig AS ({_minhash_oracle_sig()}),
         toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -1185,7 +1238,8 @@ def _band_tuning_oracle(configs=(8, 4, 2), k: int = N_HASHES, tau: float = 0.5) 
           SELECT doc_id,
                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                 for i in range(1, len(t) - 1)]) AS l
-          FROM toks WHERE len(t) >= 3)
+          FROM toks WHERE len(t) >= 3),
+        {cte_block}
         {union}
         ORDER BY bands
     """

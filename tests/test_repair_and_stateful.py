@@ -352,3 +352,52 @@ def test_replay_exhausted_transcript_raises(spark):
     llm = ReplayLLM(["```sql\nSELECT nope FROM nowhere\n```"])
     with _pytest.raises(Exception):
         run_with_repair(spark, "q", results, llm, max_repairs=2)
+
+
+def test_missing_group_by_repaired_deterministically(spark):
+    """SQLite's bare-non-grouped-beside-aggregate shape (SURVEY
+    §2.B-15) is repaired WITHOUT a second LLM call: the arbitrary-row
+    pick becomes any_value().  The LLM here answers only the first
+    prompt — a repair re-ask would return garbage and fail."""
+    pdf = pd.DataFrame({"city": ["oslo", "bergen", "oslo"], "pop": [1, 2, 1]})
+    results, _, _ = ingest(spark, [pdf], persist=False)
+    calls = []
+
+    def llm(prompt):
+        if "sanity check" in prompt:
+            return "YES"
+        calls.append(prompt)
+        if "[ERROR]" in prompt:
+            return "```sql\nTOTALLY NOT SQL\n```"
+        return "```sql\nSELECT GROUP_CONCAT(city) AS cs, MIN(pop, 500) AS m FROM table\n```"
+
+    out = run_with_repair(spark, "cities and min pop", results, llm).collect()
+    assert len(out) == 1
+    assert out[0]["m"] in (1, 2)  # any_value over least(pop,500)
+    assert set(out[0]["cs"].split(",")) <= {"oslo", "bergen"}
+    assert len(calls) == 1  # deterministic fix, no LLM repair round
+
+
+def test_bare_aggregate_rewrite_shapes():
+    from pandasqlite_spark.core.dialect import rewrite_bare_aggregate as r
+
+    # the §2.B-15 shape: wrap the bare expression, keep the aggregate
+    assert (
+        r("SELECT count(*) AS n, city FROM t")
+        == "SELECT count(*) AS n, any_value(city) AS `city` FROM t"
+    )
+    # alias preserved
+    assert (
+        r("SELECT max(pop), city AS c FROM t")
+        == "SELECT max(pop), any_value(city) AS c FROM t"
+    )
+    # conservative bail-outs: GROUP BY anywhere, CTEs, set ops,
+    # windows, no aggregate at all — all unchanged
+    for s in (
+        "SELECT count(*), city FROM t GROUP BY city",
+        "WITH x AS (SELECT 1) SELECT count(*), city FROM t",
+        "SELECT count(*), city FROM t UNION SELECT 1, 'a'",
+        "SELECT sum(pop) OVER (), city FROM t",
+        "SELECT city, pop FROM t",
+    ):
+        assert r(s) == s

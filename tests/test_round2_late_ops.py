@@ -97,13 +97,22 @@ def test_band_tuning_monotone(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     rows = {r.bands: r for r in band_tuning(docs).collect()}
     assert set(rows) == {2, 4, 8}
-    # more bands (fewer rows per band) → candidate set only grows, and
-    # the theoretical capture probability at τ only grows too
-    assert rows[2].n_candidates <= rows[4].n_candidates <= rows[8].n_candidates
+    # more bands (fewer rows per band) → candidate volume only grows,
+    # and the theoretical capture probability at τ only grows too
+    assert (
+        rows[2].n_candidate_slots
+        <= rows[4].n_candidate_slots
+        <= rows[8].n_candidate_slots
+    )
     assert rows[2].capture_at_tau <= rows[4].capture_at_tau <= rows[8].capture_at_tau
     for r in rows.values():
-        assert r.n_verified <= r.n_candidates
-        assert 0 <= r.precision_x1m <= 1_000_000
+        assert r.n_mega_buckets >= 0
+        assert r.n_sampled <= r.n_candidate_slots
+        if r.n_sampled:
+            assert r.n_verified <= r.n_sampled
+            assert 0 <= r.precision_x1m <= 1_000_000
+        else:
+            assert r.precision_x1m is None
 
 
 def test_threshold_curve_monotone(spark, sf_dir):
