@@ -490,24 +490,28 @@ _OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
 
 
 def rewrite_bare_aggregate(sql: str) -> str:
-    """SQLite permits a SELECT list that mixes aggregates with bare
-    non-grouped expressions and has no GROUP BY — it evaluates the bare
-    expression on an *arbitrary* row (`pandasqlite` inherits this via
-    SQLite; SURVEY §2.B-15).  Spark raises ``MISSING_GROUP_BY``.  This
-    wraps each non-aggregate top-level select item in ``any_value(...)``
-    — Spark's exact analog of the arbitrary-row pick — aliased to the
-    name the unwrapped expression would have produced.
+    """SQLite permits a SELECT list that mixes bare non-grouped
+    expressions with aggregation — both with no GROUP BY (`SELECT city,
+    SUM(pop) FROM t`) and with one (`SELECT city, pop FROM t GROUP BY
+    city`) — evaluating the bare expression on an *arbitrary* row of
+    the group (`pandasqlite` inherits this via SQLite; SURVEY §2.B-15).
+    Spark raises ``MISSING_GROUP_BY`` / ``MISSING_AGGREGATION``
+    respectively.  This wraps each bare non-grouped top-level select
+    item in ``any_value(...)`` — Spark's exact analog of the
+    arbitrary-row pick — aliased to the name the unwrapped expression
+    would have produced; grouped items (by expression, alias, or
+    SQLite positional ``GROUP BY 1``) pass through.
 
     Applied by :func:`~pandasqlite_spark.core.text2sql.run_with_repair`
-    as a deterministic repair ONLY after Catalyst raises
-    MISSING_GROUP_BY, never speculatively.  Conservative by design:
+    as a deterministic repair ONLY after Catalyst raises one of those
+    two analyzer errors, never speculatively.  Conservative by design:
     returns the input unchanged for shapes it cannot parse with
-    confidence (CTEs, set operations, an existing GROUP BY anywhere,
-    window functions) — those fall through to the LLM repair loop.
+    confidence (CTEs, set operations, window functions) — those fall
+    through to the LLM repair loop.
     """
     masked, spans = _mask_quoted_spans(sql)
     low = masked.lower()
-    if re.search(r"\bgroup\s+by\b|\bwith\b|\bunion\b|\bintersect\b|\bexcept\b", low):
+    if re.search(r"\bwith\b|\bunion\b|\bintersect\b|\bexcept\b", low):
         return sql
     if _OVER_RE.search(masked):
         return sql
@@ -528,11 +532,59 @@ def rewrite_bare_aggregate(sql: str) -> str:
     if from_start is None:
         return sql
     items = _split_top_level(masked[head.end():from_start])
-    if not any(_AGG_HEAD_RE.search(it) for it in items):
-        return sql  # no aggregate at all — not the §2.B-15 shape
+    # the GROUP-BY-present twin (Spark: MISSING_AGGREGATION): SQLite
+    # also picks an arbitrary in-group row for select items outside the
+    # GROUP BY list — `SELECT city, pop FROM t GROUP BY city`.  Collect
+    # the depth-0 grouping expressions so those items pass through
+    # unwrapped; anything else bare gets the same any_value() pick.
+    group_exprs: set[str] = set()
+    gb = re.search(r"\bgroup\s+by\b", masked[from_start:], re.IGNORECASE)
+    if gb:
+        gb_start = from_start + gb.end()
+        depth, gb_end = 0, len(masked)
+        for m in re.finditer(
+            r"[()]|\border\s+by\b|\bhaving\b|\blimit\b|\bwindow\b",
+            masked[gb_start:],
+            re.IGNORECASE,
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                gb_end = gb_start + m.start()
+                break
+        group_exprs = {
+            g.strip().lower().replace("`", "")
+            for g in _split_top_level(masked[gb_start:gb_end])
+        }
+        if not group_exprs or any(not g for g in group_exprs):
+            return sql
+    elif not any(_AGG_HEAD_RE.search(it) for it in items):
+        return sql  # no aggregate and no GROUP BY — not the §2.B-15 shape
+
+    # positional GROUP BY (SQLite permits `GROUP BY 1`) → item indices
+    grouped_idx = {
+        int(g) - 1 for g in group_exprs if g.isdigit() and 0 < int(g) <= len(items)
+    }
+
+    def _grouped(it: str, idx: int) -> bool:
+        if idx in grouped_idx:
+            return True
+        norm = it.strip().lower().replace("`", "")
+        if norm in group_exprs:
+            return True
+        # `expr AS alias`: grouped if the expression OR the alias is
+        alias_m = re.search(r"\s+as\s+([\w.]+)\s*$", norm)
+        return bool(alias_m) and (
+            norm[: alias_m.start()].strip() in group_exprs
+            or alias_m.group(1) in group_exprs
+        )
+
     out_items = []
-    for it in items:
-        if _AGG_HEAD_RE.search(it) or it == "*":
+    for idx, it in enumerate(items):
+        if _AGG_HEAD_RE.search(it) or it == "*" or _grouped(it, idx):
             out_items.append(it)
             continue
         alias_m = re.search(r"\s+as\s+(\x00\d+\x00|[\w.]+)\s*$", it, re.IGNORECASE)

@@ -120,7 +120,11 @@ def run_with_repair(
             # pick, SURVEY §2.B-15); Spark's exact analog is
             # any_value().  Only attempted on the precise analyzer
             # error, and only if the rewrite changed something.
-            if "MISSING_GROUP_BY" in str(exc):
+            # MISSING_GROUP_BY: bare items beside an aggregate, no
+            # GROUP BY; MISSING_AGGREGATION: bare non-grouped items
+            # with a GROUP BY present — SQLite executes both with an
+            # arbitrary-row pick, so both repair to any_value()
+            if "MISSING_GROUP_BY" in str(exc) or "MISSING_AGGREGATION" in str(exc):
                 fixed = rewrite_bare_aggregate(sql)
                 if fixed != sql:
                     try:

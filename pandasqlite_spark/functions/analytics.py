@@ -778,8 +778,11 @@ def bootstrap_ci(orders: DataFrame, reps: int = BOOT_R) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("point_est")
     )
-    lo = ranked.filter(F.col("rk") == 2).select(F.col("mean_r").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == reps - 1).select(F.col("mean_r").alias("ci_hi"))
+    # aggregate the rank picks so each side is ALWAYS one row (NULL on
+    # an empty input, like the oracle's scalar subqueries) — a bare
+    # filter would vanish and take the whole result with it
+    lo = ranked.filter(F.col("rk") == 2).agg(F.max("mean_r").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == reps - 1).agg(F.max("mean_r").alias("ci_hi"))
     return (
         point.crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
@@ -2116,9 +2119,10 @@ def referential_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             child.join(parent, child.ck == parent.pk, "left")
             .agg(
                 F.count(F.lit(1)).alias("n_child"),
-                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)).alias(
-                    "n_orphans"
-                ),
+                # count, not sum-of-case: COUNT over an empty child is
+                # 0 (never NULL), so `intact` stays boolean on the
+                # empty/post-pruning input — the oracle's COUNT(*) form
+                F.count(F.when(F.col("pk").isNull(), F.lit(1))).alias("n_orphans"),
             )
             .select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
         )

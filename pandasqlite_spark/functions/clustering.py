@@ -302,6 +302,10 @@ def pca_summary(emb: DataFrame) -> DataFrame:
 
     import numpy as np
 
+    schema = "n bigint, total_var double, max_axis_var double, pc1_dominates boolean"
+    if not merged:  # empty corpus: the oracle's empty-aggregate row
+        # (COUNT 0, NULL variances, vacuously-true dominance)
+        return emb.sparkSession.createDataFrame([(0, None, None, True)], schema)
     n = next(r.g for r in merged if r.i == -1 and r.j == -1)
     d = max(r.i for r in merged) + 1
     G = np.zeros((d, d))
@@ -325,9 +329,7 @@ def pca_summary(emb: DataFrame) -> DataFrame:
         round(max_axis, 6),
         bool(lam1 >= max_axis - 1e-9),
     )]
-    return emb.sparkSession.createDataFrame(
-        row, "n bigint, total_var double, max_axis_var double, pc1_dominates boolean"
-    )
+    return emb.sparkSession.createDataFrame(row, schema)
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:

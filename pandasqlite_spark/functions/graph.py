@@ -772,6 +772,11 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cb"))
     tagged = edges.join(la, "src").join(lb, "dst")
     m = tagged.count()
+    if m == 0:  # empty graph: Q is undefined (4m² divisor) — no row,
+        # matching the oracle's empty per-community grouping
+        return edges.sparkSession.createDataFrame(
+            [], "n_communities bigint, m_edges bigint, modularity double"
+        )
     intra = (
         tagged.filter(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("community"))

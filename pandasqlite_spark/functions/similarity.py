@@ -627,6 +627,8 @@ def mmr_rerank(emb: DataFrame, k: int = MMR_K, pool: int = MMR_POOL) -> DataFram
             score = MMR_LAMBDA * r - (1 - MMR_LAMBDA) * penalty
             if best is None or score > best[0] or (score == best[0] and v < best[1]):
                 best = (score, v)
+        if best is None:  # shortlist exhausted (< k candidates, or empty corpus)
+            break
         selected.append(best[1])
     out = [(i + 1, v) for i, v in enumerate(selected)]
     return emb.sparkSession.createDataFrame(out, "step int, vec_id bigint")
@@ -1945,6 +1947,12 @@ def farthest_point_sample(emb: DataFrame, k: int = FPS_K) -> DataFrame:
     per-round pattern).  Emits (step, vec_id, d2_to_set) — all
     integers."""
     scaled = _pq_scaled(emb)
+    schema = "step int, vec_id bigint, d2_to_set bigint"
+    # empty / seedless corpus (the post-pruning shape every production
+    # job eventually hits): no traversal, empty result — mirrors the
+    # oracle's recursive CTE, whose anchor row vanishes with the seed
+    if not scaled.filter(F.col("vec_id") == FPS_SEED_ID).take(1):
+        return emb.sparkSession.createDataFrame([], schema)
     rows = [(1, FPS_SEED_ID, 0)]
     mind = None  # DataFrame[vec_id, d]: min squared dist to chosen set
     cur_seed = FPS_SEED_ID
@@ -1971,13 +1979,14 @@ def farthest_point_sample(emb: DataFrame, k: int = FPS_K) -> DataFrame:
                 "vec_id", F.least("d", "dn").alias("dn")
             )
         ).withColumnRenamed("dn", "d")
-        top = mind.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        top_rows = mind.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()
+        if not top_rows:  # corpus exhausted before k picks
+            break
+        top = top_rows[0]
         rows.append((step, top.vec_id, top.d))
         cur_seed = top.vec_id
         mind = mind.filter(F.col("vec_id") != cur_seed)
-    return emb.sparkSession.createDataFrame(
-        rows, "step int, vec_id bigint, d2_to_set bigint"
-    )
+    return emb.sparkSession.createDataFrame(rows, schema)
 
 
 def q_embedding_farthest_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,7 +2009,10 @@ def _fps_oracle(k: int = FPS_K) -> str:
                  [CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*{PQ_SCALE} + 0.5) AS BIGINT)
                   for i in range(1,65)] AS arr
           FROM embeddings)""",
-        f"s1 AS (SELECT CAST({FPS_SEED_ID} AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS d)",
+        # anchor only when the seed vector exists (empty-corpus parity
+        # with the engine's no-traversal early return)
+        f"s1 AS (SELECT CAST({FPS_SEED_ID} AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS d"
+        f" WHERE EXISTS (SELECT 1 FROM sc WHERE vec_id = {FPS_SEED_ID}))",
         f"""d2_ AS (
           SELECT a.vec_id, CAST({d2} AS BIGINT) AS d
           FROM sc a, (SELECT arr FROM sc WHERE vec_id = {FPS_SEED_ID}) s

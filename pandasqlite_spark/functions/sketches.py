@@ -130,20 +130,23 @@ def q_sketch_quantile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     band below converts that to a value tolerance via the exact p45-55
     / p98-99.9 spreads, so the assertion is meaningful, not vacuous."""
     o = load(spark, sf_dir, "orders")
+    # coalesce-to-true: on a zero-row (post-pruning) input both the
+    # sketch and the exact percentiles are NULL — the band assertion is
+    # vacuously satisfied, matching the oracle's constant-TRUE contract
     return o.agg(
-        (
-            F.expr("approx_percentile(o_totalprice, 0.5, 1000)")
-            .between(
+        F.coalesce(
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").between(
                 F.expr("percentile(o_totalprice, 0.45)"),
                 F.expr("percentile(o_totalprice, 0.55)"),
-            )
+            ),
+            F.lit(True),
         ).alias("p50_ok"),
-        (
-            F.expr("approx_percentile(o_totalprice, 0.99, 1000)")
-            .between(
+        F.coalesce(
+            F.expr("approx_percentile(o_totalprice, 0.99, 1000)").between(
                 F.expr("percentile(o_totalprice, 0.98)"),
                 F.expr("percentile(o_totalprice, 0.999)"),
-            )
+            ),
+            F.lit(True),
         ).alias("p99_ok"),
         F.count(F.lit(1)).alias("n_rows"),
     )

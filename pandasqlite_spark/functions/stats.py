@@ -627,7 +627,9 @@ def poisson_dispersion(events: DataFrame) -> DataFrame:
         F.round(mean, 6).alias("mean"),
         F.round(varp, 6).alias("variance"),
         F.round(disp, 6).alias("dispersion"),
-        F.round(z, 6).alias("z_stat"),
+        # z is undefined below 2 grid hours (sqrt of a non-positive):
+        # Spark would emit NaN where DuckDB raises — both sides guard
+        F.when(n >= 2, F.round(z, 6)).alias("z_stat"),
     )
 
 
@@ -652,9 +654,11 @@ ORACLES["events-poisson-dispersion"] = """
            ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
            ROUND(CAST(n * s2 - s * s AS DOUBLE) / (n * n), 6) AS variance,
            ROUND(CAST(n * s2 - s * s AS DOUBLE) / (n * s), 6) AS dispersion,
-           ROUND((CAST(n * s2 - s * s AS DOUBLE) / (n * s) * CAST(n - 1 AS DOUBLE)
-                  - CAST(n - 1 AS DOUBLE)) / sqrt(2.0 * CAST(n - 1 AS DOUBLE)),
-                 6) AS z_stat
+           CASE WHEN n >= 2 THEN
+             ROUND((CAST(n * s2 - s * s AS DOUBLE) / (n * s) * CAST(n - 1 AS DOUBLE)
+                    - CAST(n - 1 AS DOUBLE)) / sqrt(2.0 * CAST(n - 1 AS DOUBLE)),
+                   6)
+           END AS z_stat
     FROM a
 """
 

@@ -1194,6 +1194,9 @@ def q_events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(s, r -> r.hb)").alias("hbs"),
             F.expr("transform(s, r -> r.x)").alias("xs"),
         )
+        # zero-hour grid (empty/post-pruning input): no series, no path
+        # — matches the oracle recursion, which has no anchor row
+        .filter(F.expr("size(xs) >= 1"))
         .withColumn(
             "l0",
             F.round(
@@ -1308,6 +1311,12 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.expr("transform(s, r -> CAST(r.n AS BIGINT))").alias("xs"),
         F.expr("transform(s, r -> r.day)").alias("days"),
+    ).filter(
+        # the additive model is defined only past its 14-day seed
+        # window (l0 from days 1-7, b0 from 8-14); a shorter series —
+        # including the zero-day post-pruning case — emits nothing,
+        # like the oracle's day-8+ recursion with no anchor
+        F.expr("size(xs) >= 14")
     )
     row = series.withColumn(
         "l0",
@@ -1714,8 +1723,11 @@ def q_events_lcs_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two.select(
         "user_a",
         "user_b",
-        F.size("sa").alias("len_a"),
-        F.size("sb").alias("len_b"),
+        # guard the null-journey case (empty events after pruning):
+        # size(NULL) is -1 under the parity session's legacy conf, but
+        # an absent journey has NULL length, as the oracle reports
+        F.when(F.col("sa").isNotNull(), F.size("sa")).alias("len_a"),
+        F.when(F.col("sb").isNotNull(), F.size("sb")).alias("len_b"),
         dp.alias("lcs_len"),
     )
 

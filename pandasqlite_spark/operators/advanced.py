@@ -90,7 +90,10 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (Path(out) / "_SUCCESS").exists():
         src.write.mode("overwrite").partitionBy("yr").parquet(out)
     return (
-        spark.read.parquet(out)
+        # explicit schema (see q_join_dpp): typed read even when the
+        # partitioned write produced no files
+        spark.read.schema(src.schema)
+        .parquet(out)
         .filter(F.col("yr") == 1997)
         .select("o_orderkey", "o_totalprice", F.col("yr").cast("int").alias("yr"))
     )
@@ -127,8 +130,12 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rootTag", "nations"
         ).option("rowTag", "nation").save(out)
     return (
+        # explicit schema: skips the inference pass over the document
+        # AND keeps the read well-typed when the written table was
+        # empty (a <nations/> root with no rows infers zero columns)
         spark.read.format("xml")
         .option("rowTag", "nation")
+        .schema(src.schema)
         .load(out)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
@@ -149,7 +156,10 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
     if not (Path(out) / "_SUCCESS").exists():
         src.write.mode("overwrite").partitionBy("yr").parquet(out)
-    fact = spark.read.parquet(out)
+    # explicit schema: a partitionBy write of an empty (pruned-away)
+    # source leaves only _SUCCESS, which read-time inference can't
+    # type; the writer's schema is known, so state it
+    fact = spark.read.schema(src.schema).parquet(out)
     dim = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")

@@ -157,7 +157,11 @@ def q_write_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderpriority")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema on read-back: no inference pass, and an empty
+    # (pruned-away) source — which writes only _SUCCESS under
+    # partitionBy — still reads as a typed zero-row table
+    written = o.select("o_orderkey", "o_totalprice", "o_orderpriority").schema
+    back = spark.read.schema(written).parquet(out)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
     )

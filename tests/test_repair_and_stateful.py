@@ -391,13 +391,67 @@ def test_bare_aggregate_rewrite_shapes():
         r("SELECT max(pop), city AS c FROM t")
         == "SELECT max(pop), any_value(city) AS c FROM t"
     )
-    # conservative bail-outs: GROUP BY anywhere, CTEs, set ops,
-    # windows, no aggregate at all — all unchanged
+    # conservative bail-outs: CTEs, set ops, windows, no aggregate and
+    # no GROUP BY, fully-grouped select list — all unchanged
     for s in (
         "SELECT count(*), city FROM t GROUP BY city",
         "WITH x AS (SELECT 1) SELECT count(*), city FROM t",
         "SELECT count(*), city FROM t UNION SELECT 1, 'a'",
         "SELECT sum(pop) OVER (), city FROM t",
         "SELECT city, pop FROM t",
+        "SELECT * FROM t GROUP BY city",
     ):
         assert r(s) == s
+
+
+def test_bare_aggregate_rewrite_group_by_present():
+    """The MISSING_AGGREGATION twin: SQLite's arbitrary-row pick for
+    select items outside an existing GROUP BY list."""
+    from pandasqlite_spark.core.dialect import rewrite_bare_aggregate as r
+
+    assert (
+        r("SELECT city, pop FROM t GROUP BY city")
+        == "SELECT city, any_value(pop) AS `pop` FROM t GROUP BY city"
+    )
+    # grouped-by-alias, positional GROUP BY, expression grouping, HAVING
+    assert (
+        r("SELECT city AS c, pop FROM t GROUP BY city")
+        == "SELECT city AS c, any_value(pop) AS `pop` FROM t GROUP BY city"
+    )
+    assert (
+        r("SELECT city, pop FROM t GROUP BY 1 ORDER BY city")
+        == "SELECT city, any_value(pop) AS `pop` FROM t GROUP BY 1 ORDER BY city"
+    )
+    assert (
+        r("SELECT upper(city), pop FROM t GROUP BY upper(city)")
+        == "SELECT upper(city), any_value(pop) AS `pop` FROM t GROUP BY upper(city)"
+    )
+    assert (
+        r("SELECT city, pop FROM t GROUP BY city HAVING count(*) > 1")
+        == "SELECT city, any_value(pop) AS `pop` FROM t GROUP BY city"
+        " HAVING count(*) > 1"
+    )
+
+
+def test_repair_missing_aggregation_group_by_present(spark):
+    """End-to-end: a FakeLLM answer with the GROUP-BY-present
+    arbitrary-row-pick shape repairs deterministically — no LLM
+    repair round."""
+    pdf = pd.DataFrame({"city": ["oslo", "bergen", "oslo"], "pop": [1, 2, 3]})
+    results, _, _ = ingest(spark, [pdf], persist=False)
+    tbl = results[0]["hash"]
+    calls = []
+
+    def llm(prompt):
+        if "sanity check" in prompt:
+            return "YES"
+        calls.append(prompt)
+        if "[ERROR]" in prompt:
+            return "```sql\nTOTALLY NOT SQL\n```"
+        return f"```sql\nSELECT city, pop FROM `{tbl}` GROUP BY city\n```"
+
+    out = run_with_repair(spark, "a pop per city", results, llm).collect()
+    assert len(calls) == 1  # deterministic fix, no LLM repair round
+    got = {r_["city"]: r_["pop"] for r_ in out}
+    assert set(got) == {"oslo", "bergen"}
+    assert got["bergen"] == 2 and got["oslo"] in (1, 3)
