@@ -515,7 +515,17 @@ def corr_matrix_exact(df: DataFrame, cols: list[str]) -> DataFrame:
             va = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
             vb = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
             cname = f"corr_{a}_{b}"
-            row = row.withColumn(cname, F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 9))
+            # undefined for a zero/negative variance term (n=1 or a
+            # constant column; double rounding can land n·Σx²−(Σx)²
+            # epsilon-negative, where DuckDB's sqrt ERRORS and Spark
+            # yields NaN) — both engines emit NULL instead
+            row = row.withColumn(
+                cname,
+                F.when(
+                    (va > 0) & (vb > 0),
+                    F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 9),
+                ),
+            )
             stack_parts.append(f"'{a}', '{b}', {cname}")
             corr_cols.append(cname)
     k = len(stack_parts)
@@ -770,7 +780,11 @@ def bootstrap_ci(orders: DataFrame, reps: int = BOOT_R) -> DataFrame:
     from pyspark.sql import Window as W
 
     ranked = means.withColumn(
-        "rk", F.row_number().over(W.orderBy("mean_r", "r"))
+        # NULLS LAST explicitly: a replicate whose Poisson weights all
+        # land 0 has a NULL mean, and Spark default-sorts NULLS FIRST
+        # where DuckDB sorts them LAST — on tiny inputs the rank-2/19
+        # picks would diverge between engines
+        "rk", F.row_number().over(W.orderBy(F.asc_nulls_last("mean_r"), "r"))
     )
     point = orders.agg(
         (
@@ -3088,7 +3102,9 @@ ORACLES = {
                  CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_dt
           FROM lineitem)
         SELECT var_a, var_b,
-               ROUND((n*sp - sa*sb) / (sqrt(n*ssa - sa*sa) * sqrt(n*ssb - sb*sb)), 9) AS corr
+               CASE WHEN n*ssa - sa*sa > 0 AND n*ssb - sb*sb > 0 THEN
+                 ROUND((n*sp - sa*sb) / (sqrt(n*ssa - sa*sa) * sqrt(n*ssb - sb*sb)), 9)
+               END AS corr
         FROM (
           SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b, n, sp_qe AS sp, s_q AS sa, s_e AS sb, ss_q AS ssa, ss_e AS ssb FROM m
           UNION ALL SELECT 'l_quantity', 'l_discount', n, sp_qd, s_q, s_d, ss_q, ss_d FROM m

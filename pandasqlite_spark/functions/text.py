@@ -1534,7 +1534,10 @@ ORACLES["text-log-odds-terms"] = f"""
       FROM counts, tot)
     SELECT tok, c1, c2, ROUND(delta, 6) AS delta,
            ROUND(delta / sqrt(var), 6) AS z
-    FROM s ORDER BY delta / sqrt(var) DESC, tok LIMIT {LOGODDS_TOP}
+    FROM s
+    -- rank on the ROUNDED z (like the engine side): the raw doubles
+    -- can differ in the last ulp between engines, flipping tok ties
+    ORDER BY z DESC, tok LIMIT {LOGODDS_TOP}
 """
 
 

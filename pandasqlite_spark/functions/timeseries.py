@@ -1009,6 +1009,11 @@ def holt_linear_daily(events: DataFrame) -> DataFrame:
         F.expr("transform(s, r -> CAST(r.n AS DOUBLE))").alias("ys"),
         F.expr("transform(s, r -> r.day)").alias("days"),
         F.expr("transform(s, r -> r.n)").alias("ns"),
+    ).filter(
+        # the linear model seeds (l0, b0) from the first two days —
+        # fewer than 2 days (single-row / post-pruning input) emits
+        # nothing, like the oracle's day-3+ recursion with no anchor
+        F.expr("size(ys) >= 2")
     )
     hist = F.expr(f"""
         aggregate(
@@ -1080,9 +1085,13 @@ ORACLES["events-holt-linear"] = """
              0.5 * ((0.5 * x.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
       FROM rec r JOIN idx x ON x.i = r.i + 1),
     path AS (
+      -- anchored only when a 2nd day exists: the linear model seeds
+      -- (l0, b0) from the first two days, so a 1-day series emits
+      -- nothing (engine parity — its series filter is size >= 2)
       SELECT 1 AS i,
              (SELECT y FROM idx WHERE i = 1) AS l,
              (SELECT y FROM idx WHERE i = 2) - (SELECT y FROM idx WHERE i = 1) AS b
+      WHERE EXISTS (SELECT 1 FROM idx WHERE i = 2)
       UNION ALL
       SELECT i, l, b FROM rec)
     SELECT CAST(x.day AS VARCHAR) AS day, x.n,

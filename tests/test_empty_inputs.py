@@ -58,6 +58,20 @@ def test_empty_input_runs_clean(spark, key, expected):
         assert len(rows) == expected, f"{key}: {len(rows)} rows, wanted {expected}"
 
 
+def test_single_row_holt_linear_runs_clean(spark):
+    """n=1 series: the linear model needs its 2-day seed window —
+    emits nothing instead of a negative-length slice error."""
+    import __spark_entry__ as entry
+
+    single = os.path.join(ROOT, "testdata_single")
+    if not os.path.exists(os.path.join(single, "events.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "scripts", "gen_single.py")],
+            check=True,
+        )
+    assert entry.queries()["events-holt-linear"](spark, single).count() == 0
+
+
 def test_pca_empty_matches_oracle_shape(spark):
     """The empty-corpus PCA row is the oracle's empty-aggregate row."""
     import __spark_entry__ as entry

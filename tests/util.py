@@ -25,7 +25,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return v.hex()  # bit-exact float comparison
+        # bit-exact float comparison, except signed zero: -0.0 == 0.0
+        # numerically (DuckDB rounds tiny negatives to -0.0 where the
+        # same Spark expression lands +0.0) — +0.0 folds the sign away
+        return (v + 0.0).hex()
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, datetime.datetime):
@@ -64,7 +67,11 @@ def _tag_value(v) -> str:
     if isinstance(v, bool):
         return f"bool:{v}"
     if isinstance(v, float):
-        return "None" if math.isnan(v) else f"float:{v.hex()}"
+        if math.isnan(v):
+            return "None"
+        # signed zero: -0.0 == 0.0 numerically but differs bitwise —
+        # DuckDB rounds tiny negatives to -0.0 where Spark lands +0.0
+        return f"float:{(v + 0.0).hex()}"
     if isinstance(v, int):
         return f"int:{v}"
     if isinstance(v, str):
@@ -100,6 +107,7 @@ def _canon_strings(df: pd.DataFrame) -> pd.Series:
             # fully vectorized — the per-value hex map was 140s+ on one
             # 6M-row key of the sf1 sweep); NaNs canonicalize to None
             arr = s.to_numpy(dtype="float64", na_value=float("nan"))
+            arr = arr + 0.0  # -0.0 -> +0.0 (IEEE), same canon as _tag_value
             bits = arr.view("int64").astype(str)
             p = pd.Series("float:" + pd.Series(bits, index=s.index), index=s.index)
             p[np.isnan(arr)] = "None"
