@@ -274,6 +274,10 @@ def pca_summary(emb: DataFrame) -> DataFrame:
         s = None
         cnt = 0
         for pdf in batches:
+            # null embeddings carry no variance mass (np.stack over a
+            # ragged None mix crashes the worker); DuckDB's unnest
+            # likewise contributes nothing for a NULL array
+            pdf = pdf[pdf["embedding"].notna()]
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -358,7 +362,9 @@ ORACLES = {
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings),
         per AS (SELECT i, var_pop(v) AS axis_var FROM x GROUP BY i)
-        SELECT (SELECT COUNT(*) FROM embeddings) AS n,
+        -- COUNT(embedding), not COUNT(*): null embeddings carry no
+        -- variance mass on either engine
+        SELECT (SELECT COUNT(embedding) FROM embeddings) AS n,
                ROUND(SUM(axis_var), 6) AS total_var,
                ROUND(MAX(axis_var), 6) AS max_axis_var,
                TRUE AS pc1_dominates

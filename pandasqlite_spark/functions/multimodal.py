@@ -65,7 +65,9 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
             )
             yield out
 
-    return with_payload.select("doc_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
+    return with_payload.filter(F.col("payload").isNotNull()).select(
+        "doc_id", "payload"
+    ).mapInPandas(op, FEATURE_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, float, int, int]:
@@ -199,7 +201,9 @@ def sample_frames(with_payload: DataFrame, frame_bytes: int = 4) -> DataFrame:
                 }
             )
 
-    return with_payload.select("doc_id", "payload").mapInPandas(op, FRAME_SCHEMA)
+    return with_payload.filter(F.col("payload").isNotNull()).select(
+        "doc_id", "payload"
+    ).mapInPandas(op, FRAME_SCHEMA)
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,7 +252,9 @@ def window_audio(
                 }
             )
 
-    return with_payload.select("doc_id", "payload").mapInPandas(op, WINDOW_SCHEMA)
+    return with_payload.filter(F.col("payload").isNotNull()).select(
+        "doc_id", "payload"
+    ).mapInPandas(op, WINDOW_SCHEMA)
 
 
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +294,8 @@ def webdataset_roundtrip(with_payload: DataFrame, out_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("bigint") % WDS_SHARDS
     ).cast("int")
-    df = with_payload.select(
+    # a null blob has no tar member (null-blob contract, NULLS sweep)
+    df = with_payload.filter(F.col("payload").isNotNull()).select(
         "doc_id", "payload", shard.alias("shard")
     )
 
@@ -353,7 +360,7 @@ ORACLES: dict = {
           SELECT doc_id,
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                       % 8 AS INTEGER) AS shard
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         g AS (
           SELECT shard, COUNT(*) AS n_items,
                  CAST(16 * COUNT(*) AS BIGINT) AS total_bytes,
@@ -367,6 +374,7 @@ ORACLES: dict = {
         SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
                substr(md5(text), i * 8 + 1, 8) AS frame_hex
         FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
+        WHERE text IS NOT NULL
     """,
     # reconstruct the 16 digest bytes from the md5 hex and aggregate:
     # the mapInPandas byte-stat extractor gets a full value oracle
@@ -375,7 +383,8 @@ ORACLES: dict = {
     "multimodal-features": """
         WITH b AS (
           SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::INT AS v
-          FROM documents, (SELECT unnest(range(0, 16)) AS i))
+          FROM documents, (SELECT unnest(range(0, 16)) AS i)
+      WHERE text IS NOT NULL)
         SELECT doc_id, CAST(16 AS INTEGER) AS n_bytes,
                CAST(SUM(v) AS DOUBLE) / 16 AS byte_mean,
                CAST(MIN(v) AS INTEGER) AS byte_min,
@@ -390,6 +399,7 @@ ORACLES: dict = {
                CAST(LEAST(6, 16 - w * 4) AS INTEGER) AS n_win_bytes,
                substr(md5(text), w * 8 + 1, LEAST(6, 16 - w * 4) * 2) AS win_hex
         FROM documents, (SELECT unnest(generate_series(0, 3)) AS w)
+        WHERE text IS NOT NULL
     """,
 }
 
@@ -496,7 +506,9 @@ def resize_images(with_payload: DataFrame) -> DataFrame:
                 }
             )
 
-    return with_payload.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)
+    return with_payload.filter(F.col("payload").isNotNull()).select(
+        "doc_id", "payload"
+    ).mapInPandas(op, RESIZE_SCHEMA)
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +530,8 @@ ORACLES["multimodal-resize"] = f"""
               + ({_PX.format(o="(v.r*2+1)*8 + v.c*4 + 1")})
               + ({_PX.format(o="(v.r*2+1)*8 + v.c*4 + 3")})) // 4 AS px
       FROM documents,
-           (VALUES (0,0),(0,1),(1,0),(1,1)) AS v(r, c))
+           (VALUES (0,0),(0,1),(1,0),(1,1)) AS v(r, c)
+      WHERE text IS NOT NULL)
     SELECT doc_id, out_r, out_c, CAST(px AS INTEGER) AS px FROM g
 """
 
@@ -586,7 +599,9 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
 
-    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, PNG_SCHEMA)
+    return _spread_for_codec(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    ).mapInPandas(op, PNG_SCHEMA)
 
 
 # px_sum is bigint: the synthetic 4x4/32x32 payloads fit int32 easily,
@@ -627,7 +642,7 @@ def decode_images(with_png: DataFrame) -> DataFrame:
                 }
             )
 
-    return with_png.mapInPandas(op, DECODE_SCHEMA)
+    return with_png.filter(F.col("png").isNotNull()).mapInPandas(op, DECODE_SCHEMA)
 
 
 def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,7 +654,8 @@ QUERIES["multimodal-decode-image"] = q_multimodal_decode_image
 ORACLES["multimodal-decode-image"] = """
     WITH b AS (
       SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::INT AS v
-      FROM documents, (SELECT unnest(range(0, 16)) AS i))
+      FROM documents, (SELECT unnest(range(0, 16)) AS i)
+      WHERE text IS NOT NULL)
     SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
            CAST(SUM(v) AS BIGINT) AS px_sum,
            CAST(MIN(v) AS INTEGER) AS px_min,
@@ -679,7 +695,7 @@ def resize_images_real(with_png: DataFrame) -> DataFrame:
                 }
             )
 
-    return with_png.mapInPandas(op, RESIZE_SCHEMA)
+    return with_png.filter(F.col("png").isNotNull()).mapInPandas(op, RESIZE_SCHEMA)
 
 
 def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,7 +754,9 @@ def decode_audio_stats(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, AUDIO_SCHEMA)
+    return _spread_for_codec(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    ).mapInPandas(op, AUDIO_SCHEMA)
 
 
 def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,7 +772,8 @@ ORACLES["multimodal-audio-decode"] = """
              CASE WHEN ('0x' || substr(md5(text), i * 4 + 1, 4))::INT > 32767
                   THEN ('0x' || substr(md5(text), i * 4 + 1, 4))::INT - 65536
                   ELSE ('0x' || substr(md5(text), i * 4 + 1, 4))::INT END AS v
-      FROM documents, (SELECT unnest(range(0, 8)) AS i))
+      FROM documents, (SELECT unnest(range(0, 8)) AS i)
+      WHERE text IS NOT NULL)
     SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
            CAST(8 AS INTEGER) AS n_samples,
            CAST(SUM(v) AS INTEGER) AS s_sum,
@@ -803,7 +822,9 @@ def decode_video_stats(docs: DataFrame, every_n: int = 2) -> DataFrame:
                 }
             )
 
-    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, VIDEO_SCHEMA)
+    return _spread_for_codec(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    ).mapInPandas(op, VIDEO_SCHEMA)
 
 
 def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,7 +840,8 @@ ORACLES["multimodal-video-decode"] = """
              ('0x' || substr(md5(text), (f * 4 + j) * 2 + 1, 2))::INT AS v
       FROM documents,
            (VALUES (0), (2)) AS fr(f),
-           (SELECT unnest(range(0, 4)) AS j))
+           (SELECT unnest(range(0, 4)) AS j)
+      WHERE text IS NOT NULL)
     SELECT doc_id, frame_idx, CAST(SUM(v) AS INTEGER) AS y_sum
     FROM px GROUP BY doc_id, frame_idx
 """
@@ -900,7 +922,7 @@ _PH_BITS = " + ".join(
 
 ORACLES["multimodal-phash-pairs"] = f"""
     WITH sig AS (
-      SELECT doc_id, CAST({_PH_BITS} AS BIGINT) AS ph FROM documents),
+      SELECT doc_id, CAST({_PH_BITS} AS BIGINT) AS ph FROM documents WHERE text IS NOT NULL),
     bands AS (
       SELECT doc_id, ph, j.band,
              (ph >> (4 * j.band)) & 15 AS bv
@@ -955,7 +977,9 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
 
-    return _spread_for_codec(docs.select("doc_id", "text")).mapInPandas(op, JPEG_SCHEMA)
+    return _spread_for_codec(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    ).mapInPandas(op, JPEG_SCHEMA)
 
 
 def decode_jpegs(with_jpg: DataFrame) -> DataFrame:
@@ -1003,7 +1027,8 @@ QUERIES["multimodal-decode-jpeg"] = q_multimodal_decode_jpeg
 ORACLES["multimodal-decode-jpeg"] = """
     WITH b AS (
       SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::INT AS v
-      FROM documents, (SELECT unnest(range(0, 16)) AS i))
+      FROM documents, (SELECT unnest(range(0, 16)) AS i)
+      WHERE text IS NOT NULL)
     SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
            CAST(64 * SUM(v) AS BIGINT) AS px_sum,
            CAST(MIN(v) AS INTEGER) AS px_min,

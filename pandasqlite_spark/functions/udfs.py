@@ -28,8 +28,10 @@ from pandasqlite_spark.operators.common import ensure_package_on_workers, load
 
 
 def _weighted_len(text: pd.Series) -> pd.Series:
-    """Vectorized scoring: 2·chars + spaces (exact integer math)."""
-    return (text.str.len() * 2 + text.str.count(" ")).astype("int64")
+    """Vectorized scoring: 2·chars + spaces (exact integer math).
+    Nullable Int64, not int64: a null text scores NULL (the SQL twin's
+    semantics) — plain int64 would crash the Arrow worker on NaN."""
+    return (text.str.len() * 2 + text.str.count(" ")).astype("Int64")
 
 
 def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:

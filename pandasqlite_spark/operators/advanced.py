@@ -61,6 +61,8 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 16)
+            # a null document has no file to write (null-blob contract)
+            .filter(F.col("text").isNotNull())
             .select("doc_id", "text")
             .collect()
         )
@@ -326,6 +328,8 @@ def q_multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 12)
+            # a null document has no file to write (null-blob contract)
+            .filter(F.col("text").isNotNull())
             .select("doc_id", "text")
             .collect()
         )
@@ -478,14 +482,14 @@ ORACLES = {
         SELECT md5(text) AS content_md5,
                MIN('doc_' || doc_id || '.bin') AS canonical,
                CAST(2 * COUNT(*) AS BIGINT) AS n_copies
-        FROM documents WHERE doc_id < 12
+        FROM documents WHERE doc_id < 12 AND text IS NOT NULL
         GROUP BY md5(text) ORDER BY content_md5
     """,
     "scan-binaryfile": """
         SELECT 'doc_' || doc_id || '.bin' AS fname,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
-        FROM documents WHERE doc_id < 16 ORDER BY fname
+        FROM documents WHERE doc_id < 16 AND text IS NOT NULL ORDER BY fname
     """,
     "cte-recursive": """
         WITH RECURSIVE seq(n) AS (

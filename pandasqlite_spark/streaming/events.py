@@ -358,6 +358,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drop_null_event_time(events: DataFrame) -> DataFrame:
+    """An event with no event time cannot be ordered, windowed, or
+    watermarked — Spark's own event-time operators drop null-ts rows at
+    the watermark; the TIME-ORDERED twins (CEP pattern, attribution)
+    apply this explicitly so their stateful pandas processors (which
+    int-cast the µs column) never see NaN (NULLS sweep).  Key-based
+    twins (dedup, enrich) keep null-ts rows, like their batch
+    oracles."""
+    return events.filter(F.col("ts").isNotNull())
+
+
 def streaming_tumbling(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -684,7 +695,9 @@ def q_events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     finite drain (timers block availableNow termination)."""
     from pandasqlite_spark.streaming.stateful import attribution_stream
 
-    stream = attribution_stream(read_events_stream(spark, sf_dir), evict=False)
+    stream = attribution_stream(
+        drop_null_event_time(read_events_stream(spark, sf_dir)), evict=False
+    )
     name, _ = run_stream_to_memory(stream, mode="append")
     return spark.table(name).orderBy("purchase_id")
 
@@ -801,7 +814,9 @@ def q_events_streaming_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandasqlite_spark.streaming.stateful import sequence_match_stream
 
     # evict=False: finite drain (timers block availableNow termination)
-    stream = sequence_match_stream(read_events_stream(spark, sf_dir), evict=False)
+    stream = sequence_match_stream(
+        drop_null_event_time(read_events_stream(spark, sf_dir)), evict=False
+    )
     name, _ = run_stream_to_memory(stream, mode="append")
     return spark.table(name).orderBy("user_id", "start_id")
 
@@ -837,7 +852,7 @@ def q_events_streaming_pattern_tws(spark: SparkSession, sf_dir: str) -> DataFram
             spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
             try:
                 stream = stateful.sequence_match_stream_tws(
-                    read_events_stream(spark, sf_dir)
+                    drop_null_event_time(read_events_stream(spark, sf_dir))
                 )
                 name, q = run_stream_to_memory(stream, mode="append")
                 if q.exception() is None:
@@ -851,7 +866,9 @@ def q_events_streaming_pattern_tws(spark: SparkSession, sf_dir: str) -> DataFram
         except Exception:
             pass
     stateful.LAST_PATTERN_API["api"] = "fallback"
-    stream = stateful.sequence_match_stream(read_events_stream(spark, sf_dir), evict=False)
+    stream = stateful.sequence_match_stream(
+        drop_null_event_time(read_events_stream(spark, sf_dir)), evict=False
+    )
     name, _ = run_stream_to_memory(stream, mode="append")
     return spark.table(name).orderBy("user_id", "start_id")
 
@@ -1166,7 +1183,11 @@ ORACLES["events-stateful-profiles-tws"] = ORACLES["events-stateful-profiles"]
 ORACLES["events-streaming-attribution"] = """
     WITH sub AS (
       SELECT user_id, event_id, ts, event_type FROM events
-      WHERE event_type IN ('click', 'purchase')),
+      -- ts IS NOT NULL: a stream cannot order, watermark, or attribute
+      -- an event with no event time (drop_null_event_time at the
+      -- source); the BATCH attribution key keeps its own oracle and
+      -- its own null-ts semantics
+      WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL),
     w AS (
       SELECT user_id, event_id, ts, event_type,
              LAST_VALUE(CASE WHEN event_type = 'click'
