@@ -515,7 +515,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last explicitly: Spark default-sorts ASC NULLS FIRST,
+    # DuckDB NULLS LAST — on a nullable ordering key the neighbors (and
+    # so every lag/lead) differ between engines (NULLS sweep)
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     return e.select(
         "user_id",
         "event_id",
@@ -529,7 +532,9 @@ def q_window_frame_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        # NULLS LAST: see q_window_lag_lead — frame membership must not
+        # depend on engine null-placement defaults
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return e.select(
@@ -854,16 +859,16 @@ ORACLES: dict[str, str] = {
     """,
     "window-lag-lead": """
         SELECT user_id, event_id, value,
-               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
                  AS prev_value,
-               LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
                  AS next_value
         FROM events
     """,
     "window-frame-running-sum": """
         SELECT user_id, event_id,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id
+                 PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS running_total
         FROM events
