@@ -152,10 +152,111 @@ def _queries(sf_dir: str):
     }
 
 
+def _ref_query_s(spark) -> float:
+    """A fixed machine-state normalizer (round-5 verdict #5): the same
+    SF-independent computation every run — sum/count over a 50M-row
+    in-memory range — timed as the median of 3.  Builder-vs-driver
+    runs of identical code divide per-query times by the ratio of
+    their ref_query_s to separate engine changes from machine state
+    (BENCH_NOTES.md showed a 12.4s-vs-16.4s spread on identical
+    code)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            F.sum(F.col("id") % 7), F.count(F.lit(1))
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
+def _run_one(spark, sf_dir: str, name: str, fn, n_runs: int) -> float:
+    """Median wall of n_runs noop-sink executions of one query."""
+    import statistics
+
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
+def _child_one_query(name: str) -> None:
+    """--query NAME child mode for BENCH_FRESH_JVM=1: a brand-new JVM
+    warms plan shapes at sf0.001, times the one query, prints one JSON
+    line — so per-query numbers carry no shared-JVM heap/GC history
+    from earlier queries."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pandasqlite_spark.session import get_spark
+
+    spark = get_spark("pandasqlite_spark_bench_child")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    fn = _queries(sf_dir)[name]
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        try:
+            fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    print(json.dumps({"name": name, "sec": _run_one(spark, sf_dir, name, fn, n_runs)}))
+
+
 def main() -> None:
+    if len(sys.argv) == 3 and sys.argv[1] == "--query":
+        _child_one_query(sys.argv[2])
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    load_start = os.getloadavg()[0]
+
+    fresh_jvm = os.environ.get("BENCH_FRESH_JVM", "0") == "1"
+    if fresh_jvm:
+        # fresh-JVM-per-query mode: each query in its own subprocess /
+        # SparkSession, immune to heap history from earlier queries
+        import subprocess
+
+        timings: dict[str, float] = {}
+        for name in _queries(sf_dir):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--query", name],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            timings[name] = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+        from pandasqlite_spark.session import get_spark
+
+        spark = get_spark("pandasqlite_spark_bench")
+        ref_s = _ref_query_s(spark)
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "runs_per_query": int(os.environ.get("BENCH_RUNS", "5")),
+                    "stat": "median",
+                    "mode": "fresh_jvm",
+                    "ref_query_s": ref_s,
+                    "load_1m_start": round(load_start, 2),
+                    "load_1m_end": round(os.getloadavg()[0], 2),
+                    "cpus": os.cpu_count(),
+                }
+            )
+        )
+        return
 
     from pandasqlite_spark.session import get_spark
 
@@ -186,13 +287,11 @@ def main() -> None:
     n_runs = int(os.environ.get("BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, fn in _queries(sf_dir).items():
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        timings[name] = _run_one(spark, sf_dir, name, fn, n_runs)
 
+    # statistics imported above; keep the reference normalizer LAST so
+    # it reflects the same session state the queries ran under
+    ref_s = _ref_query_s(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -204,6 +303,11 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "stat": "median",
+                "mode": "shared_jvm",
+                "ref_query_s": ref_s,
+                "load_1m_start": round(load_start, 2),
+                "load_1m_end": round(os.getloadavg()[0], 2),
+                "cpus": os.cpu_count(),
             }
         )
     )

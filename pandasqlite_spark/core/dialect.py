@@ -351,11 +351,23 @@ def _glob_to_regex(pat: str) -> str:
         elif c == "?":
             out.append(".")
         elif c == "[":
-            j = pat.find("]", i + 2)  # allow a leading ] or ^] literal
+            # SQLite treats a ] in first position as a literal — for
+            # BOTH forms, so the close-bracket scan must start one
+            # further when the class is negated (`[^]]` means "any char
+            # but ]", not an empty class; round-6 ADVICE)
+            lit = i + 3 if pat[i + 1 : i + 2] == "^" else i + 2
+            j = pat.find("]", lit)
             if j == -1:
                 out.append(re.escape(c))
             else:
-                out.append(pat[i : j + 1])
+                cls = pat[i : j + 1]
+                # Java regex lacks the POSIX leading-]-is-literal rule:
+                # escape it ([]a] → [\]a], [^]] → [^\]])
+                if cls.startswith("[]"):
+                    cls = "[\\]" + cls[2:]
+                elif cls.startswith("[^]"):
+                    cls = "[^\\]" + cls[3:]
+                out.append(cls)
                 i = j
         else:
             out.append(re.escape(c))
@@ -369,7 +381,17 @@ def _glob_regex_expr(operand: str) -> str:
     which glob classes share with regex), then ``*``→``.*``,
     ``?``→``.`` — all JVM-side ``regexp_replace``, no UDF."""
     esc = "regexp_replace(" + operand + r", '([.$+(){}\\\\|])', '\\\\$1')"
-    star = "regexp_replace(" + esc + r", '\\*', '.*')"
+    # a mid-string ^ is a literal in GLOB but an anchor in regex (and
+    # '^a^b$' can never match): escape ^ except right after [ where it
+    # is class negation on both sides (round-6 ADVICE); an escaped ^
+    # inside a class body is still the literal, so only the [-adjacent
+    # position needs protecting
+    car = "regexp_replace(" + esc + r", '(?<!\\[)\\^', '\\\\$0')"
+    # a [ that can never close is an unterminated class: SQLite GLOB
+    # matches nothing, Java regex THROWS — substitute a never-matching
+    # atom so the RLIKE compiles AND keeps SQLite's no-match semantics
+    brk = "regexp_replace(" + car + r", '\\[(?![^\\]]*\\])', '(?!)')"
+    star = "regexp_replace(" + brk + r", '\\*', '.*')"
     q = "regexp_replace(" + star + r", '\\?', '.')"
     return "concat('^', " + q + ", '$')"
 
@@ -582,6 +604,34 @@ def rewrite_bare_aggregate(sql: str) -> str:
             or alias_m.group(1) in group_exprs
         )
 
+    # SQLite's ONE documented exception to the arbitrary-row pick
+    # (sqlite.org/lang_select.html "Bare columns in an aggregate
+    # query"): when the statement contains exactly one aggregate and it
+    # is min() or max(), bare columns take their values from the row
+    # achieving the extremum (per group when GROUP BY is present).
+    # Spark's exact analog is max_by/min_by keyed on the aggregate's
+    # argument — any_value() here would silently return an arbitrary
+    # row's value where SQLite guarantees the extremum row's (round-6
+    # ADVICE).
+    picker = lambda expr: f"any_value({expr})"  # noqa: E731
+    aggs = list(_AGG_HEAD_RE.finditer(masked))
+    if len(aggs) == 1 and aggs[0].group(1).lower() in ("min", "max"):
+        depth, j = 1, aggs[0].end()
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        arg = masked[aggs[0].end() : j - 1].strip()
+        arg = re.sub(r"^distinct\s+", "", arg, flags=re.IGNORECASE)
+        # one plain argument only (a 2-arg min/max is SQLite's SCALAR
+        # form — rewritten to least/greatest before this repair runs,
+        # but stay defensive); ties pick an arbitrary extremum row on
+        # both engines
+        if depth == 0 and arg and len(_split_top_level(arg)) == 1:
+            by = "max_by" if aggs[0].group(1).lower() == "max" else "min_by"
+            picker = lambda expr, by=by, arg=arg: f"{by}({expr}, {arg})"  # noqa: E731
     out_items = []
     for idx, it in enumerate(items):
         if _AGG_HEAD_RE.search(it) or it == "*" or _grouped(it, idx):
@@ -590,9 +640,9 @@ def rewrite_bare_aggregate(sql: str) -> str:
         alias_m = re.search(r"\s+as\s+(\x00\d+\x00|[\w.]+)\s*$", it, re.IGNORECASE)
         if alias_m:
             expr = it[: alias_m.start()].strip()
-            out_items.append(f"any_value({expr}) AS {alias_m.group(1)}")
+            out_items.append(f"{picker(expr)} AS {alias_m.group(1)}")
         else:
             name = _unmask(it, spans).strip().replace("`", "")
-            out_items.append(f"any_value({it}) AS `{name}`")
+            out_items.append(f"{picker(it)} AS `{name}`")
     rebuilt = masked[: head.end()] + ", ".join(out_items) + " " + masked[from_start:]
     return _unmask(rebuilt, spans)

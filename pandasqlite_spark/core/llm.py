@@ -137,23 +137,144 @@ class FakeLLM:
         return list(dict.fromkeys(v.strip() for v in m)) or ["value"]
 
 
+def watsonx_http_backend(
+    base_url: str,
+    *,
+    model_id: str = "meta-llama/llama-3-405b-instruct",
+    max_new_tokens: int = 4096,
+    api_key: str | None = None,
+    iam_url: str | None = None,
+    project_id: str | None = None,
+    api_version: str = "2023-05-29",
+    max_retries: int = 3,
+    retry_base_s: float = 1.0,
+) -> LLMCallback:
+    """The watsonx text-generation REST path on the standard library
+    alone — the executable twin of :func:`watsonx_backend` for
+    environments without the SDK, and the seam a test can point at an
+    in-process HTTP stub (round-5 verdict #4).  Same generation
+    contract as the reference backend (``pandasqlite.py:24-54``):
+    ``input:`` prompt prefix, greedy decoding, ``max_new_tokens``,
+    ``"\\n\\n"`` stop sequence, completion truncated at the first
+    ``"\\n\\n"``.
+
+    Auth: with ``iam_url`` set, ``api_key`` is exchanged for a bearer
+    token via the IAM apikey grant (cached; re-exchanged once on 401 —
+    token expiry); otherwise ``api_key`` itself is sent as the bearer.
+    Transport: POST ``{base_url}/ml/v1/text/generation?version=...``;
+    429/5xx and socket errors retry with exponential backoff
+    (``retry_base_s * 2^attempt``, ``max_retries`` attempts); 4xx
+    raises immediately with the response body.  Driver-side only, a
+    handful of calls per ingest — never a Spark UDF.
+    """
+    import time
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    gen_url = base_url.rstrip("/") + "/ml/v1/text/generation?version=" + api_version
+    token_cache: dict[str, str] = {}
+
+    def _bearer(force: bool = False) -> str:
+        if iam_url is None:
+            return api_key or ""
+        if force or "tok" not in token_cache:
+            body = urllib.parse.urlencode(
+                {
+                    "grant_type": "urn:ibm:params:oauth:grant-type:apikey",
+                    "apikey": api_key or "",
+                }
+            ).encode()
+            req = urllib.request.Request(
+                iam_url,
+                data=body,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                token_cache["tok"] = json.loads(resp.read())["access_token"]
+        return token_cache["tok"]
+
+    def callback(prompt: str) -> str:
+        payload = json.dumps(
+            {
+                "model_id": model_id,
+                "input": "input:" + prompt,
+                "parameters": {
+                    "decoding_method": "greedy",
+                    "max_new_tokens": max_new_tokens,
+                    "stop_sequences": ["\n\n"],
+                },
+                **({"project_id": project_id} if project_id else {}),
+            }
+        ).encode()
+        refreshed = False
+        for attempt in range(max_retries + 1):
+            req = urllib.request.Request(
+                gen_url,
+                data=payload,
+                headers={
+                    "Content-Type": "application/json",
+                    "Accept": "application/json",
+                    "Authorization": "Bearer " + _bearer(),
+                },
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    out = json.loads(resp.read())
+                text = out["results"][0]["generated_text"]
+                return text.split("\n\n")[0]
+            except urllib.error.HTTPError as exc:
+                if exc.code == 401 and iam_url is not None and not refreshed:
+                    _bearer(force=True)  # expired token: one re-exchange
+                    refreshed = True
+                    continue
+                if exc.code not in (429,) and exc.code < 500:
+                    raise RuntimeError(
+                        f"watsonx HTTP {exc.code}: {exc.read().decode(errors='replace')}"
+                    ) from exc
+                if attempt == max_retries:
+                    raise
+            except urllib.error.URLError:
+                if attempt == max_retries:
+                    raise
+            time.sleep(retry_base_s * (2**attempt))
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    return callback
+
+
 def watsonx_backend(
     model_id: str = "meta-llama/llama-3-405b-instruct",
     *,
     max_new_tokens: int = 4096,
     credentials: dict | None = None,
     project_id: str | None = None,
+    base_url: str | None = None,
+    api_key: str | None = None,
+    iam_url: str | None = None,
 ) -> LLMCallback:
     """The reference's default backend, rebuilt as an optional factory
     (reference ``pandasqlite/pandasqlite.py:24-54``): greedy decoding,
     ``max_new_tokens=4096``, stop sequence ``"\\n\\n"``, prompt prefixed
     with ``"input:"``, completion truncated at the first ``"\\n\\n"``.
 
-    Requires ``ibm_watsonx_ai`` (not bundled — this engine is
+    With ``base_url`` set, delegates to :func:`watsonx_http_backend`
+    (stdlib HTTP, no SDK needed) — the override a test or an
+    SDK-less deployment points at any watsonx-shaped endpoint.
+    Otherwise requires ``ibm_watsonx_ai`` (not bundled — this engine is
     backend-agnostic and offline-testable); raises ImportError with a
-    clear message otherwise.  Returned callable is a plain ``str ->
+    clear message if absent.  Returned callable is a plain ``str ->
     str`` driver-side function like every other backend.
     """
+    if base_url is not None:
+        return watsonx_http_backend(
+            base_url,
+            model_id=model_id,
+            max_new_tokens=max_new_tokens,
+            api_key=api_key,
+            iam_url=iam_url,
+            project_id=project_id,
+        )
     try:
         from ibm_watsonx_ai import Credentials  # type: ignore
         from ibm_watsonx_ai.foundation_models import ModelInference  # type: ignore

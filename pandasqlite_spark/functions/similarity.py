@@ -475,6 +475,50 @@ def knn_join_exact(
     )
 
 
+def ivf_candidate_cosine(
+    corpus: DataFrame, queries: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Exact decimal cosine over an IVF CANDIDATE set: ``corpus``
+    (vec_id, embedding) × ``queries`` (query_id, qv) restricted to the
+    (query_id, vec_id) pairs in ``cand`` → (query_id, vec_id, cosine).
+
+    The corpus is pruned to the distinct candidate ids with a broadcast
+    LEFT SEMI join BEFORE the per-dimension explode, so the 64×-row
+    blowup, the norm aggregation, and the dot-product join all scale
+    with |candidates| BY CONSTRUCTION — not with |corpus|, and not
+    contingent on AQE choosing to broadcast (round-5 verdict #6).  The
+    distinct candidate-id set is tiny (≤ queries × probed-cell
+    population), so the semi-join broadcasts at any corpus scale."""
+    cand_vecs = corpus.join(
+        F.broadcast(cand.select("vec_id").distinct()), "vec_id", "left_semi"
+    )
+    e = cand_vecs.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+    )
+    qd = queries.select("query_id", F.posexplode("qv").alias("pos", "qx")).select(
+        "query_id", "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
+    )
+    ne = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
+    nq = qd.groupBy("query_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
+    )
+    dots = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qd), ["query_id", "pos"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(ne, "vec_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
+        )
+    )
+
+
 def q_simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@5 of the IVF index against exact
     brute force, per query.  Every vector-search deployment runs this
@@ -508,30 +552,7 @@ def q_simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = a_q.join(a_corpus.select("vec_id", "cell"), "cell").select(
         "query_id", "vec_id"
     )
-    e = corpus.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
-        "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
-    )
-    qd = queries.select("query_id", F.posexplode("qv").alias("pos", "qx")).select(
-        "query_id", "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
-    )
-    ne = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
-    nq = qd.groupBy("query_id").agg(
-        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
-    )
-    dots = (
-        cand.join(e, "vec_id")
-        .join(qd, ["query_id", "pos"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
-    )
-    s = (
-        dots.join(ne, "vec_id")
-        .join(nq, "query_id")
-        .select(
-            "query_id", "vec_id",
-            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
-        )
-    )
+    s = ivf_candidate_cosine(corpus, queries, cand)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     approx = (
         s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -737,31 +758,7 @@ def q_simsearch_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = a_q.join(a_corpus.select("vec_id", "cell"), "cell").select(
         "query_id", "vec_id"
     )
-    e = corpus.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
-        "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
-    )
-    qd = queries.select("query_id", F.posexplode("qv").alias("pos", "qx")).select(
-        "query_id", "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
-    )
-    ne = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
-    nq = qd.groupBy("query_id").agg(
-        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
-    )
-    dots = (
-        cand.join(e, "vec_id")
-        .join(qd, ["query_id", "pos"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
-    )
-    s = (
-        dots.join(ne, "vec_id")
-        .join(F.broadcast(nq), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
-        )
-    )
+    s = ivf_candidate_cosine(corpus, queries, cand)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         s.withColumn("rank", F.row_number().over(w))
@@ -2052,12 +2049,12 @@ NPROBE_LEVELS = (1, 2, 4)
 NPROBE_TOPK = 10
 
 
-def q_simsearch_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF recall-vs-nprobe curve — the tuning readout every IVF
-    deployment needs: searching 1, 2, and 4 of the 8 cells, what
-    fraction of the TRUE top-10 does the cell-restricted search
-    recover?  (``simsearch-recall-eval``'s per-method cousin, here
-    sweeping the IVF knob itself.)
+def _nprobe_curve(spark: SparkSession, sf_dir: str, n_cells: int) -> DataFrame:
+    """Recall-vs-nprobe readout against an ``n_cells``-cell IVF index
+    (stand-in centroids = the first ``n_cells`` vectors): per probed
+    level, candidate count, top-10 overlap with exact search, and
+    recall@10.  Shared by ``simsearch-nprobe-curve`` (fixture
+    N_CELLS) and ``simsearch-ivf-derived`` (√N-derived cells).
 
     Scale shape: one broadcast centroid assignment (the IVF pass), one
     exact global top-10 (the TakeOrderedAndProject baseline), then per
@@ -2066,7 +2063,7 @@ def q_simsearch_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap over k; everything ordering-relevant is the exact decimal
     cosine."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cid"), "embedding"
     )
     assign = ivf_assign(emb, cents)
@@ -2113,13 +2110,122 @@ def q_simsearch_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = level if out is None else out.unionByName(level)
-    return out.orderBy("nprobe")
+    return out
+
+
+def q_simsearch_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe curve — the tuning readout every IVF
+    deployment needs: searching 1, 2, and 4 of the 8 cells, what
+    fraction of the TRUE top-10 does the cell-restricted search
+    recover?  (``simsearch-recall-eval``'s per-method cousin, here
+    sweeping the IVF knob itself.)"""
+    return _nprobe_curve(spark, sf_dir, N_CELLS).orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# ANN index sizing rules (round-5 verdict #7): constants derived from
+# corpus size instead of fixture values, with the derivation itself
+# cross-engine-proven by `simsearch-ivf-derived`.
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_TARGET = 0.8
+
+
+def derive_ivf_cells(n_corpus: int, lo: int = 4, hi: int = 1 << 20) -> int:
+    """IVF cell count from corpus size: the smallest power of two whose
+    square covers the corpus — i.e. ``cells ≈ √N`` rounded UP to a
+    power of two (the FAISS IVF sizing guideline; power-of-two keeps
+    cell ids stable under doubling).  Pure integer arithmetic so the
+    DuckDB oracle twin derives bit-identically (no float log2, whose
+    half-way rounding differs across engines).  ``lo`` floors tiny
+    corpora (a 4-cell index is the smallest useful partition);
+    ``hi`` caps runaway sizing at 2^20 cells (a 1T-vector corpus)."""
+    cells = lo
+    while cells * cells < n_corpus and cells < hi:
+        cells <<= 1
+    return cells
+
+
+def derive_nprobe(
+    curve: list[tuple[int, float]], target: float = ANN_RECALL_TARGET
+) -> int:
+    """nprobe from a MEASURED recall curve: the smallest probed level
+    whose recall meets ``target``; the deepest probed level when none
+    does (the curve is monotone in nprobe, so deeper is the best
+    available).  Input: (nprobe, recall) pairs from
+    ``simsearch-nprobe-curve`` / :func:`_nprobe_curve`."""
+    deepest = None
+    for nprobe, recall in sorted(curve):
+        if recall >= target:
+            return nprobe
+        deepest = nprobe
+    return deepest
+
+
+def derive_pq_k(
+    n_train: int, per_centroid: int = 39, lo: int = 16, hi: int = 256
+) -> int:
+    """PQ codebook size from training-set size: the largest power of
+    two (within [lo, hi]) that keeps ≥ ``per_centroid`` training
+    points per codebook entry — the FAISS k-means training guideline
+    (fewer than ~39 points per centroid underfits the codebook).
+    256 caps the code at one byte per subspace."""
+    k = lo
+    while k * 2 * per_centroid <= n_train and k < hi:
+        k <<= 1
+    return k
+
+
+def q_simsearch_ivf_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF retrieval with DERIVED index constants — the production
+    sizing path: cell count comes from :func:`derive_ivf_cells`
+    (√N rounded up to a power of two, computed from a one-column
+    count at index-build time, like FAISS training), the recall
+    curve is measured per probed level against exact top-10, and
+    ``chosen`` marks :func:`derive_nprobe`'s pick (smallest level
+    meeting the recall target, deepest otherwise).  The DuckDB twin
+    derives the SAME cell count with integer SQL, so a value match
+    proves the sizing rule is engine-independent, not a fixture.
+
+    At 100 TB: the sizing count is a metadata-only aggregate, the
+    index build is the same broadcast-centroid assignment as
+    ``simsearch-ivf``, and cells ≈ √N keeps per-cell populations ≈
+    √N — both the assignment fan-out and the per-probe rerank grow
+    as √N, the IVF balance point."""
+    emb = load(spark, sf_dir, "embeddings")
+    # index-build-time sizing pass: one column, metadata-countable
+    n_corpus = emb.filter(F.col("vec_id") != 0).count()
+    cells = derive_ivf_cells(n_corpus)
+    curve = _nprobe_curve(spark, sf_dir, cells)
+    sel = curve.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("recall_at_10") >= ANN_RECALL_TARGET, F.col("nprobe")
+                )
+            ),
+            F.max("nprobe"),
+        ).alias("ch")
+    )
+    return (
+        curve.crossJoin(F.broadcast(sel))
+        .select(
+            "nprobe",
+            F.lit(cells).cast("bigint").alias("n_cells"),
+            "n_candidates",
+            "n_hit",
+            "recall_at_10",
+            (F.col("nprobe") == F.col("ch")).alias("chosen"),
+        )
+        .orderBy("nprobe")
+    )
 
 
 QUERIES["simsearch-nprobe-curve"] = q_simsearch_nprobe_curve
+QUERIES["simsearch-ivf-derived"] = q_simsearch_ivf_derived
 
 
-def _nprobe_oracle() -> str:
+def _nprobe_oracle(cells_expr: str = str(N_CELLS), extra_ctes: str = "") -> str:
     levels = []
     for nprobe in NPROBE_LEVELS:
         levels.append(f"""
@@ -2150,8 +2256,8 @@ def _nprobe_oracle() -> str:
     WITH e AS (
       SELECT vec_id, t.i AS pos,
              CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
-      FROM embeddings, generate_series(1, 64) t(i)),
-    c AS (SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < {N_CELLS}),
+      FROM embeddings, generate_series(1, 64) t(i)),{extra_ctes}
+    c AS (SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < {cells_expr}),
     dots AS (
       SELECT e.vec_id, c.cid, CAST(SUM(e.x * c.cx) AS DOUBLE) AS dot
       FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2),
@@ -2177,13 +2283,45 @@ def _nprobe_oracle() -> str:
       FROM q JOIN c ON q.pos = c.pos GROUP BY 1),
     cell_rank AS (
       SELECT cid, ROW_NUMBER() OVER (ORDER BY dot DESC, cid) AS cell_rank
-      FROM qcd)
-    {union}
-    ORDER BY nprobe
+      FROM qcd),
+    lv AS (
+    {union})
+    {{final}}
 """
 
 
-ORACLES["simsearch-nprobe-curve"] = _nprobe_oracle()
+ORACLES["simsearch-nprobe-curve"] = _nprobe_oracle().format(
+    final="SELECT nprobe, n_candidates, n_hit, recall_at_10 FROM lv ORDER BY nprobe"
+)
+
+# the derived twin: n_cells comes from the SAME integer sizing rule as
+# derive_ivf_cells (smallest power of two whose square covers the
+# corpus, floored at 4) expressed in pure-integer SQL — a value match
+# proves the sizing rule is engine-independent; `chosen` replicates
+# derive_nprobe (smallest level meeting the recall target, else the
+# deepest probed level).
+_DERIVED_CTES = f"""
+    der AS (
+      SELECT CAST(MIN(pp.p) AS BIGINT) AS n_cells
+      FROM (SELECT CAST(POWER(2, g) AS BIGINT) AS p
+            FROM generate_series(2, 20) t(g)) pp,
+           (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id <> 0) nn
+      WHERE pp.p * pp.p >= nn.n),"""
+
+ORACLES["simsearch-ivf-derived"] = _nprobe_oracle(
+    cells_expr="(SELECT n_cells FROM der)", extra_ctes=_DERIVED_CTES
+).format(
+    final=f"""
+    , sel AS (
+      SELECT COALESCE(
+        MIN(CASE WHEN recall_at_10 >= {ANN_RECALL_TARGET} THEN nprobe END),
+        MAX(nprobe)) AS ch FROM lv)
+    SELECT lv.nprobe, (SELECT n_cells FROM der) AS n_cells,
+           lv.n_candidates, lv.n_hit, lv.recall_at_10,
+           lv.nprobe = sel.ch AS chosen
+    FROM lv, sel
+    ORDER BY lv.nprobe"""
+)
 
 
 def mislabel_scan(emb: DataFrame, bottom_k: int = 20) -> DataFrame:

@@ -1407,7 +1407,13 @@ ORACLES["events-holt-winters"] = f"""
                      ORDER BY i)
          FROM idx WHERE i BETWEEN 1 AND 7) AS s0),
     rec(i, l, b, s, sn, fit) AS (
+      -- anchor only when the full 14-day seed window exists, matching
+      -- the engine's size(xs) >= 14 gate: for 8-13-day series the
+      -- model's b0 seed (days 8..14) is undefined, so BOTH sides emit
+      -- zero rows (round-6 ADVICE: the anchor otherwise fires from
+      -- day 8 with a partial b0 sum and diverges from the engine)
       SELECT 7, l0, b0, s0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM seed
+      WHERE EXISTS (SELECT 1 FROM idx WHERE i = 14)
       UNION ALL
       SELECT r.i + 1,
              {_HW_LN},

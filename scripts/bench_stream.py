@@ -29,6 +29,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from pandasqlite_spark.session import SPARK4_STATEFUL_AVAILABLE, get_spark  # noqa: E402
 from pandasqlite_spark.streaming import stateful  # noqa: E402
 from pandasqlite_spark.streaming.events import (  # noqa: E402
@@ -58,15 +60,20 @@ def drain_and_measure(spark, build, mode: str, rocksdb: bool = False) -> dict:
         state_bytes = 0
         sst_bytes = 0
         n_batches = 0
+        rows_by_batch: list[int] = []
         for p in q.recentProgress:
             rows_in += p.get("numInputRows", 0)
             n_batches += 1
             batch_ms += p.get("durationMs", {}).get("triggerExecution", 0)
+            batch_state = 0
             for so in p.get("stateOperators", []):
+                batch_state = max(batch_state, so.get("numRowsTotal", 0))
                 state_rows = max(state_rows, so.get("numRowsTotal", 0))
                 state_bytes = max(state_bytes, so.get("memoryUsedBytes", 0))
                 cm = so.get("customMetrics", {})
                 sst_bytes = max(sst_bytes, cm.get("rocksdbSstFileSize", 0))
+            if p.get("numInputRows", 0) or batch_state:
+                rows_by_batch.append(batch_state)
         out_rows = spark.table(name).count()
         rec = {
             "rows_in": rows_in,
@@ -79,6 +86,9 @@ def drain_and_measure(spark, build, mode: str, rocksdb: bool = False) -> dict:
             else None,
             "state_rows_peak": state_rows,
             "state_bytes_peak": state_bytes,
+            # per-batch state-row series: the plateau/eviction datum a
+            # single-batch drain cannot show (round-5 verdict #2)
+            "state_rows_by_batch": rows_by_batch,
         }
         if rocksdb:
             rec["rocksdb_sst_bytes"] = sst_bytes
@@ -91,6 +101,63 @@ def drain_and_measure(spark, build, mode: str, rocksdb: bool = False) -> dict:
                 pass
         else:
             spark.conf.set(CONF_KEY, prev)
+
+
+def stage_time_ordered_files(spark, sf_dir: str, n_files: int, staging: str) -> None:
+    """Split the events table into ``n_files`` TIME-ORDERED parquet
+    files so a ``maxFilesPerTrigger=1`` stream sees ≥ n_files
+    micro-batches with a monotonically advancing watermark — the
+    production arrival shape (late-data skew aside), and the only way
+    an availableNow drain can demonstrate state plateau / watermark
+    eviction rather than one giant batch."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    if _glob.glob(os.path.join(staging, "events_*.parquet")):
+        return  # staged already (keyed by dir; caller picks per-SF dirs)
+    os.makedirs(staging, exist_ok=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.withColumn(
+        "fidx",
+        F.ntile(n_files).over(Window.orderBy(F.col("ts").asc_nulls_first())),
+    )
+    for i in range(1, n_files + 1):
+        tmp = os.path.join(staging, f"_tmp_{i}")
+        (
+            b.filter(F.col("fidx") == i)
+            .drop("fidx")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.move(part, os.path.join(staging, f"events_{i:04d}.parquet"))
+        shutil.rmtree(tmp)
+
+
+def read_staged_stream(spark, staging: str) -> "DataFrame":  # noqa: F821
+    """read_events_stream's contract over the staged time-ordered
+    files, one file per micro-batch."""
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events_*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def main() -> int:
@@ -152,7 +219,77 @@ def main() -> int:
         print(f"BENCH {key}", file=sys.stderr, flush=True)
         results[key] = drain_and_measure(spark, **kw)
         print(f"  {results[key]}", file=sys.stderr, flush=True)
-    print(json.dumps({"sf_dir": sf_dir, "streams": results}, indent=2))
+
+    # ---- multi-batch production configuration (round-5 verdict #2):
+    # time-ordered files, one per micro-batch, eviction ON, append/
+    # update output, RocksDB state store — the configuration a real
+    # deployment runs, where state plateau and watermark eviction are
+    # observable across ≥10 batches instead of vacuous in one.
+    n_batches = int(os.environ.get("STREAM_BATCHES", "12"))
+    staging = os.path.join(
+        os.environ.get("STREAM_STAGING_ROOT", "/tmp/stream_stage"),
+        os.path.basename(os.path.normpath(sf_dir)) + f"_{n_batches}",
+    )
+    print(f"STAGING {n_batches} time-ordered files -> {staging}", file=sys.stderr)
+    stage_time_ordered_files(spark, sf_dir, n_batches, staging)
+    msrc = lambda: read_staged_stream(spark, staging)  # noqa: E731
+
+    mb: list[tuple[str, dict]] = [
+        (
+            "mb-streaming-rate-limit",
+            dict(
+                build=lambda: streaming_rate_limit(msrc()),
+                mode="append",  # watermark closes windows → eviction
+                rocksdb=True,
+            ),
+        ),
+        (
+            "mb-stateful-profiles-apply",
+            dict(
+                build=lambda: stateful.user_profiles_stream(msrc(), evict=True),
+                mode="update",
+                rocksdb=True,
+            ),
+        ),
+        (
+            "mb-streaming-pattern-apply",
+            dict(
+                build=lambda: stateful.sequence_match_stream(msrc(), evict=True),
+                mode="append",
+                rocksdb=True,
+            ),
+        ),
+    ]
+    if SPARK4_STATEFUL_AVAILABLE:
+        mb += [
+            (
+                "mb-stateful-profiles-tws",
+                dict(
+                    build=lambda: stateful.user_profiles_stream_tws(msrc()),
+                    mode="update",
+                    rocksdb=True,
+                ),
+            ),
+            (
+                "mb-streaming-pattern-tws",
+                dict(
+                    build=lambda: stateful.sequence_match_stream_tws(msrc()),
+                    mode="append",
+                    rocksdb=True,
+                ),
+            ),
+        ]
+    for key, kw in mb:
+        print(f"BENCH {key}", file=sys.stderr, flush=True)
+        results[key] = drain_and_measure(spark, **kw)
+        print(f"  {results[key]}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "multibatch_files": n_batches, "streams": results},
+            indent=2,
+        )
+    )
     return 0
 
 

@@ -53,6 +53,7 @@ NESTED_LOOP_OK = {
     "simsearch-sq-rerank",
     "simsearch-ivf-pq",  # broadcast centroid/ADC-table crossJoins (≤16 rows each)
     "simsearch-nprobe-curve",  # 1-row recall/candidate-count summary broadcasts
+    "simsearch-ivf-derived",  # same summary broadcasts, derived-cells twin
     "dedup-threshold-curve",  # 4-row τ fan-out broadcast over the collapsed pair set
     "mixture-epoch-schedule",  # 1-row corpus-total + weight-normalizer broadcasts
     "simsearch-hamming-topk",  # 1-row broadcast query signature (like simsearch-topk)

@@ -391,3 +391,104 @@ def test_watsonx_backend_raises_clear_importerror_when_lib_absent():
         pass
     with pytest.raises(ImportError, match="llm_callback"):
         watsonx_backend()
+
+
+def test_watsonx_http_backend_end_to_end(spark):
+    """The real-HTTP path (round-5 verdict #4): an in-process stub
+    speaking the watsonx request/response shape serves ingest +
+    text2sql END TO END through actual HTTP — executing the auth
+    (IAM apikey→token exchange + 401 re-exchange), retry (500 then
+    success), and parse (results[0].generated_text, \\n\\n truncation)
+    plumbing that the offline suite otherwise never runs."""
+    import http.server
+    import json as _json
+    import threading
+
+    import pandas as pd
+
+    from pandasqlite_spark.core.ingest import ingest
+    from pandasqlite_spark.core.llm import (
+        FakeLLM,
+        watsonx_backend,
+        watsonx_http_backend,
+    )
+    from pandasqlite_spark.core.text2sql import run_with_repair
+
+    answers = FakeLLM({"how many rows": "SELECT COUNT(*) AS n FROM table"})
+    state = {"gen": 0, "tokens": 0, "did500": False, "did401": False}
+    seen = {"bodies": [], "auths": []}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _send(self, code, obj):
+            body = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            raw = self.rfile.read(int(self.headers["Content-Length"]))
+            if self.path.startswith("/identity/token"):
+                state["tokens"] += 1
+                assert b"grant_type=urn" in raw and b"apikey=secret-key" in raw
+                self._send(200, {"access_token": f"tok-{state['tokens']}"})
+                return
+            state["gen"] += 1
+            seen["auths"].append(self.headers.get("Authorization"))
+            if not state["did500"]:
+                state["did500"] = True
+                self._send(500, {"error": "transient"})
+                return
+            if state["gen"] >= 3 and not state["did401"]:
+                state["did401"] = True  # expired token: force re-exchange
+                self._send(401, {"error": "expired"})
+                return
+            body = _json.loads(raw)
+            prompt = body["input"]
+            assert prompt.startswith("input:")
+            seen["bodies"].append(body)
+            completion = answers(prompt[len("input:"):])
+            self._send(
+                200,
+                {"results": [{"generated_text": completion + "\n\nTRAILING JUNK"}]},
+            )
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        llm = watsonx_http_backend(
+            base,
+            api_key="secret-key",
+            iam_url=base + "/identity/token",
+            project_id="proj-1",
+            retry_base_s=0.01,
+        )
+        pdf = pd.DataFrame({"city": ["oslo", "bergen"], "pop": [1, 2]})
+        results, _, _ = ingest(spark, [pdf], llm, persist=False)
+        out = run_with_repair(spark, "how many rows", results, llm).collect()
+        assert out[0]["n"] == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # auth plumbing: IAM exchanged twice (initial + post-401 refresh),
+    # bearer rotated tok-1 → tok-2
+    assert state["tokens"] == 2
+    assert "Bearer tok-1" in seen["auths"] and "Bearer tok-2" in seen["auths"]
+    # retry plumbing: the 500 and the 401 were both served and recovered
+    assert state["did500"] and state["did401"]
+    # request contract: greedy params, stop sequence, model/project ids
+    p = seen["bodies"][0]["parameters"]
+    assert p["decoding_method"] == "greedy"
+    assert p["stop_sequences"] == ["\n\n"]
+    assert p["max_new_tokens"] == 4096
+    assert seen["bodies"][0]["model_id"].startswith("meta-llama/")
+    assert seen["bodies"][0]["project_id"] == "proj-1"
+    # the base_url override on the SDK factory delegates here (no SDK
+    # import, no ImportError)
+    assert callable(watsonx_backend(base_url=base, api_key="k"))

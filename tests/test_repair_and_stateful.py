@@ -386,10 +386,12 @@ def test_bare_aggregate_rewrite_shapes():
         r("SELECT count(*) AS n, city FROM t")
         == "SELECT count(*) AS n, any_value(city) AS `city` FROM t"
     )
-    # alias preserved
+    # alias preserved — and a SINGLE max() aggregate promotes the bare
+    # item to max_by (SQLite guarantees the extremum row's values for
+    # this one shape; any_value would be an arbitrary row)
     assert (
         r("SELECT max(pop), city AS c FROM t")
-        == "SELECT max(pop), any_value(city) AS c FROM t"
+        == "SELECT max(pop), max_by(city, pop) AS c FROM t"
     )
     # conservative bail-outs: CTEs, set ops, windows, no aggregate and
     # no GROUP BY, fully-grouped select list — all unchanged
@@ -455,3 +457,103 @@ def test_repair_missing_aggregation_group_by_present(spark):
     got = {r_["city"]: r_["pop"] for r_ in out}
     assert set(got) == {"oslo", "bergen"}
     assert got["bergen"] == 2 and got["oslo"] in (1, 3)
+
+
+def test_bare_aggregate_single_minmax_uses_extremum_row():
+    """SQLite's documented exception: with exactly one min()/max()
+    aggregate, bare columns come from the extremum row — the repair
+    must emit max_by/min_by, not any_value (round-6 ADVICE)."""
+    from pandasqlite_spark.core.dialect import rewrite_bare_aggregate as r
+
+    assert (
+        r("SELECT name, MAX(score) AS s FROM t")
+        == "SELECT max_by(name, score) AS `name`, MAX(score) AS s FROM t"
+    )
+    assert (
+        r("SELECT name, MIN(score) FROM t")
+        == "SELECT min_by(name, score) AS `name`, MIN(score) FROM t"
+    )
+    # per-group with GROUP BY present
+    assert (
+        r("SELECT city, name, MAX(score) FROM t GROUP BY city")
+        == "SELECT city, max_by(name, score) AS `name`, MAX(score)"
+        " FROM t GROUP BY city"
+    )
+    # TWO aggregates (or min+another) → no extremum guarantee → any_value
+    assert (
+        r("SELECT name, MAX(a), MIN(b) FROM t")
+        == "SELECT any_value(name) AS `name`, MAX(a), MIN(b) FROM t"
+    )
+    assert (
+        r("SELECT name, COUNT(*), MAX(a) FROM t")
+        == "SELECT any_value(name) AS `name`, COUNT(*), MAX(a) FROM t"
+    )
+    # DISTINCT inside the aggregate: min(DISTINCT x) == min(x), key on x
+    assert (
+        r("SELECT name, MIN(DISTINCT score) FROM t")
+        == "SELECT min_by(name, score) AS `name`, MIN(DISTINCT score) FROM t"
+    )
+
+
+def test_repair_single_max_returns_extremum_row(spark):
+    """End-to-end MISSING_GROUP_BY repair: `SELECT name, MAX(score)`
+    must return the max row's name (SQLite semantics), deterministically
+    — not an arbitrary row."""
+    pdf = pd.DataFrame(
+        {"name": ["lo", "hi", "mid"], "score": [1, 99, 50]}
+    )
+    results, _, _ = ingest(spark, [pdf], persist=False)
+    tbl = results[0]["hash"]
+    calls = []
+
+    def llm(prompt):
+        if "sanity check" in prompt:
+            return "YES"
+        calls.append(prompt)
+        return f"```sql\nSELECT name, MAX(score) AS top FROM `{tbl}`\n```"
+
+    out = run_with_repair(spark, "who has the top score", results, llm).collect()
+    assert len(calls) == 1  # deterministic, no LLM repair round
+    assert len(out) == 1
+    assert out[0]["name"] == "hi" and out[0]["top"] == 99
+
+
+def test_glob_round6_edges_execute(spark):
+    """Round-6 ADVICE GLOB edges: mid-string ^ in a dynamic pattern is
+    a literal (not a dead anchor), an unbalanced [ in the data yields
+    no-match instead of a regex runtime error, and the negated-class
+    leading-] literal form ([^]]) compiles and matches."""
+    from pandasqlite_spark.core.dialect import (
+        _glob_to_regex,
+        rewrite_sqlite_to_spark,
+    )
+
+    # unit: [^]] / []a] forms produce valid Java regex
+    assert _glob_to_regex("[^]]") == "^[^\\]]$"
+    assert _glob_to_regex("[]a]") == "^[\\]a]$"
+
+    spark.createDataFrame(
+        [
+            ("a^b", "a^b"),       # literal ^ mid-pattern must match itself
+            ("ab", "a^b"),        # and not match the ^-less twin
+            ("x[y", "x[y*"),      # unbalanced [ in the pattern: no crash
+            ("camp", "[^]]amp"),  # negated class with literal ]
+            ("]amp", "[^]]amp"),
+        ],
+        "name string, pat string",
+    ).createOrReplaceTempView("glob_edge_t")
+    sql = rewrite_sqlite_to_spark(
+        'SELECT name FROM glob_edge_t WHERE name GLOB "pat"',
+        identifiers={"name", "pat"},
+    )
+    got = sorted(r["name"] for r in spark.sql(sql).collect())
+    # a^b matches its literal; ab does not; x[y row must not ERROR
+    # (SQLite: unterminated class matches nothing); camp matches
+    # [^]]amp; ]amp does not
+    assert got == ["a^b", "camp"]
+    # literal-pattern path: [^]] class via RLIKE
+    sql2 = rewrite_sqlite_to_spark(
+        "SELECT name FROM glob_edge_t WHERE name GLOB '[^]]amp'"
+    )
+    got2 = sorted(r["name"] for r in spark.sql(sql2).collect())
+    assert got2 == ["camp"]

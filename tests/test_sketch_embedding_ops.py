@@ -141,3 +141,55 @@ def test_centroid_accuracy_separable_labels(spark):
     out = {r.label: r for r in centroid_accuracy(emb).collect()}
     assert out[0].accuracy == 1.0 and out[1].accuracy == 1.0
     assert out[0].n_vecs == 3 and out[1].n_vecs == 3
+
+
+def test_ann_sizing_rules():
+    """Derived ANN index constants (round-5 verdict #7): cells ≈ √N
+    rounded up to a power of two, nprobe = smallest level meeting the
+    recall target, PQ codebook sized by training points/centroid."""
+    from pandasqlite_spark.functions.similarity import (
+        derive_ivf_cells,
+        derive_nprobe,
+        derive_pq_k,
+    )
+
+    # cells: smallest power of two with cells² ≥ N, floored at 4
+    assert derive_ivf_cells(0) == 4
+    assert derive_ivf_cells(16) == 4
+    assert derive_ivf_cells(17) == 8
+    assert derive_ivf_cells(492) == 32     # sf0.001/sf0.01 corpus
+    assert derive_ivf_cells(1992) == 64    # sf0.1
+    assert derive_ivf_cells(19_992) == 256   # sf1 (√N=141 → next pow2)
+    assert derive_ivf_cells(199_992) == 512  # sf10
+    assert derive_ivf_cells(10**13) == 1 << 20  # hi cap holds
+
+    # nprobe: smallest measured level meeting target, else deepest
+    assert derive_nprobe([(1, 0.4), (2, 0.85), (4, 0.95)], 0.8) == 2
+    assert derive_nprobe([(4, 0.95), (1, 0.9)], 0.8) == 1  # order-free
+    assert derive_nprobe([(1, 0.2), (2, 0.5), (4, 0.7)], 0.8) == 4
+
+    # PQ k: ≥39 training points per centroid, power of two in [16,256]
+    assert derive_pq_k(0) == 16
+    assert derive_pq_k(39 * 32) == 32
+    assert derive_pq_k(39 * 64 - 1) == 32
+    assert derive_pq_k(10**9) == 256  # byte-code cap
+
+
+def test_ivf_derived_key_consistent(spark, sf_dir):
+    """simsearch-ivf-derived emits one row per probed level with the
+    derived cell count and exactly one chosen level."""
+    from pandasqlite_spark.functions.similarity import (
+        NPROBE_LEVELS,
+        derive_ivf_cells,
+        q_simsearch_ivf_derived,
+    )
+    from pandasqlite_spark.operators.common import load
+
+    rows = q_simsearch_ivf_derived(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == sorted(NPROBE_LEVELS)
+    n = load(spark, sf_dir, "embeddings").filter("vec_id != 0").count()
+    assert all(r["n_cells"] == derive_ivf_cells(n) for r in rows)
+    assert sum(1 for r in rows if r["chosen"]) == 1
+    # recall is monotone non-decreasing in nprobe
+    recalls = [r["recall_at_10"] for r in rows]
+    assert recalls == sorted(recalls)
