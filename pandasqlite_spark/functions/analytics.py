@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandasqlite_spark.operators.common import load, load_events
+from pandasqlite_spark.operators.common import load, load_events, load_events_timeline
 
 
 # ---------------------------------------------------------------- anomaly
@@ -86,7 +86,7 @@ def transition_counts(events: DataFrame) -> DataFrame:
 
 
 def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return transition_counts(load_events(spark, sf_dir))
+    return transition_counts(load_events_timeline(spark, sf_dir))
 
 
 # ------------------------------------------------- CEP pattern matching
@@ -165,8 +165,10 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+    # null-pin: a NULL segment is a countable mode value, but the
+    # tie-break must order it identically on both engines (NULLS LAST)
     w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("n_customers").desc(), "c_mktsegment"
+        F.col("n_customers").desc(), F.col("c_mktsegment").asc_nulls_last()
     )
     return (
         cnt.withColumn("rn", F.row_number().over(w))
@@ -263,7 +265,12 @@ def q_window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-aware rank statistics (rational-exact doubles: (rank−1)/(n−1)
     over identical integers is bit-identical across engines)."""
     cust = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    # null-pin: NULLS LAST explicit on both engines (Spark ASC default
+    # is NULLS FIRST, DuckDB's NULLS LAST — every rank statistic over a
+    # nullable ORDER BY column diverges otherwise; NULLS_SWEEP round 6)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_last()
+    )
     return (
         cust.select(
             "c_custkey",
@@ -635,6 +642,10 @@ def gini_exact(df: DataFrame, group_col: str, value_col: str, id_col: str) -> Da
     in decimal (order-independent), the closed form combines once per
     group in double, rounded.  One rank window + one groupBy, both
     partitioned on the group key."""
+    # null-pin: Gini is defined over the OBSERVED values — drop null x
+    # before ranking so i, n, and both sums agree across engines (a
+    # null would otherwise shift every rank on one engine only)
+    df = df.filter(F.col(value_col).isNotNull())
     x = F.col(value_col).cast("decimal(18,2)")
     w = Window.partitionBy(group_col).orderBy(value_col, id_col)
     ranked = df.select(group_col, x.alias("x"), F.col(value_col), F.col(id_col)).withColumn(
@@ -696,7 +707,7 @@ def interval_coalesce(events: DataFrame) -> DataFrame:
 
 
 def q_events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return interval_coalesce(load_events(spark, sf_dir))
+    return interval_coalesce(load_events_timeline(spark, sf_dir))
 
 
 def user_type_entropy(events: DataFrame) -> DataFrame:
@@ -1415,7 +1426,10 @@ def winsorized_mean(orders: DataFrame) -> DataFrame:
     an exact per-group percentile needs that per-group sort; at extreme
     group sizes substitute the equi-depth histogram key
     (histogram-equi-depth) and clip at approximate bounds instead."""
-    base = orders.select(
+    # null-pin: winsorization is defined over OBSERVED values — a null
+    # price would land at a different end of each engine's sort and
+    # shift the P5/P95 selection ranks
+    base = orders.filter(F.col("o_totalprice").isNotNull()).select(
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
         "o_orderkey",
@@ -1535,7 +1549,7 @@ def top_user_paths(
 
 
 def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return top_user_paths(load_events(spark, sf_dir))
+    return top_user_paths(load_events_timeline(spark, sf_dir))
 
 
 def pareto_coverage(orders: DataFrame) -> DataFrame:
@@ -1805,7 +1819,9 @@ def wow_growth(events: DataFrame) -> DataFrame:
         .groupBy("week")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w = Window.orderBy("week")
+    # null-pin: NULLS LAST (DuckDB's ASC default) so the null-ts week
+    # bucket doesn't become week 0's lag neighbor on one engine only
+    w = Window.orderBy(F.col("week").asc_nulls_last())
     return (
         weekly.withColumn("prev", F.lag("n_events").over(w))
         .select(
@@ -1948,7 +1964,7 @@ def bounce_rate(events: DataFrame, gap_min: int = BOUNCE_GAP_MIN) -> DataFrame:
 
 
 def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bounce_rate(load_events(spark, sf_dir))
+    return bounce_rate(load_events_timeline(spark, sf_dir))
 
 
 WILSON_Z = 1.96  # 95% — identical literal in both engines
@@ -2283,7 +2299,11 @@ def equi_depth_histogram(df: DataFrame, part_col: str, val_col: str, key: str, n
     NTILE, which would serialize the table through one task); at scale
     the per-key row count bounds task size.
     """
-    w = Window.partitionBy(part_col).orderBy(val_col, key)
+    # null-pin: NULLS LAST explicit (matches DuckDB's ASC default) so a
+    # nullable value column lands in the same tiles on both engines
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(val_col).asc_nulls_last(), F.col(key).asc_nulls_last()
+    )
     return (
         df.select(part_col, val_col, F.ntile(n_tiles).over(w).alias("tile"))
         .groupBy(part_col, "tile")
@@ -2314,7 +2334,11 @@ def cumulative_dau(events: DataFrame) -> DataFrame:
     dau = by_day.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
     first_seen = by_day.groupBy("user_id").agg(F.min("day").alias("day"))
     new_users = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # null-pin: NULLS LAST running sum (DuckDB's ASC default) so the
+    # null-day bucket accumulates at the end on both engines
+    w = Window.orderBy(F.col("day").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return (
         dau.join(new_users, "day", "left")
         .select(
@@ -2640,7 +2664,7 @@ ORACLES = {
                       OR LAG(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_s
-          FROM events),
+          FROM events WHERE ts IS NOT NULL),
         sess AS (
           SELECT user_id, ts,
                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2794,7 +2818,7 @@ ORACLES = {
         WITH base AS (
           SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
                  o_orderkey
-          FROM orders),
+          FROM orders WHERE o_totalprice IS NOT NULL),
         ranked AS (
           SELECT o_orderpriority, p,
                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -2825,7 +2849,7 @@ ORACLES = {
           SELECT user_id, event_type,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS rn
-          FROM events),
+          FROM events WHERE ts IS NOT NULL),
         p AS (
           SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
           FROM r WHERE rn <= 5 GROUP BY user_id)
@@ -2992,10 +3016,14 @@ ORACLES = {
     """,
     "share-of-total": """
         WITH per_nation AS (
-          SELECT n_regionkey, n_name,
+          -- null-pin: group by the nation KEY too — the engine
+          -- aggregates per nation, so two null-named nations in one
+          -- region stay distinct rows (GROUP BY n_name alone would
+          -- collapse them)
+          SELECT n_regionkey, n_name, n_nationkey,
                  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
           FROM customer JOIN nation ON c_nationkey = n_nationkey
-          GROUP BY 1, 2)
+          GROUP BY 1, 2, 3)
         SELECT n_regionkey, n_name,
                CAST(bal AS DOUBLE) AS nation_bal,
                ROUND(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (
@@ -3038,7 +3066,7 @@ ORACLES = {
           SELECT c_nationkey, c_acctbal,
                  NTILE(4) OVER (
                    PARTITION BY c_nationkey
-                   ORDER BY c_acctbal, c_custkey) AS tile
+                   ORDER BY c_acctbal NULLS LAST, c_custkey NULLS LAST) AS tile
           FROM customer)
         SELECT c_nationkey, tile, COUNT(*) AS n,
                MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
@@ -3152,7 +3180,7 @@ ORACLES = {
                  CAST(o_totalprice AS DECIMAL(18,2)) AS x,
                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                     ORDER BY o_totalprice, o_orderkey) AS i
-          FROM orders),
+          FROM orders WHERE o_totalprice IS NOT NULL),
         g AS (
           SELECT o_orderpriority,
                  CAST(COUNT(*) AS DOUBLE) AS n,
@@ -3167,7 +3195,7 @@ ORACLES = {
         WITH iv AS (
           SELECT user_id, epoch_us(ts) AS lo,
                  epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS hi
-          FROM events),
+          FROM events WHERE ts IS NOT NULL),
         f AS (
           SELECT user_id, lo, hi,
                  CASE WHEN MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
@@ -3623,7 +3651,7 @@ ORACLES = {
           SELECT event_type AS to_type,
                  LAG(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS from_type
-          FROM events)
+          FROM events WHERE ts IS NOT NULL)
         SELECT from_type, to_type, COUNT(*) AS n_trans
         FROM seq WHERE from_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
@@ -3640,7 +3668,7 @@ ORACLES = {
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY c_nationkey
-            ORDER BY n_customers DESC, c_mktsegment) AS rn
+            ORDER BY n_customers DESC, c_mktsegment NULLS LAST) AS rn
           FROM cnt)
         SELECT c_nationkey, c_mktsegment AS mode_segment, n_customers
         FROM ranked WHERE rn = 1 ORDER BY c_nationkey
@@ -3662,9 +3690,11 @@ ORACLES = {
     "window-percent-cume": """
         SELECT c_custkey, c_nationkey,
                ROUND(PERCENT_RANK() OVER (
-                 PARTITION BY c_nationkey ORDER BY c_acctbal), 9) AS pct_rank,
+                 PARTITION BY c_nationkey ORDER BY c_acctbal NULLS LAST), 9)
+                 AS pct_rank,
                ROUND(CUME_DIST() OVER (
-                 PARTITION BY c_nationkey ORDER BY c_acctbal), 9) AS cume
+                 PARTITION BY c_nationkey ORDER BY c_acctbal NULLS LAST), 9)
+                 AS cume
         FROM customer ORDER BY c_custkey
     """,
     "embedding-norm-topk": f"""

@@ -264,9 +264,12 @@ def weighted_priority_sample(df: DataFrame, k: int = 50) -> DataFrame:
     h16 = uniform_hash16(F.col("doc_id"))
     u = (h16 + F.lit(0.5)) / F.lit(65536.0)
     pri = F.round(-F.log(u) / F.col("n_chars").cast("double"), 9)
+    # null-pin: NULLS LAST — a null-weight row has no defined priority
+    # and must not win the ascending top-k (Spark's ASC default would
+    # put all null priorities FIRST; DuckDB's puts them last)
     return (
         df.select("doc_id", F.col("n_chars").alias("weight"), pri.alias("priority"))
-        .orderBy("priority", "doc_id")
+        .orderBy(F.col("priority").asc_nulls_last(), "doc_id")
         .limit(k)
     )
 

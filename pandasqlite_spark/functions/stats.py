@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandasqlite_spark.operators.common import load, load_events
+from pandasqlite_spark.operators.common import load, load_events, load_events_timeline
 
 
 # ------------------------------------------------- skewness / kurtosis
@@ -256,7 +256,7 @@ def rolling_daily_median(events: DataFrame, half_window: int = 3) -> DataFrame:
 
 
 def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rolling_daily_median(load_events(spark, sf_dir))
+    return rolling_daily_median(load_events_timeline(spark, sf_dir))
 
 
 QUERIES = {
@@ -378,7 +378,7 @@ ORACLES = {
     "events-rolling-median": """
         WITH daily AS (
           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
-          FROM events GROUP BY 1)
+          FROM events WHERE ts IS NOT NULL GROUP BY 1)
         SELECT CAST(day AS VARCHAR) AS day, cnt,
                median(CAST(cnt AS DOUBLE)) OVER (
                  ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
@@ -564,7 +564,7 @@ def markov_entropy_rate(events: DataFrame) -> DataFrame:
 
 
 def q_events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return markov_entropy_rate(load_events(spark, sf_dir))
+    return markov_entropy_rate(load_events_timeline(spark, sf_dir))
 
 
 QUERIES["events-markov-entropy-rate"] = q_events_markov_entropy
@@ -573,7 +573,7 @@ ORACLES["events-markov-entropy-rate"] = """
     WITH pairs AS (
       SELECT event_type AS s,
              LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     cells AS (
       SELECT s, t, COUNT(*) AS c_st FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2),
     rs AS (SELECT s, CAST(SUM(c_st) AS BIGINT) AS c_s FROM cells GROUP BY 1),

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from pandasqlite_spark.operators.common import load_events
+from pandasqlite_spark.operators.common import load_events, load_events_timeline
 
 
 def ohlc_hourly(events: DataFrame) -> DataFrame:
@@ -224,7 +224,7 @@ def ewma_hourly(events: DataFrame, half_life_hours: int = 1, span: int = 8) -> D
 
 
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ewma_hourly(load_events(spark, sf_dir))
+    return ewma_hourly(load_events_timeline(spark, sf_dir))
 
 
 def trajectory_topk(
@@ -379,7 +379,11 @@ def incremental_agg_merge(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
     )
     cut = F.lit("2024-01-21").cast("date")
-    base = per_day.filter(F.col("day") <= cut)
+    # null-pin: a partial with NO day (null event time) satisfies
+    # neither window predicate and would silently vanish from the
+    # merge; route it to the base branch so merge ≡ full recompute
+    # holds on nullable timestamps too
+    base = per_day.filter((F.col("day") <= cut) | F.col("day").isNull())
     delta = per_day.filter(F.col("day") > cut)
     merged = (
         base.unionByName(delta)
@@ -435,7 +439,7 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
 
 
 def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cusum_changepoint(load_events(spark, sf_dir))
+    return cusum_changepoint(load_events_timeline(spark, sf_dir))
 
 
 def haar_decompose(events: DataFrame, day: str = "2024-01-15") -> DataFrame:
@@ -729,7 +733,7 @@ ORACLES = {
     "events-changepoint-cusum": """
         WITH daily AS (
           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-          FROM events GROUP BY 1),
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
         m AS (SELECT CAST(SUM(n) / COUNT(*) AS DECIMAL(18,6)) AS mu FROM daily),
         cs AS (
           SELECT day, n,
@@ -803,7 +807,7 @@ ORACLES = {
           SELECT user_id,
                  CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hb,
                  SUM(CAST(value AS DECIMAL(18,4))) AS v
-          FROM events GROUP BY 1, 2)
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
         SELECT a.user_id, a.hb AS hr_bucket,
                CAST(CAST(SUM(b.v * (CAST(1 AS BIGINT) << CAST(8 - (a.hb - b.hb) AS INTEGER))) AS DOUBLE)
                     / CAST(SUM(CAST(1 AS BIGINT) << CAST(8 - (a.hb - b.hb) AS INTEGER)) AS DOUBLE)
@@ -947,14 +951,14 @@ def seasonal_decompose_daily(events: DataFrame) -> DataFrame:
 
 
 def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return seasonal_decompose_daily(load_events(spark, sf_dir))
+    return seasonal_decompose_daily(load_events_timeline(spark, sf_dir))
 
 
 QUERIES["events-seasonal-decompose"] = q_events_seasonal_decompose
 
 ORACLES["events-seasonal-decompose"] = """
     WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1),
     w AS (
       SELECT day, n,
              SUM(n) OVER win AS s7,
@@ -1054,14 +1058,14 @@ def holt_linear_daily(events: DataFrame) -> DataFrame:
 
 
 def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return holt_linear_daily(load_events(spark, sf_dir))
+    return holt_linear_daily(load_events_timeline(spark, sf_dir))
 
 
 QUERIES["events-holt-linear"] = q_events_holt_linear
 
 ORACLES["events-holt-linear"] = """
     WITH RECURSIVE daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1),
     idx AS (
       SELECT day, n, CAST(n AS DOUBLE) AS y,
              ROW_NUMBER() OVER (ORDER BY day) AS i
@@ -1116,7 +1120,7 @@ def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials) with a 1-row MAD broadcast; residuals are 6-dp-rounded
     before the median, so the threshold comparison sees identical
     doubles in both engines."""
-    dec = seasonal_decompose_daily(load_events(spark, sf_dir))
+    dec = seasonal_decompose_daily(load_events_timeline(spark, sf_dir))
     r = dec.filter(F.col("residual").isNotNull()).select("day", "n", "residual")
     mad = r.agg(F.round(F.median(F.abs(F.col("residual"))), 6).alias("mad"))
     return (
@@ -1136,7 +1140,7 @@ QUERIES["events-anomaly-seasonal"] = q_events_anomaly_seasonal
 
 ORACLES["events-anomaly-seasonal"] = f"""
     WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1),
     w AS (
       SELECT day, n,
              SUM(n) OVER win AS s7,
@@ -1313,7 +1317,7 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     means come from exact integer sums, so every state is
     bit-reproducible across engines."""
     daily = (
-        events_daily(load_events(spark, sf_dir))
+        events_daily(load_events_timeline(spark, sf_dir))
     )
     series = daily.agg(
         F.array_sort(F.collect_list(F.struct("day", "n"))).alias("s")
@@ -1392,7 +1396,7 @@ _HW_SN = f"(0.5 * (CAST(x.y AS DOUBLE) - {_HW_LN}) + 0.5 * r.s[1])"
 
 ORACLES["events-holt-winters"] = f"""
     WITH RECURSIVE daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1),
     idx AS (
       SELECT day, n, CAST(n AS DOUBLE) AS y,
              ROW_NUMBER() OVER (ORDER BY day) AS i
@@ -1446,7 +1450,7 @@ def q_events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``|cusum|/n_seg`` (mean-deviation units) — one decimal→double
     division each."""
     daily = (
-        load_events(spark, sf_dir)
+        load_events_timeline(spark, sf_dir)
         .select(F.to_date("ts").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("x"))
@@ -1518,7 +1522,7 @@ QUERIES["events-changepoint-binseg"] = q_events_changepoint_binseg
 
 ORACLES["events-changepoint-binseg"] = """
     WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1),
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events WHERE ts IS NOT NULL GROUP BY 1),
     l0 AS (
       SELECT day, x,
              COUNT(*) OVER () AS n_seg,
@@ -1685,7 +1689,7 @@ def q_events_lcs_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (N+1)² integer DP then folds row-major in one task — the DTW
     pattern with a max/equality recurrence instead of min/add.  The
     emitted LCS length and sequence lengths are integers."""
-    ev = load_events(spark, sf_dir)
+    ev = load_events_timeline(spark, sf_dir)
     top2 = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1752,12 +1756,12 @@ QUERIES["events-lcs-journeys"] = q_events_lcs_journeys
 ORACLES["events-lcs-journeys"] = f"""
     WITH RECURSIVE top2 AS (
       SELECT user_id FROM (
-        SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+        SELECT user_id, COUNT(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1
         ORDER BY n DESC, user_id LIMIT 2)),
     seqs AS (
       SELECT user_id,
              (list(event_type ORDER BY ts, event_id))[1:{LCS_N}] AS seq
-      FROM events WHERE user_id IN (SELECT user_id FROM top2)
+      FROM events WHERE ts IS NOT NULL AND user_id IN (SELECT user_id FROM top2)
       GROUP BY 1),
     two AS (
       SELECT MAX(CASE WHEN rn = 1 THEN user_id END) AS user_a,

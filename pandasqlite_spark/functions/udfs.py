@@ -231,8 +231,13 @@ ORACLES: dict[str, str] = {
     """,
     "grouped-pandas-rank": """
         SELECT c_custkey, c_mktsegment,
-               percent_rank() OVER (PARTITION BY c_mktsegment
-                                    ORDER BY c_acctbal) AS pct_rank
+               -- null-pin: pandas rank() leaves NaN unranked (NULL);
+               -- SQL percent_rank would assign the null rows the top
+               -- ranks under NULLS LAST — emit NULL for them instead
+               CASE WHEN c_acctbal IS NULL THEN NULL
+                    ELSE percent_rank() OVER (
+                      PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal NULLS LAST) END AS pct_rank
         FROM customer
     """,
 }

@@ -223,9 +223,17 @@ def asof_join(
         .orderBy("t", "side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # carry the payload as ONE struct: per-column last(ignoreNulls)
+    # would stitch columns from DIFFERENT right rows when a payload
+    # column is nullable (latest click's id + an older click's value);
+    # the struct is non-null whenever a right row exists, so the whole
+    # row is carried atomically — ASOF semantics (null-contract round 6)
+    pay = F.when(F.col("side") == 0, F.struct(*[F.col(c) for c in payload]))
+    u = u.withColumn("_pay", F.last(pay, ignorenulls=True).over(w))
+    out = u.filter(F.col("side") == 1)
     for c in payload:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("side") == 1).drop("k", "t", "side")
+        out = out.withColumn(c, F.col("_pay").getField(c))
+    return out.drop("k", "t", "side", "_pay")
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,6 +77,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def load_events_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a NON-NULL event time — the TIME-ORDERED batch
+    contract (the batch twin of streaming's ``drop_null_event_time``):
+    an event that cannot be placed on the timeline is excluded from
+    time-ordered analyses (running sums, changepoints, smoothing,
+    per-user sequences).  Key-based operators (dedup, enrich, counts
+    by type) keep null-ts rows and do NOT use this loader.  Oracles of
+    keys built on this loader carry the matching
+    ``WHERE ts IS NOT NULL`` (null-contract program, round 6)."""
+    return load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register the star-schema tables as temp views for SQL-form operators."""
     for n in names:

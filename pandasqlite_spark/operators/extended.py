@@ -64,9 +64,14 @@ def q_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     lens = F.transform(toks, lambda x: F.length(x))
+    # null-pin: explicit NULL for null text (legacy size() = -1 under
+    # the parity session; ANSI/DuckDB yield NULL — NULLS_SWEEP round 6)
     return d.select(
         "doc_id",
-        F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.filter(toks, lambda x: F.length(x) > 3)),
+        ).alias("n_long"),
         F.aggregate(lens, F.lit(0), lambda a, x: a + x).alias("total_len"),
     )
 
@@ -844,7 +849,11 @@ ORACLES: dict[str, str] = {
     "json-schema-parse": """
         SELECT event_id,
                CAST(props->>'k' AS BIGINT) AS k,
-               '{"event_id":' || event_id || ',"k":' || (props->>'k') || '}' AS j
+               -- null-pin: Spark's to_json OMITS null struct fields, so a
+               -- null props/k serializes as {"event_id":N} — coalesce the
+               -- ,"k":v segment away instead of nulling the whole string
+               '{"event_id":' || event_id
+                 || COALESCE(',"k":' || (props->>'k'), '') || '}' AS j
         FROM events
     """,
     # fixture-pinned constants: 8 lines, 4 corrupt (bad type / extra
@@ -903,7 +912,9 @@ ORACLES: dict[str, str] = {
           FROM documents)
         SELECT doc_id, unnest(l) AS long_tok FROM lt WHERE len(l) > 0
         UNION ALL
-        SELECT doc_id, NULL AS long_tok FROM lt WHERE len(l) = 0
+        -- null-pin: explode_outer also keeps a (doc_id, NULL) row for a
+        -- NULL array (null text), not just an empty one
+        SELECT doc_id, NULL AS long_tok FROM lt WHERE len(l) = 0 OR l IS NULL
     """,
     "group-by-all": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

@@ -32,7 +32,10 @@ def q_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             n.select(F.col(c).cast("string").alias("value"))
             .distinct()
-            .orderBy("value")
+            # null-pin: NULLS LAST on both engines, so a NULL sample
+            # value only surfaces when fewer than 5 non-null distinct
+            # values exist (and the LLM prompt leads with real values)
+            .orderBy(F.col("value").asc_nulls_last())
             .limit(5)
             .select(F.lit(c).alias("column_name"), "value")
         )
@@ -82,11 +85,11 @@ ORACLES = {
     "sample-values": """
         SELECT column_name, value FROM (
           SELECT 'n_nationkey' AS column_name, CAST(n_nationkey AS VARCHAR) AS value
-          FROM nation GROUP BY 2 ORDER BY 2 LIMIT 5)
+          FROM nation GROUP BY 2 ORDER BY 2 NULLS LAST LIMIT 5)
         UNION ALL
         SELECT column_name, value FROM (
           SELECT 'n_name' AS column_name, n_name AS value
-          FROM nation GROUP BY 2 ORDER BY 2 LIMIT 5)
+          FROM nation GROUP BY 2 ORDER BY 2 NULLS LAST LIMIT 5)
     """,
     "distinct-enum-values": """
         SELECT 'c_mktsegment' AS column_name, c_mktsegment AS value

@@ -411,6 +411,9 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 10, 4).alias("sub"),
         F.instr(F.col("c_name"), "9").alias("pos"),
         F.regexp_replace("c_name", "Customer", "Cust").alias("rep"),
+        # null-pin: Spark concat propagates NULL; the oracle uses ||
+        # (also null-propagating) — DuckDB's CONCAT would skip NULL
+        # args and emit '' here (NULLS_SWEEP round 6)
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
         F.expr("c_name || '!'").alias("bang"),
     )
@@ -573,11 +576,16 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     dedup = F.array_sort(F.array_distinct(toks))
+    # null-pin: size() under the parity session's legacy conf yields -1
+    # for a NULL array where ANSI/DuckDB yield NULL — guard explicitly
+    # so BOTH sessions emit NULL on null text (NULLS_SWEEP round 6)
     return d.select(
         "doc_id",
         F.array_join(F.slice(dedup, 1, 3), ",").alias("first3"),
         F.array_contains(toks, "the").alias("has_the"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(F.col("text").isNotNull(), F.size(F.array_distinct(toks))).alias(
+            "n_distinct"
+        ),
     )
 
 
@@ -632,7 +640,11 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
         F.col("p_name").rlike("^re").alias("is_re"),
-        F.size(F.expr("regexp_extract_all(p_name, '[aeiou]', 0)")).alias("n_vowels"),
+        # null-pin: explicit NULL for null input (legacy size() = -1)
+        F.when(
+            F.col("p_name").isNotNull(),
+            F.size(F.expr("regexp_extract_all(p_name, '[aeiou]', 0)")),
+        ).alias("n_vowels"),
     )
 
 
@@ -803,7 +815,7 @@ ORACLES: dict[str, str] = {
                SUBSTRING(c_name, 10, 4) AS sub,
                CAST(INSTR(c_name, '9') AS INTEGER) AS pos,
                REGEXP_REPLACE(c_name, 'Customer', 'Cust') AS rep,
-               TRIM(CONCAT(' ', c_mktsegment, ' ')) AS trimmed,
+               TRIM(' ' || c_mktsegment || ' ') AS trimmed,
                c_name || '!' AS bang
         FROM customer
     """,

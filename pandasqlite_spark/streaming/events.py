@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from pandasqlite_spark.functions import timeseries as _timeseries
-from pandasqlite_spark.operators.common import dsum, load_events
+from pandasqlite_spark.operators.common import dsum, load_events, load_events_timeline
 
 SESSION_GAP_MS = 30 * 60 * 1000
 
@@ -182,19 +182,19 @@ def q_events_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_agg(load_events(spark, sf_dir))
+    return tumbling_agg(load_events_timeline(spark, sf_dir))
 
 
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_agg(load_events(spark, sf_dir))
+    return sliding_agg(load_events_timeline(spark, sf_dir))
 
 
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_agg(load_events(spark, sf_dir))
+    return session_agg(load_events_timeline(spark, sf_dir))
 
 
 def q_events_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_agg_two_phase(load_events(spark, sf_dir))
+    return session_agg_two_phase(load_events_timeline(spark, sf_dir))
 
 
 def funnel(events: DataFrame) -> DataFrame:
@@ -980,7 +980,7 @@ _TUMBLING_ORACLE = """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 ORACLES = {
@@ -1087,9 +1087,11 @@ ORACLES = {
     """,
     "events-sliding-agg": """
         WITH shifted AS (
-          SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
+          SELECT date_trunc('hour', ts) AS win_start, event_type, value
+          FROM events WHERE ts IS NOT NULL
           UNION ALL
-          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+          FROM events WHERE ts IS NOT NULL)
         SELECT win_start, event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM shifted GROUP BY 1, 2
@@ -1100,7 +1102,7 @@ ORACLES = {
                  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
                         OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
                       THEN 1 ELSE 0 END AS new_session
-          FROM events
+          FROM events WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sessions AS (
           SELECT user_id, event_id, value, ts,
@@ -1116,10 +1118,14 @@ ORACLES = {
     "events-streaming-tumbling": _TUMBLING_ORACLE,
     # shares the batch OHLC oracle: hour windows align to the epoch,
     # so unix_micros(w.start)/3.6e9 == floor(epoch_us/3.6e9)
-    "events-streaming-ohlc": _timeseries.ORACLES["events-ohlc"],
+    "events-streaming-ohlc": _timeseries.ORACLES["events-ohlc"].replace(
+        "FROM events)", "FROM events WHERE ts IS NOT NULL)", 1
+    ),
     # micro-batch boundaries must not change the positional pick —
     # identical semantics to the batch throttle by construction
-    "events-streaming-rate-limit": _timeseries.ORACLES["events-rate-limit"],
+    "events-streaming-rate-limit": _timeseries.ORACLES["events-rate-limit"].replace(
+        "FROM events)", "FROM events WHERE ts IS NOT NULL)", 1
+    ),
     # native session_window semantics: split on gap >= 30min (not >),
     # window end = last event + gap
     "events-session-window-native": f"""
@@ -1129,7 +1135,7 @@ ORACLES = {
                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                            >= {SESSION_GAP_MS} * 1000
                       THEN 1 ELSE 0 END AS new_session
-          FROM events
+          FROM events WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         sessions AS (
           SELECT user_id, value, ts,
@@ -1249,7 +1255,7 @@ def lateness_profile(events: DataFrame) -> DataFrame:
 
 
 def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lateness_profile(load_events(spark, sf_dir))
+    return lateness_profile(load_events_timeline(spark, sf_dir))
 
 
 QUERIES["events-lateness-profile"] = q_events_lateness_profile
@@ -1259,7 +1265,7 @@ ORACLES["events-lateness-profile"] = """
       SELECT MAX(epoch_us(ts)) OVER (ORDER BY event_id
                                      ROWS UNBOUNDED PRECEDING)
              - epoch_us(ts) AS late_us
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     hist AS (
       SELECT CAST(late_us // 60000000 AS BIGINT) AS late_min, COUNT(*) AS n
       FROM late GROUP BY 1)

@@ -5,6 +5,7 @@ same check the external driver performs at sf0.01, runnable at any SF:
 
     python scripts/driver_sweep.py [sf_dir] [--vanilla] [--keys k1,k2,...]
                                    [--json OUT.json] [--oracle-cache DIR]
+                                   [--null-contract PRISTINE_SRC_DIR]
 
 Exits non-zero on any mismatch.  (This is how the approx-distinct rsd
 bug was caught: pytest defaults to sf0.001 where the sketch happened to
@@ -112,6 +113,10 @@ def main() -> int:
     only = set(only_arg.split(",")) if only_arg else None
     json_out = opt("--json")
     cache_dir = opt("--oracle-cache")
+    # --null-contract <pristine_src_dir>: judge failures against the
+    # per-key NULL contract (see null_contract.py); twins are generated
+    # from the pristine source with the contracted columns kept
+    contract_src = opt("--null-contract")
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
     args = [a for a in argv if not a.startswith("--")]
@@ -217,6 +222,11 @@ def main() -> int:
                 f"oracle {oracle_s:.1f} / compare {compare_s:.1f})",
                 flush=True,
             )
+        if json_out:
+            # incremental checkpoint: big-SF sweeps run for hours — a
+            # killed run still leaves every completed key's verdict
+            with open(json_out + ".partial", "w") as fh:
+                json.dump(results, fh, indent=2)
     total_s = time.perf_counter() - t0
     print(f"total: {total_s:.1f}s for {len(queries)} keys")
     top = sorted(
@@ -226,6 +236,69 @@ def main() -> int:
     print("top-20 by wall (spark_s / oracle_s / compare_s):")
     for k, t in top:
         print(f"  {k}: {t['spark_s']} / {t['oracle_s']} / {t['compare_s']}")
+    if contract_src is not None:
+        # --null-contract mode: re-judge each failed key against the
+        # machine-readable per-key NULL contract
+        # (pandasqlite_spark.operators.null_contract).  A contracted key
+        # is re-swept against a twin where ONLY its contracted columns
+        # are restored non-null — a wrong/stale contract still fails.
+        import hashlib as _hashlib
+
+        from pandasqlite_spark.operators.null_contract import NULL_CONTRACT
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import gen_nulls as _gen_nulls
+
+        failed_keys = {k for k, _ in failures}
+        twin_cache: dict[frozenset, str] = {}
+        still_bad: list[tuple[str, object]] = []
+        n_contracted = 0
+        for key in sorted(results):
+            rec = results[key]
+            ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+            if ok:
+                rec["status"] = "green"
+                if key in NULL_CONTRACT:
+                    # informative: the contract was not needed this run
+                    rec["status"] = "green-contract-unused"
+                continue
+            if key not in NULL_CONTRACT:
+                rec["status"] = "DIVERGED"
+                still_bad.append((key, rec.get("err") or "value mismatch, no contract"))
+                continue
+            cols = frozenset(NULL_CONTRACT[key]["not_null"])
+            if cols not in twin_cache:
+                tag = _hashlib.sha256(",".join(sorted(cols)).encode()).hexdigest()[:8]
+                twin = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".",
+                                    f"testdata_nulls_nc_{tag}")
+                if not os.path.exists(os.path.join(twin, "embeddings.parquet")):
+                    _gen_nulls.generate(contract_src, twin, set(cols))
+                twin_cache[cols] = twin
+            twin = twin_cache[cols]
+            tcon = duckdb_connection(twin)
+            try:
+                got = queries[key](spark, twin).toPandas()
+                opdf = tcon.execute(oracles[key]).df()
+                problems = compare_frames(got, opdf)
+                rec["contract_cols"] = sorted(cols)
+                rec["contract_rows"] = [len(got), len(opdf)]
+                if (not problems and len(got) == len(opdf)
+                        and sorted(got.columns) == sorted(map(str, opdf.columns))):
+                    rec["status"] = "contracted"
+                    n_contracted += 1
+                else:
+                    rec["status"] = "DIVERGED"
+                    still_bad.append((key, f"contract twin mismatch: {str(problems)[:200]}"))
+            except Exception as exc:  # noqa: BLE001
+                rec["status"] = "DIVERGED"
+                still_bad.append((key, f"contract twin error: {repr(exc)[:200]}"))
+        failures = still_bad
+        n_green = sum(1 for r in results.values() if str(r.get("status", "")).startswith("green"))
+        print(
+            f"null-contract summary: {n_green} green, {n_contracted} contracted, "
+            f"{len(failures)} DIVERGED of {len(results)}"
+        )
+        failed_keys.clear()
     if json_out:
         with open(json_out, "w") as fh:
             json.dump(results, fh, indent=2)

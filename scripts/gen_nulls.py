@@ -45,12 +45,12 @@ KEYS = {
 }
 
 
-def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "testdata_nulls",
-    )
+def generate(src: str, dst: str, keep: set[str] | None = None) -> None:
+    """Write the null twins of ``src`` into ``dst``.  ``keep`` is a set
+    of ``table.column`` names to leave NON-NULL on top of the key
+    columns — the null-contract sweep uses this to build per-contract
+    twins (everything else still nulled)."""
+    keep = keep or set()
     os.makedirs(dst, exist_ok=True)
     for name in TABLES:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
@@ -59,7 +59,7 @@ def main() -> None:
         cols = []
         for j, field in enumerate(t.schema):
             col = t.column(j)
-            if field.name in KEYS[name]:
+            if field.name in KEYS[name] or f"{name}.{field.name}" in keep:
                 cols.append(col)
                 continue
             mask = pa.array((idx + 7 * j) % 3 == 0)
@@ -72,6 +72,21 @@ def main() -> None:
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
         nulls = sum(c.null_count for c in out.columns)
         print(f"{name}: {n} rows, {nulls} nulls injected")
+
+
+def main() -> None:
+    argv = list(sys.argv[1:])
+    keep: set[str] = set()
+    if "--keep" in argv:
+        i = argv.index("--keep")
+        keep = {c.strip() for c in argv[i + 1].split(",") if c.strip()}
+        del argv[i : i + 2]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    dst = argv[1] if len(argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_nulls",
+    )
+    generate(src, dst, keep)
 
 
 if __name__ == "__main__":

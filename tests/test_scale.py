@@ -704,3 +704,50 @@ def test_codec_stages_spread_to_executor_parallelism(spark, sf_dir):
         assert stage.rdd.getNumPartitions() >= min(
             target, 4
         ), stage.rdd.getNumPartitions()
+
+
+def test_null_contract_well_formed():
+    """Every NULL_CONTRACT entry names a real registry key and real
+    table.column pairs (a stale contract must fail loudly, not skip
+    silently in the sweep)."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from pandasqlite_spark.operators.null_contract import NULL_CONTRACT
+
+    keys = set(em.queries())
+    con = duckdb.connect()
+    schemas = {}
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        df = con.execute(
+            f"SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            " LIMIT 0"
+        ).df()
+        schemas[t] = set(df.columns)
+    for key, spec in NULL_CONTRACT.items():
+        assert key in keys, f"contract for unknown key {key}"
+        assert spec["not_null"], key
+        assert spec["reason"], key
+        for col in spec["not_null"]:
+            t, c = col.split(".")
+            assert c in schemas[t], f"{key}: {col} not in {t} schema"
+
+
+def test_null_sweep_artifact_fully_catalogued():
+    """The committed NULLS_SWEEP.json must carry a status for every
+    key and ZERO uncatalogued divergences — the machine-checked form
+    of the round-5 prose catalogue (round-5 verdict #1)."""
+    import json
+
+    import __spark_entry__ as em
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "NULLS_SWEEP.json")) as fh:
+        sweep = json.load(fh)
+    keys = set(em.queries())
+    missing = keys - set(sweep)
+    assert not missing, f"keys missing from NULLS_SWEEP.json: {sorted(missing)[:5]}"
+    diverged = [k for k, v in sweep.items() if v.get("status") == "DIVERGED"]
+    assert not diverged, diverged
+    no_status = [k for k, v in sweep.items() if "status" not in v]
+    assert not no_status, no_status[:5]
