@@ -296,3 +296,57 @@ def _coverage_oracle(k: int = COVERAGE_K) -> str:
 
 
 ORACLES["corpus-coverage-select"] = _coverage_oracle()
+
+
+def _coverage_oracle_staged(k: int = COVERAGE_K) -> str:
+    """Staged twin of the ``corpus-coverage-select`` oracle: the
+    (doc, token) distinct pair table is materialized ONCE into a temp
+    table, then each greedy round is a pair-table-sized scan — the
+    single-statement CTE form re-expands ``pairs`` per s_i/c_i
+    reference (~2k times) and exhausted >76 GB of DuckDB temp at sf10
+    (round-6 SWEEP_SF10 tranche B).  Same rows, same final SELECT."""
+    stmts = [
+        "DROP TABLE IF EXISTS cov_pairs",
+        r"""CREATE TEMP TABLE cov_pairs AS
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents)""",
+        "DROP TABLE IF EXISTS cov_s1",
+        """CREATE TEMP TABLE cov_s1 AS
+          SELECT doc_id, COUNT(*) AS gain FROM cov_pairs GROUP BY 1
+          ORDER BY gain DESC, doc_id LIMIT 1""",
+        "DROP TABLE IF EXISTS cov_c1",
+        """CREATE TEMP TABLE cov_c1 AS
+          SELECT DISTINCT tok FROM cov_pairs
+          WHERE doc_id IN (SELECT doc_id FROM cov_s1)""",
+    ]
+    sel_union = "SELECT doc_id FROM cov_s1"
+    for i in range(2, k + 1):
+        p = i - 1
+        stmts += [
+            f"DROP TABLE IF EXISTS cov_s{i}",
+            f"""CREATE TEMP TABLE cov_s{i} AS
+              SELECT p.doc_id, COUNT(*) AS gain FROM cov_pairs p
+              WHERE p.doc_id NOT IN ({sel_union})
+                AND p.tok NOT IN (SELECT tok FROM cov_c{p})
+              GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1""",
+            f"DROP TABLE IF EXISTS cov_c{i}",
+            f"""CREATE TEMP TABLE cov_c{i} AS
+              SELECT tok FROM cov_c{p}
+              UNION
+              SELECT DISTINCT tok FROM cov_pairs
+              WHERE doc_id IN (SELECT doc_id FROM cov_s{i})""",
+        ]
+        sel_union += f" UNION ALL SELECT doc_id FROM cov_s{i}"
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, doc_id, gain FROM cov_s{i}"
+        for i in range(1, k + 1)
+    )
+    stmts.append(final + "\n    ORDER BY step")
+    return ";\n".join(stmts)
+
+
+ORACLES_BIG = {
+    "corpus-coverage-select": _coverage_oracle_staged(),
+}

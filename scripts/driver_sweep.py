@@ -122,6 +122,15 @@ def main() -> int:
     args = [a for a in argv if not a.startswith("--")]
     vanilla = "--vanilla" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    # harmonize the heap knobs: SWEEP_DRIVER_MEM governed only the
+    # vanilla session while the parity path read
+    # PANDASQLITE_SPARK_DRIVER_MEM (default 8g) — at sf10 the parity
+    # sweep silently ran with 8g and OOM'd the hot-bucket dedup keys
+    # (round-6 tranche B)
+    if "SWEEP_DRIVER_MEM" in os.environ:
+        os.environ.setdefault(
+            "PANDASQLITE_SPARK_DRIVER_MEM", os.environ["SWEEP_DRIVER_MEM"]
+        )
     spark = vanilla_spark() if vanilla else get_spark("driver_sweep")
     if vanilla:
         print(f"vanilla session: ansi={spark.conf.get('spark.sql.ansi.enabled')}")
@@ -227,6 +236,18 @@ def main() -> int:
             # killed run still leaves every completed key's verdict
             with open(json_out + ".partial", "w") as fh:
                 json.dump(results, fh, indent=2)
+        # per-key hygiene: drop cached tables and collect localCheckpoint
+        # RDD refs so one key's leftovers (e.g. coverage-select's pair
+        # cache + lazy checkpoints) can't OOM the NEXT key's broadcasts
+        # at big SFs (sf10 tranche B: five dedup keys OOM'd only when
+        # scheduled after corpus-coverage-select in the same JVM)
+        try:
+            spark.catalog.clearCache()
+            import gc as _gc
+
+            _gc.collect()
+        except Exception:
+            pass
     total_s = time.perf_counter() - t0
     print(f"total: {total_s:.1f}s for {len(queries)} keys")
     top = sorted(
