@@ -1,0 +1,512 @@
+"""Retrieval / model-evaluation metrics and leakage-safe data splits
+(SURVEY.md §2.D extensions, round 6).
+
+A training-data pipeline does not stop at building a retrieval index or
+a label column — it has to GRADE them.  This module adds the standard
+evaluation surface that was missing from the registry:
+
+- **NDCG@k / MRR@k** (`rank-ndcg-eval`, `rank-mrr-eval`): graded
+  ranking quality of the exact cosine retriever against label-match
+  relevance — the offline eval every retrieval stack runs per release.
+- **Calibration bins** (`events-calibration-bins`): reliability table
+  of a deterministic score vs the observed outcome rate — the
+  fairness/quality gate before a score is used for filtering.
+- **Theil–Sen trend** (`events-theil-sen-trend`): the robust
+  median-of-pairwise-slopes daily trend — outlier days cannot drag it
+  the way they drag the OLS twin (`events-ols-trend-weekend`).
+- **Exact substring duplication** (`dedup-substring-kgram`): the
+  k-character-gram signal behind exact-substring training-data dedup
+  (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  Better") — per-document duplicated-gram fraction via a shared-gram
+  group-by, no pairwise comparison anywhere.
+- **Group-aware k-fold** (`split-group-kfold`): fold assignment that
+  is a pure function of ``user_id``, so a user can never leak across
+  folds, with per-fold balance stats.
+
+Reference parity note: the reference (IBM/pandasqlite) delegates all
+analytics to generated SQLite SQL (`pandasqlite/pandasqlite.py:231-266`);
+these keys extend that delegated surface with the evaluation queries
+its users would ask the LLM for, re-expressed as Catalyst-friendly
+Spark plans.
+
+Cross-engine determinism (driver value-hash contract):
+
+- Cosine ranking reuses :func:`knn_join_exact`'s decimal(8,6)
+  component contract — bit-identical scores on both engines, so tie
+  order (cosine DESC, vec_id) is identical too.
+- DCG/IDCG sum ≤ k doubles of the form 1/log2(r+1); the only libm
+  call (log2) is absorbed by ROUND(…, 6) like the entropy/PMI keys.
+- Calibration averages divide exact BIGINT sums as one double op per
+  column (never engine-internal AVG accumulation).
+- Scores/folds hash with the Knuth multiplier on BIGINT ids:
+  ``(id * 2654435761) % m`` stays below 2^63 for any id the star
+  schema reaches at sf1000, so ANSI mode never overflows.
+- Theil–Sen medians use linear-interpolation percentile on BOTH
+  engines (Spark ``percentile``, DuckDB ``quantile_cont``) over
+  identical double multisets; ROUND(…, 6) absorbs the interpolation
+  arithmetic.
+
+Scale notes (100 TB):
+
+- NDCG/MRR: the query batch is the broadcast side; the corpus-side
+  dot products partial-aggregate before their one shuffle
+  (:func:`knn_join_exact`); everything after the top-k filter is
+  O(queries × k).
+- Theil–Sen: the quadratic pair join runs over the DAILY AGGREGATE
+  (|days|² pairs, bounded by the calendar, not the row count) — raw
+  events reduce map-side first.
+- substring-kgram: stride-10 40-grams cut gram volume 10× vs dense
+  shingling; distinct (doc, gram) pairs partial-aggregate before the
+  single gram shuffle; the per-doc fraction is one more partial agg.
+  At 100 TB the gram string would be replaced by ``xxhash64(gram)``
+  (same plan shape, 8-byte shuffle keys) — kept as the raw string here
+  so the DuckDB oracle needs no hash-function parity.
+- group-kfold: fold is computed row-local from ``user_id`` (no
+  shuffle to assign); only the 5-row fold summary aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandasqlite_spark.operators.common import load, load_events, load_events_timeline
+from pandasqlite_spark.functions.similarity import knn_join_exact
+
+NDCG_K = 10
+KNUTH = 2654435761  # Knuth multiplicative-hash constant (public domain)
+KGRAM = 40
+KSTRIDE = 10
+KFOLDS = 5
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k / MRR@k over the exact cosine retriever
+# ---------------------------------------------------------------------------
+
+
+def _retrieved_with_relevance(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Top-k cosine retrieval (queries = vec_id < 8, corpus = rest)
+    joined with binary label-match relevance and per-query relevant
+    counts.  Columns: query_id, rank, rel, n_rel."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    hits = knn_join_exact(corpus, queries.select("query_id", "qv"), k=k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    ranked = hits.withColumn("rank", F.row_number().over(w))
+    labeled = (
+        ranked.join(corpus.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "qlabel")), "query_id")
+        .withColumn(
+            "rel", F.when(F.col("label") == F.col("qlabel"), F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    # total relevant per query in the CORPUS (true IDCG, not list-ideal)
+    n_rel = (
+        corpus.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+        .join(F.broadcast(queries.select("query_id", "qlabel")),
+              F.col("label") == F.col("qlabel"))
+        .select("query_id", "n_rel")
+    )
+    return labeled.join(F.broadcast(n_rel), "query_id", "left").na.fill({"n_rel": 0})
+
+
+def q_rank_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of exact cosine retrieval with label-match relevance.
+
+    IDCG uses the corpus-true ideal (min(n_rel, k) leading ones), so a
+    query whose label is rare is graded against what WAS achievable."""
+    r = _retrieved_with_relevance(spark, sf_dir, NDCG_K)
+    per_q = r.groupBy("query_id", "n_rel").agg(
+        F.sum(
+            F.col("rel").cast("double")
+            / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+        ).alias("dcg")
+    )
+    m = F.least(F.col("n_rel"), F.lit(NDCG_K))
+    idcg = F.when(
+        m >= 1,
+        F.expr(
+            f"aggregate(sequence(1, least(n_rel, {NDCG_K})), cast(0 as double),"
+            " (acc, r) -> acc + 1.0 / log2(cast(r as double) + 1.0))"
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_q.withColumn("idcg", idcg)
+        .select(
+            "query_id",
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0), 6
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_rank_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10: reciprocal rank of the first label match, 0 if the
+    top-10 contains none; ``first_hit`` carries the rank (-1 = miss)."""
+    r = _retrieved_with_relevance(spark, sf_dir, NDCG_K)
+    per_q = r.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_hit_raw"),
+    )
+    return per_q.select(
+        "query_id",
+        F.coalesce(F.col("first_hit_raw"), F.lit(-1)).cast("int").alias("first_hit"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_hit_raw").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("reciprocal_rank"),
+    ).orderBy("query_id")
+
+
+_RANK_ORACLE_SCAFFOLD = """
+        WITH allv AS (
+          SELECT vec_id, label, t.i AS pos,
+                 CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+          FROM embeddings, generate_series(1, 64) t(i)),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, pos, x AS qx
+              FROM allv WHERE vec_id < 8),
+        e AS (SELECT vec_id, label, pos, x FROM allv WHERE vec_id >= 8),
+        ne AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS ne FROM e GROUP BY 1),
+        nq AS (SELECT query_id, CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q GROUP BY 1),
+        d AS (
+          SELECT q.query_id, e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot
+          FROM e JOIN q ON e.pos = q.pos GROUP BY 1, 2),
+        s AS (
+          SELECT d.query_id, d.vec_id,
+                 d.dot / (sqrt(ne.ne) * sqrt(nq.nq)) AS cosine
+          FROM d JOIN ne ON ne.vec_id = d.vec_id
+                 JOIN nq ON nq.query_id = d.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM s) WHERE rank <= 10),
+        lv AS (SELECT DISTINCT vec_id, label FROM e),
+        ql AS (SELECT DISTINCT query_id, qlabel FROM q),
+        rels AS (
+          SELECT r.query_id, r.rank,
+                 CASE WHEN lv.label = ql.qlabel THEN 1 ELSE 0 END AS rel
+          FROM ranked r JOIN lv ON lv.vec_id = r.vec_id
+                        JOIN ql ON ql.query_id = r.query_id),
+        nrel AS (
+          SELECT ql.query_id, COUNT(*) AS n_rel
+          FROM lv JOIN ql ON lv.label = ql.qlabel GROUP BY 1)
+"""
+
+
+def _ndcg_oracle() -> str:
+    return (
+        _RANK_ORACLE_SCAFFOLD
+        + """
+        , dcg AS (
+          SELECT query_id,
+                 SUM(CAST(rel AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+          FROM rels GROUP BY 1),
+        base AS (
+          SELECT d.query_id, COALESCE(n.n_rel, 0) AS n_rel, d.dcg
+          FROM dcg d LEFT JOIN nrel n ON n.query_id = d.query_id),
+        idcg AS (
+          -- constant series + filter: this DuckDB build rejects
+          -- column-parameterized generate_series bounds
+          SELECT b.query_id,
+                 SUM(1.0 / log2(CAST(t.r AS DOUBLE) + 1.0)) AS idcg
+          FROM base b CROSS JOIN generate_series(1, 10) t(r)
+          WHERE t.r <= LEAST(b.n_rel, 10) GROUP BY 1)
+        SELECT b.query_id, CAST(b.n_rel AS BIGINT) AS n_rel,
+               ROUND(b.dcg, 6) AS dcg,
+               ROUND(CASE WHEN COALESCE(i.idcg, 0) > 0
+                          THEN b.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_at_10
+        FROM base b LEFT JOIN idcg i ON i.query_id = b.query_id
+        ORDER BY b.query_id
+    """
+    )
+
+
+def _mrr_oracle() -> str:
+    return (
+        _RANK_ORACLE_SCAFFOLD
+        + """
+        , fh AS (
+          SELECT query_id, MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit_raw
+          FROM rels GROUP BY 1)
+        SELECT query_id,
+               CAST(COALESCE(first_hit_raw, -1) AS INTEGER) AS first_hit,
+               ROUND(COALESCE(1.0 / CAST(first_hit_raw AS DOUBLE), 0.0), 6)
+                 AS reciprocal_rank
+        FROM fh ORDER BY query_id
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins (reliability table)
+# ---------------------------------------------------------------------------
+
+
+def calibration_bins(events: DataFrame) -> DataFrame:
+    """10-bin reliability table of a deterministic [0,1) score vs the
+    'purchase' outcome rate: bin, n, avg_score, rate, |gap|.  The gap
+    column IS the per-bin expected-calibration-error contribution."""
+    h = (F.col("event_id") * F.lit(KNUTH)) % F.lit(1000)
+    scored = events.filter(F.col("event_id").isNotNull()).select(
+        (h / F.lit(100)).cast("int").alias("bin"),
+        h.alias("score_milli"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    g = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score_milli").alias("s_sum"),
+        F.sum("hit").alias("k"),
+    )
+    avg_score = (
+        F.col("s_sum").cast("double") / F.col("n").cast("double") / F.lit(1000.0)
+    )
+    rate = F.col("k").cast("double") / F.col("n").cast("double")
+    return g.select(
+        "bin",
+        "n",
+        F.round(avg_score, 6).alias("avg_score"),
+        F.round(rate, 6).alias("rate"),
+        F.round(F.abs(avg_score - rate), 6).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+def q_events_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calibration_bins(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust daily trend
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
+    """Median-of-pairwise-slopes trend of the daily event count — the
+    robust estimator an outlier day cannot drag (breakdown point 29%).
+    One row: n_days, n_pairs, slope (events/day), intercept (at epoch
+    day 0 — comparable across engines, unlike 'first day' anchors)."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.datediff("day", F.to_date(F.lit("1970-01-01"))).alias("x"), "n")
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("n").alias("na"))
+    b = daily.select(F.col("x").alias("xb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        (
+            (F.col("nb") - F.col("na")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope")
+    )
+    slope_row = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("slope_hat"),
+    )
+    resid = daily.crossJoin(F.broadcast(slope_row.select("slope_hat"))).select(
+        (F.col("n").cast("double") - F.col("slope_hat") * F.col("x").cast("double"))
+        .alias("r")
+    )
+    resid_row = resid.agg(F.percentile("r", F.lit(0.5)).alias("intercept_hat"))
+    days_row = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        days_row.crossJoin(slope_row)
+        .crossJoin(resid_row)
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope_hat", 6).alias("slope"),
+            F.round("intercept_hat", 6).alias("intercept"),
+        )
+    )
+
+
+def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_sen_daily_trend(load_events_timeline(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication signal (k-char grams)
+# ---------------------------------------------------------------------------
+
+
+def substring_kgram_dup(docs: DataFrame, k: int = KGRAM, stride: int = KSTRIDE,
+                        top: int = 20) -> DataFrame:
+    """Per-document duplicated-substring fraction: stride-sampled
+    k-char grams, a gram is 'duplicated' when ≥2 DISTINCT docs contain
+    it, fraction = dup distinct grams / total distinct grams.  Top-N
+    docs by fraction — the removal shortlist of exact-substring dedup."""
+    eligible = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= k)
+    ).select("doc_id", "text")
+    grams = eligible.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, length(text) - {k - 1}, {stride}),"
+                   f" i -> substring(text, i, {k}))")
+        ).alias("gram"),
+    ).distinct()
+    gram_docs = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("nd")  # grams are distinct per doc already
+    )
+    dup = gram_docs.filter(F.col("nd") >= 2).select("gram")
+    per_doc = (
+        grams.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(top)
+    )
+
+
+def q_dedup_substring_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_kgram_dup(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Group-aware k-fold split
+# ---------------------------------------------------------------------------
+
+
+def group_kfold_stats(events: DataFrame, folds: int = KFOLDS) -> DataFrame:
+    """Per-fold balance stats for a user-keyed k-fold assignment.
+    fold = hash(user_id) % k is a pure function of the group key, so a
+    user CANNOT span folds — the leakage-free-by-construction split
+    (contrast `split-temporal-leakage`, which must check)."""
+    assigned = events.filter(F.col("user_id").isNotNull()).select(
+        ((F.col("user_id") * F.lit(KNUTH)) % F.lit(folds)).cast("int").alias("fold"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    g = assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("hit").alias("k"),
+    )
+    return g.select(
+        "fold",
+        "n_events",
+        "n_users",
+        F.round(F.col("k").cast("double") / F.col("n_events").cast("double"), 6)
+        .alias("purchase_share"),
+    ).orderBy("fold")
+
+
+def q_split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_kfold_stats(load_events(spark, sf_dir))
+
+
+QUERIES = {
+    "rank-ndcg-eval": q_rank_ndcg_eval,
+    "rank-mrr-eval": q_rank_mrr_eval,
+    "events-calibration-bins": q_events_calibration_bins,
+    "events-theil-sen-trend": q_events_theil_sen_trend,
+    "dedup-substring-kgram": q_dedup_substring_kgram,
+    "split-group-kfold": q_split_group_kfold,
+}
+
+ORACLES = {
+    "rank-ndcg-eval": _ndcg_oracle(),
+    "rank-mrr-eval": _mrr_oracle(),
+    "events-calibration-bins": """
+        WITH s AS (
+          SELECT (event_id * 2654435761) % 1000 AS score_milli,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+          FROM events WHERE event_id IS NOT NULL),
+        g AS (
+          SELECT CAST(score_milli // 100 AS INTEGER) AS bin,
+                 COUNT(*) AS n, SUM(score_milli) AS s_sum,
+                 CAST(SUM(hit) AS BIGINT) AS k
+          FROM s GROUP BY 1)
+        SELECT bin, n,
+               ROUND(CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6)
+                 AS avg_score,
+               ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+               ROUND(ABS(CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+                         - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_gap
+        FROM g ORDER BY bin
+    """,
+    "events-theil-sen-trend": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS x, COUNT(*) AS n
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        pairs AS (
+          SELECT CAST(b.n - a.n AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+          FROM daily a JOIN daily b ON a.x < b.x),
+        sl AS (
+          SELECT COUNT(*) AS n_pairs, quantile_cont(slope, 0.5) AS slope_hat
+          FROM pairs),
+        res AS (
+          SELECT quantile_cont(
+                   CAST(d.n AS DOUBLE) - sl.slope_hat * CAST(d.x AS DOUBLE), 0.5)
+                 AS intercept_hat
+          FROM daily d, sl),
+        nd AS (SELECT COUNT(*) AS n_days FROM daily)
+        SELECT nd.n_days, sl.n_pairs,
+               ROUND(sl.slope_hat, 6) AS slope,
+               ROUND(res.intercept_hat, 6) AS intercept
+        FROM nd, sl, res
+    """,
+    "dedup-substring-kgram": """
+        WITH g AS (
+          -- constant 4000-char bound (testdata max doc length is ~600;
+          -- this DuckDB build rejects column-parameterized
+          -- generate_series bounds, so filter a fixed stride grid)
+          SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INTEGER), 40) AS gram
+          FROM documents CROSS JOIN generate_series(1, 4000, 10) t(i)
+          WHERE text IS NOT NULL AND length(text) >= 40
+            AND t.i <= length(text) - 39),
+        gd AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY 1),
+        dup AS (SELECT gram FROM gd WHERE nd >= 2),
+        per AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup
+          FROM g LEFT JOIN dup ON dup.gram = g.gram GROUP BY 1)
+        SELECT doc_id, n_grams, n_dup,
+               ROUND(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac
+        FROM per ORDER BY dup_frac DESC, doc_id LIMIT 20
+    """,
+    "split-group-kfold": """
+        WITH a AS (
+          SELECT CAST((user_id * 2654435761) % 5 AS INTEGER) AS fold, user_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+          FROM events WHERE user_id IS NOT NULL),
+        g AS (
+          SELECT fold, COUNT(*) AS n_events,
+                 COUNT(DISTINCT user_id) AS n_users,
+                 CAST(SUM(hit) AS BIGINT) AS k
+          FROM a GROUP BY 1)
+        SELECT fold, n_events, n_users,
+               ROUND(CAST(k AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                 AS purchase_share
+        FROM g ORDER BY fold
+    """,
+}

@@ -57,6 +57,8 @@ _family(
         "simsearch-ivf-derived",
         "simsearch-pq-adc",
         "simsearch-recall-eval",
+        "rank-ndcg-eval",
+        "rank-mrr-eval",
     ],
     _EMB,
     "vector index/distance semantics are undefined over a NULL "

@@ -21,6 +21,7 @@ def _modules():
     from pandasqlite_spark.operators import advanced, extended, pipeline, relational, scale, tpch
     from pandasqlite_spark.functions import (
         analytics,
+        evalmetrics,
         stats,
         geo,
         clustering,
@@ -56,6 +57,7 @@ def _modules():
         graph,
         geo,
         analytics,
+        evalmetrics,
         stats,
         text,
         timeseries,

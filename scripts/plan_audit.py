@@ -105,6 +105,8 @@ NESTED_LOOP_OK = {
     "tpch-q7",  # 2-row × 2-row nation-pair product (constant dimension cross)
     "layout-zorder",  # 1-row (pmax, smax) quantization-bounds broadcast
     "simsearch-pq-adc",  # 16-row broadcast codebook + 1-row broadcast query
+    "events-theil-sen-trend",  # |days|² pair join over the DAILY AGGREGATE
+    # (calendar-bounded) + 1-row slope/median broadcasts
 }
 
 # keys whose partition-less Window runs over a DECLARED-BOUNDED input
