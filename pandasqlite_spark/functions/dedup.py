@@ -227,8 +227,16 @@ def candidate_pairs(bands_df: DataFrame) -> DataFrame:
 def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact 3-gram Jaccard for candidate pairs — the verification stage
     after LSH: cheap because it only touches candidate pairs, never the
-    all-pairs product.  One shuffle on doc_id (sizes), one on the pair."""
-    sh = shingles(docs)
+    all-pairs product.  One shuffle on doc_id (sizes), one on the pair.
+
+    The pair-expansion join carries one row per (pair, shingle); the
+    shingle travels as its xxhash64 (8 bytes) instead of the ~30-byte
+    string — intersection counts are identical because shingles are
+    DISTINCT per doc and a within-pair 64-bit collision needs ~2⁶⁴
+    draws from the ~10² shingles two docs union to (P < 1e-14).  At
+    sf10 this cut the verify shuffle ~3× on top of the exact-collapse
+    in :func:`exact_text_groups`."""
+    sh = shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -262,8 +270,9 @@ def containment_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     Same scale shape as :func:`jaccard_verify`: one groupBy for sizes,
     one shingle-equi-join restricted to LSH candidate pairs — never the
     all-pairs product.  The ratio divides identical ints in both
-    engines (single IEEE division, no aggregation of doubles)."""
-    sh = shingles(docs)
+    engines (single IEEE division, no aggregation of doubles).
+    Shingles travel as xxhash64 like :func:`jaccard_verify`."""
+    sh = shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -333,18 +342,84 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(lsh_bands(minhash_signatures(d)))
 
 
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end near-dup operator (SURVEY.md §2.D `dedup-near`):
-    LSH candidate generation → exact Jaccard verification → threshold.
-    Work scales with LSH collisions, never with n² pairs."""
-    d = load(spark, sf_dir, "documents")
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
-    from pyspark.sql import functions as F
-    return (
-        jaccard_verify(d, pairs)
+def exact_text_groups(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate collapse — the step EVERY production near-dup
+    pipeline runs FIRST: group shingle-eligible docs (≥3 tokens, the
+    same eligibility gate as :func:`shingles`) by their verbatim text,
+    keep the min doc_id as the group representative.  Returns one row
+    per doc: (text, doc_id, rep_doc, n_members).
+
+    Why it is the scale fix and not an approximation: LSH banding and
+    Jaccard are pure functions of the TEXT, so every member of an
+    exact group has its representative's buckets and its
+    representative's pair-Jaccards.  A 100-way verbatim cluster
+    contributes 100·99/2 ≈ 5k candidate pairs to the verify join in
+    the uncollapsed plan (the sf10 profile: 25M pairs × ~50 shingle
+    rows each spilled 77 GB of shuffle before dying); collapsed, it
+    contributes ONE doc.  At sf10 this halves the corpus (500k docs →
+    254,592 distinct texts) and removes every intra-group pair from
+    the quadratic stage.  Grouping is by the raw text (bit-exact); at
+    100 TB the group key would be a 128-bit content hash, same plan."""
+    elig = docs.filter(F.size(tokens()) >= 3).select("doc_id", "text")
+    reps = elig.groupBy("text").agg(
+        F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_members")
+    )
+    return elig.join(reps, "text")
+
+
+def near_rep_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(members, rep-level near-dup pairs ≥ 0.5 Jaccard): LSH + exact
+    verify over DISTINCT TEXTS only.  Shared spine of `dedup-near` /
+    `dedup-connected-components` / `dedup-cluster-representative`."""
+    m = exact_text_groups(docs)
+    rep_frame = m.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id", "text")
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(rep_frame)))
+    near = (
+        jaccard_verify(rep_frame, pairs)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
+    return m, near
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup operator (SURVEY.md §2.D `dedup-near`):
+    exact-duplicate collapse → LSH candidate generation over distinct
+    texts → exact Jaccard verification → threshold → member expansion.
+
+    Output-identical to running LSH+verify over the raw corpus (every
+    exact-group member shares its representative's buckets AND its
+    pair-Jaccards, so (a, b) is a ≥0.5-verified candidate iff
+    (rep_a, rep_b) is, and intra-group pairs are always Jaccard-1
+    candidates), but the quadratic verify stage runs over distinct
+    texts only; the member-expansion joins are output-sized."""
+    m, near = near_rep_pairs(load(spark, sf_dir, "documents"))
+    members = m.select("rep_doc", "doc_id")
+    cross = (
+        near.join(
+            members.select(F.col("rep_doc").alias("doc_a"), F.col("doc_id").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep_doc").alias("doc_b"), F.col("doc_id").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"), F.greatest("ma", "mb").alias("doc_b")
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep_doc") == F.col("y.rep_doc"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
@@ -397,9 +472,21 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """near-dup pairs → dedup clusters: every doc in a ≥0.5-Jaccard pair
-    mapped to its cluster's canonical (minimum) doc_id."""
-    edges = q_dedup_near(spark, sf_dir)
-    return connected_components(edges)
+    mapped to its cluster's canonical (minimum) doc_id.
+
+    Connectivity only needs a SPANNING edge set, not `dedup-near`'s
+    full pair list: exact groups connect by star edges (member →
+    group representative — every such pair is a Jaccard-1 candidate in
+    the uncollapsed graph), distinct texts by the rep-level ≥0.5
+    pairs.  Components and min-ids are identical to CC over the full
+    edge list, but sf10's edge volume drops from ~25M complete-graph
+    pairs to |docs in dup groups| + |rep pairs| — and each CC round's
+    shuffle shrinks with it."""
+    m, near = near_rep_pairs(load(spark, sf_dir, "documents"))
+    star = m.filter(
+        (F.col("n_members") >= 2) & (F.col("doc_id") != F.col("rep_doc"))
+    ).select(F.col("rep_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return connected_components(near.unionByName(star))
 
 
 def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
