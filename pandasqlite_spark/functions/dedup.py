@@ -294,15 +294,36 @@ def containment_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed spine (see :func:`exact_text_groups`): containment is
+    verified over distinct texts; member pairs inherit the rep pair's
+    (n_inter, containment), intra-group pairs self-score as
+    (group shingle count, 1.0) — identical texts fully contain each
+    other."""
     d = load(spark, sf_dir, "documents")
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
-    return containment_verify(d, pairs)
+    m = exact_text_groups(d)
+    rep_frame = m.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id", "text")
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(rep_frame)))
+    ver = containment_verify(rep_frame, pairs)
+    sz = (
+        shingles(rep_frame)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .select(F.col("doc_id").alias("rep_doc"), "n_sh")
+    )
+    return expand_member_pairs(
+        m.join(sz, "rep_doc"),
+        ver,
+        {"n_inter": F.col("n_sh"), "containment": F.lit(1.0)},
+        ["n_inter", "containment"],
+    )
 
 
 def q_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
-    return jaccard_verify(d, pairs)
+    """Collapsed spine: Jaccard verified over distinct texts, member
+    pairs inherit (texts are the score's only input), intra-group
+    pairs are exactly 1.0."""
+    m, _, ver = rep_candidates(load(spark, sf_dir, "documents"))
+    return expand_member_pairs(m, ver, {"jaccard": F.lit(1.0)}, ["jaccard"])
 
 
 def q_dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,10 +332,12 @@ def q_dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary redundancy, CROSS-source pairs are the contamination
     signal (mirrored content between crawls, or train/eval bleed when
     sources are split boundaries).  Two broadcast-joined source lookups
-    onto the candidate-only pair set, one bounded |sources|² groupBy."""
+    onto the candidate-only pair set, one bounded |sources|² groupBy.
+    Pairs come from the collapsed spine (member-expanded, so a group's
+    members keep their OWN sources in the aggregation)."""
     d = load(spark, sf_dir, "documents")
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(d)))
-    near = jaccard_verify(d, pairs).filter(F.col("jaccard") >= 0.5)
+    m, rep_near = near_rep_pairs(d)
+    near = expand_member_pairs(m, rep_near, {}, [])
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
@@ -367,18 +390,71 @@ def exact_text_groups(docs: DataFrame) -> DataFrame:
     return elig.join(reps, "text")
 
 
-def near_rep_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(members, rep-level near-dup pairs ≥ 0.5 Jaccard): LSH + exact
-    verify over DISTINCT TEXTS only.  Shared spine of `dedup-near` /
-    `dedup-connected-components` / `dedup-cluster-representative`."""
+def rep_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(members, rep_frame, rep-level verified candidates): LSH + exact
+    Jaccard over DISTINCT TEXTS only — the shared collapsed spine of
+    every raw-corpus candidate+verify key."""
     m = exact_text_groups(docs)
     rep_frame = m.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id", "text")
     pairs = candidate_pairs(lsh_bands(minhash_signatures(rep_frame)))
-    near = (
-        jaccard_verify(rep_frame, pairs)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
+    return m, rep_frame, jaccard_verify(rep_frame, pairs)
+
+
+def expand_member_pairs(
+    m: DataFrame, rep_scored: DataFrame, intra_cols: dict, score_cols: list[str]
+) -> DataFrame:
+    """Expand rep-level scored pairs back to member level, exactly
+    reproducing the uncollapsed output: cross-group member pairs
+    inherit their representative pair's scores (Jaccard/containment
+    are functions of the TEXT); intra-group pairs (identical texts,
+    always LSH candidates) get the closed-form self-scores in
+    ``intra_cols``.  Both expansion joins are output-sized — nothing
+    larger than the result ever materializes."""
+    members = m.select("rep_doc", "doc_id")
+    cross = (
+        rep_scored.join(
+            members.select(F.col("rep_doc").alias("doc_a"), F.col("doc_id").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep_doc").alias("doc_b"), F.col("doc_id").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            *score_cols,
+        )
     )
+    # intra side: keep m's non-text context columns (e.g. a pre-joined
+    # per-group shingle count) so the closed-form self-score
+    # expressions in ``intra_cols`` can reference them
+    keep = [c for c in m.columns if c not in ("doc_id", "text")]
+    intra = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.rep_doc") == F.col("y.rep_doc"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            *[F.col(f"x.{c}").alias(c) for c in keep],
+        )
+    )
+    for c in score_cols:
+        intra = intra.withColumn(c, intra_cols[c])
+    return cross.unionByName(intra.select("doc_a", "doc_b", *score_cols))
+
+
+def near_rep_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(members, rep-level near-dup pairs ≥ 0.5 Jaccard): the
+    thresholded form of :func:`rep_candidates` — shared spine of
+    `dedup-near` / `dedup-connected-components` /
+    `dedup-cluster-representative`."""
+    m, _, ver = rep_candidates(docs)
+    near = ver.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
     return m, near
 
 
@@ -394,32 +470,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates), but the quadratic verify stage runs over distinct
     texts only; the member-expansion joins are output-sized."""
     m, near = near_rep_pairs(load(spark, sf_dir, "documents"))
-    members = m.select("rep_doc", "doc_id")
-    cross = (
-        near.join(
-            members.select(F.col("rep_doc").alias("doc_a"), F.col("doc_id").alias("ma")),
-            "doc_a",
-        )
-        .join(
-            members.select(F.col("rep_doc").alias("doc_b"), F.col("doc_id").alias("mb")),
-            "doc_b",
-        )
-        .select(
-            F.least("ma", "mb").alias("doc_a"), F.greatest("ma", "mb").alias("doc_b")
-        )
-    )
-    intra = (
-        members.alias("x")
-        .join(
-            members.alias("y"),
-            (F.col("x.rep_doc") == F.col("y.rep_doc"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-    )
-    return cross.unionByName(intra)
+    return expand_member_pairs(m, near, {}, [])
 
 
 # ---------------------------------------------------------------------------
@@ -1343,35 +1394,63 @@ def threshold_curve(docs: DataFrame, taus=(0.3, 0.5, 0.7, 0.9)) -> DataFrame:
     burns 100 TB of compute.  Complements `dedup-band-tuning` (which
     tunes the CANDIDATE generator; this tunes the DECISION rule).
 
-    Scale shape: candidates and exact Jaccard are computed once; each
-    τ is a conditional aggregate over the verified pair set (pairs ≥
-    τ) plus a distinct count over flagged docs — all bounded by the
-    candidate set, never the corpus.  The τ fan-out is a 4-row
-    explode over the one collapsed pair table.
+    Scale shape: LSH + exact verify run over DISTINCT TEXTS only
+    (:func:`exact_text_groups`); member-level pair and flagged-doc
+    counts are recovered EXACTLY by weight arithmetic — a member pair
+    is a verified ≥τ candidate iff its representative pair is (banding
+    and Jaccard are functions of the text), so cross-group hits count
+    ``size_a × size_b`` and every exact group with ≥2 members
+    contributes its Jaccard-1 complete graph at all τ ≤ 1.  Nothing
+    member-expanded ever materializes.  The τ fan-out is a 4-row
+    broadcast over the rep-level pair table.
     """
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(docs, portable=True)))
-    ver = jaccard_verify(docs, pairs)
-    tau_rows = F.explode(
-        F.array(*[F.lit(float(t)) for t in taus])
-    ).alias("tau")
-    fan = ver.select("doc_a", "doc_b", "jaccard").crossJoin(
-        F.broadcast(ver.sparkSession.range(1).select(tau_rows))
+    m = exact_text_groups(docs)
+    gsz = m.filter(F.col("doc_id") == F.col("rep_doc")).select("rep_doc", "n_members")
+    rep_frame = m.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id", "text")
+    rep_pairs = candidate_pairs(lsh_bands(minhash_signatures(rep_frame, portable=True)))
+    rep_ver = jaccard_verify(rep_frame, rep_pairs)
+    wa = gsz.select(F.col("rep_doc").alias("doc_a"), F.col("n_members").alias("na"))
+    wb = gsz.select(F.col("rep_doc").alias("doc_b"), F.col("n_members").alias("nb"))
+    cross = rep_ver.join(wa, "doc_a").join(wb, "doc_b")
+    spark = docs.sparkSession
+    tau_rows = F.explode(F.array(*[F.lit(float(t)) for t in taus])).alias("tau")
+    base = spark.range(1).select(tau_rows)
+    fan = cross.crossJoin(F.broadcast(base)).filter(F.col("jaccard") >= F.col("tau"))
+    np_cross = fan.groupBy("tau").agg(
+        F.sum(F.col("na").cast("bigint") * F.col("nb").cast("bigint")).alias("w")
     )
-    hits = fan.filter(F.col("jaccard") >= F.col("tau"))
-    docs_flagged = (
-        hits.select("tau", F.col("doc_b").alias("d"))
-        .union(hits.select("tau", F.col("doc_a").alias("d")))
+    intra = gsz.agg(
+        F.sum(
+            F.col("n_members").cast("bigint")
+            * (F.col("n_members").cast("bigint") - 1)
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("intra_pairs")
+    )
+    flagged = (
+        fan.select("tau", F.col("doc_a").alias("g"))
+        .union(fan.select("tau", F.col("doc_b").alias("g")))
+        .union(
+            gsz.filter(F.col("n_members") >= 2)
+            .select(F.col("rep_doc").alias("g"))
+            .crossJoin(F.broadcast(base))
+            .select("tau", "g")
+        )
+        .distinct()
+        .join(gsz.withColumnRenamed("rep_doc", "g"), "g")
         .groupBy("tau")
-        .agg(F.countDistinct("d").alias("n_docs_in_pairs"))
+        .agg(F.sum(F.col("n_members").cast("bigint")).alias("n_docs_in_pairs"))
     )
-    n_pairs = hits.groupBy("tau").agg(F.count(F.lit(1)).alias("n_pairs"))
-    base = ver.sparkSession.range(1).select(tau_rows)
     return (
-        base.join(n_pairs, "tau", "left")
-        .join(docs_flagged, "tau", "left")
+        base.join(np_cross, "tau", "left")
+        .crossJoin(F.broadcast(intra))
+        .join(flagged, "tau", "left")
         .select(
             "tau",
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            (F.coalesce("w", F.lit(0)) + F.coalesce("intra_pairs", F.lit(0))).alias(
+                "n_pairs"
+            ),
             F.coalesce("n_docs_in_pairs", F.lit(0)).alias("n_docs_in_pairs"),
         )
         .orderBy("tau")
