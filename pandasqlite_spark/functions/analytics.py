@@ -4387,12 +4387,24 @@ def hour_weekday_heatmap(events: DataFrame) -> DataFrame:
         F.hour("ts").alias("hour"),
     ).groupBy("weekday", "hour").agg(F.count(F.lit(1)).alias("n"))
     total = Window.partitionBy()
-    return cells.select(
-        "weekday",
-        "hour",
-        "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("share"),
-    ).orderBy("weekday", "hour")
+    # n/total terminates in ≤7 decimal digits when the corpus count is a
+    # power of ten (sf10: exactly 10M events), making n ≡ 5 (mod 10)
+    # cells EXACT decimal midpoints where round-on-double is
+    # engine-dependent — round with integer half-up instead (the
+    # lateness-profile / quantize_embeddings convention).
+    return (
+        cells.withColumn("total", F.sum("n").over(total))
+        .select(
+            "weekday",
+            "hour",
+            "n",
+            (
+                F.expr("(n * 2000000 + total) div (2 * total)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("share"),
+        )
+        .orderBy("weekday", "hour")
+    )
 
 
 def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4405,10 +4417,15 @@ ORACLES["events-heatmap-hour-weekday"] = """
     WITH cells AS (
       SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS weekday,
              hour(ts) AS hour, COUNT(*) AS n
-      FROM events GROUP BY 1, 2)
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT weekday, hour, n, CAST(SUM(n) OVER () AS BIGINT) AS total
+          FROM cells)
+    -- integer half-up at 6 decimals (exact-midpoint round hazard when
+    -- the corpus count is a power of ten; see the engine comment)
     SELECT weekday, hour, n,
-           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
-    FROM cells ORDER BY weekday, hour
+           CAST((n * 2000000 + total) // (2 * total) AS DOUBLE)
+             / 1000000.0 AS share
+    FROM c ORDER BY weekday, hour
 """
 
 

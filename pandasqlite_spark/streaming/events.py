@@ -1242,12 +1242,27 @@ def lateness_profile(events: DataFrame) -> DataFrame:
     )
     wtot = W.partitionBy()
     wcum = W.orderBy("late_min").rowsBetween(W.unboundedPreceding, 0)
+    # cum/total TERMINATES in ≤7 decimal digits whenever total divides a
+    # power of ten (sf10: total = 10M ⇒ every cum ≡ 5 (mod 10) is an
+    # EXACT decimal midpoint), and round-on-double at exact midpoints is
+    # the one place engine conventions differ (Spark rounds the shortest
+    # decimal half-up, DuckDB rounds the binary value).  Round in exact
+    # integer arithmetic instead: floor((cum·2e6 + total) / (2·total))
+    # is half-up at 6 decimals, bit-identical everywhere; the final /1e6
+    # maps the same integer to the same double on both engines.
     return (
         hist.select(
             "late_min",
             "n",
-            F.round(
-                F.sum("n").over(wcum).cast("double") / F.sum("n").over(wtot), 6
+            F.sum("n").over(wcum).alias("cum"),
+            F.sum("n").over(wtot).alias("total"),
+        )
+        .select(
+            "late_min",
+            "n",
+            (
+                F.expr("(cum * 2000000 + total) div (2 * total)").cast("double")
+                / F.lit(1000000.0)
             ).alias("cum_share"),
         )
         .orderBy("late_min")
@@ -1268,12 +1283,19 @@ ORACLES["events-lateness-profile"] = """
       FROM events WHERE ts IS NOT NULL),
     hist AS (
       SELECT CAST(late_us // 60000000 AS BIGINT) AS late_min, COUNT(*) AS n
-      FROM late GROUP BY 1)
+      FROM late GROUP BY 1),
+    c AS (
+      SELECT late_min, n,
+             CAST(SUM(n) OVER (ORDER BY late_min ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM hist)
+    -- integer half-up at 6 decimals (see the engine comment: exact
+    -- decimal midpoints make round-on-double engine-dependent)
     SELECT late_min, n,
-           ROUND(CAST(SUM(n) OVER (ORDER BY late_min ROWS UNBOUNDED PRECEDING)
-                      AS DOUBLE)
-                 / SUM(n) OVER (), 6) AS cum_share
-    FROM hist ORDER BY late_min
+           CAST((cum * 2000000 + total) // (2 * total) AS DOUBLE)
+             / 1000000.0 AS cum_share
+    FROM c ORDER BY late_min
 """
 
 
@@ -1296,12 +1318,21 @@ def q_events_streaming_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     name, _ = run_stream_to_memory(cells, mode="complete")
     t = spark.table(name)
     total = W.partitionBy()
-    return t.select(
-        "weekday",
-        "hour",
-        "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("share"),
-    ).orderBy("weekday", "hour")
+    # integer half-up share, same exact-midpoint reasoning as the
+    # batch twin (hour_weekday_heatmap) whose oracle this key shares
+    return (
+        t.withColumn("total", F.sum("n").over(total))
+        .select(
+            "weekday",
+            "hour",
+            "n",
+            (
+                F.expr("(n * 2000000 + total) div (2 * total)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("share"),
+        )
+        .orderBy("weekday", "hour")
+    )
 
 
 QUERIES["events-streaming-heatmap"] = q_events_streaming_heatmap
