@@ -452,3 +452,111 @@ def test_geo_radius_cells_cover_the_radius(spark, sf_dir):
     )
     row = geo_radius_join(u2, s2).first()
     assert row.n_sites == 2  # (1,1) ≈ 157 km and (0,4.4) ≈ 489 km; (30,30) out
+
+
+# ---------------------------------------------------------------------------
+# Exact-collapse equivalence (round-6 sf10 scale fix): the collapsed
+# spine must reproduce the uncollapsed LSH+verify output bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    # two exact-dup groups (A×3 docs, B×2), one near-dup of A (one word
+    # swapped), one unrelated doc, one too-short doc (<3 tokens: must be
+    # excluded from grouping exactly as it is from shingling)
+    a = ("the quick brown fox jumps over the lazy dog today while "
+         "seven silent sailors watch from the old wooden pier nearby")
+    a_near = ("the quick brown fox jumps over the lazy dog today while "
+              "seven silent sailors watch from the old wooden dock nearby")
+    b = "entirely different text about spark catalyst plans here"
+    rows = [
+        (1, a), (2, a), (3, a),
+        (4, b), (5, b),
+        (6, a_near),
+        (7, "completely unrelated content with many unique words inside"),
+        (8, "too short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _uncollapsed_near(docs):
+    from pandasqlite_spark.functions.dedup import (
+        candidate_pairs,
+        jaccard_verify,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(docs)))
+    return (
+        jaccard_verify(docs, pairs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+
+def test_collapsed_near_dup_equals_uncollapsed(spark):
+    from pandasqlite_spark.functions.dedup import expand_member_pairs, near_rep_pairs
+
+    docs = _corpus(spark)
+    m, near = near_rep_pairs(docs)
+    got = {
+        (r.doc_a, r.doc_b) for r in expand_member_pairs(m, near, {}, []).collect()
+    }
+    want = {(r.doc_a, r.doc_b) for r in _uncollapsed_near(docs).collect()}
+    assert got == want
+    # the exact groups must at least contain their complete graphs
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= got
+    # near-dup of A connects to every member of A's exact group
+    assert {(1, 6), (2, 6), (3, 6)} <= got
+
+
+def test_collapsed_jaccard_scores_equal_uncollapsed(spark):
+    from pandasqlite_spark.functions.dedup import (
+        candidate_pairs,
+        jaccard_verify,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from pandasqlite_spark.operators import registry
+
+    docs = _corpus(spark)
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_verify(
+            docs, candidate_pairs(lsh_bands(minhash_signatures(docs)))
+        ).collect()
+    }
+    from pandasqlite_spark.functions.dedup import expand_member_pairs, rep_candidates
+
+    m, _, ver = rep_candidates(docs)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in expand_member_pairs(
+            m, ver, {"jaccard": F.lit(1.0)}, ["jaccard"]
+        ).collect()
+    }
+    assert got == want  # identical pair set AND bit-identical scores
+
+
+def test_collapsed_components_labels_equal_uncollapsed(spark):
+    from pandasqlite_spark.functions.dedup import near_rep_pairs, expand_member_pairs
+
+    docs = _corpus(spark)
+    m, near = near_rep_pairs(docs)
+    star = m.filter(
+        (F.col("n_members") >= 2) & (F.col("doc_id") != F.col("rep_doc"))
+    ).select(F.col("rep_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    via_star = {
+        (r.doc_id, r.rep_id)
+        for r in connected_components(near.unionByName(star)).collect()
+    }
+    via_full = {
+        (r.doc_id, r.rep_id)
+        for r in connected_components(
+            expand_member_pairs(m, near, {}, [])
+        ).collect()
+    }
+    assert via_star == via_full
+    # A-group + its near-dup form one component labeled by min id 1
+    assert {(1, 1), (2, 1), (3, 1), (6, 1), (4, 4), (5, 4)} <= via_star
