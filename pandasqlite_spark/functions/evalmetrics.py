@@ -423,6 +423,94 @@ def q_split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_kfold_stats(load_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B lift
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT = "2024-01-16"  # testdata spans 2024-01: days 1-15 pre, 16+ post
+
+
+def cuped_lift(events: DataFrame) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): the
+    variance-reduction every experimentation platform applies before
+    reading an A/B result.  Y = per-user post-period purchase count,
+    X = the same user's PRE-period count, θ = cov(X,Y)/var(X) pooled;
+    the adjusted lift subtracts θ·(mean_x_b − mean_x_a) from the raw
+    arm difference, and ρ² = corr²(X,Y) is exactly the variance
+    fraction CUPED removes.  Arms use `events-abtest-lift`'s md5-parity
+    assignment.
+
+    Determinism: every sufficient statistic (Σx, Σy, Σxy, Σx², Σy²,
+    counts, per arm and pooled) accumulates in exact BIGINT; θ, the
+    diffs, and ρ² are fixed fully-parenthesized double expressions on
+    that one row — identical bits on both engines.  Scale shape: one
+    per-user conditional aggregation (map-side combinable on user_id),
+    then a single-row reduce; the closed forms mean NO per-user double
+    arithmetic and no second pass for the adjusted metric."""
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") < split), 1
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= split), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    pu = per_user.withColumn("arm", arm)
+    g = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sy_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("sy_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = d("n") * d("sxy") - d("sx") * d("sy")  # n²·cov
+    varx_n = d("n") * d("sxx") - d("sx") * d("sx")
+    vary_n = d("n") * d("syy") - d("sy") * d("sy")
+    theta = cov_n / F.nullif(varx_n, F.lit(0.0))
+    diff_raw = d("sy_b") / F.nullif(d("n_b"), F.lit(0.0)) - d("sy_a") / F.nullif(
+        d("n_a"), F.lit(0.0)
+    )
+    diff_x = d("sx_b") / F.nullif(d("n_b"), F.lit(0.0)) - d("sx_a") / F.nullif(
+        d("n_a"), F.lit(0.0)
+    )
+    rho2 = (cov_n * cov_n) / F.nullif(varx_n * vary_n, F.lit(0.0))
+    return g.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(diff_raw, 6).alias("diff_raw"),
+        F.round(diff_raw - theta * diff_x, 6).alias("diff_cuped"),
+        F.round(rho2, 6).alias("rho2"),
+    )
+
+
+def q_events_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cuped_lift(load_events(spark, sf_dir))
+
+
 QUERIES = {
     "rank-ndcg-eval": q_rank_ndcg_eval,
     "rank-mrr-eval": q_rank_mrr_eval,
@@ -430,6 +518,7 @@ QUERIES = {
     "events-theil-sen-trend": q_events_theil_sen_trend,
     "dedup-substring-kgram": q_dedup_substring_kgram,
     "split-group-kfold": q_split_group_kfold,
+    "events-cuped-lift": q_events_cuped_lift,
 }
 
 ORACLES = {
@@ -493,6 +582,58 @@ ORACLES = {
         SELECT doc_id, n_grams, n_dup,
                ROUND(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac
         FROM per ORDER BY dup_frac DESC, doc_id LIMIT 20
+    """,
+    "events-cuped-lift": """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                                AND ts < TIMESTAMP '2024-01-16'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                                AND ts >= TIMESTAMP '2024-01-16'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1),
+        a AS (
+          SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+                   AS arm, x, y
+          FROM pu),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+                 CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+                 CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+                 CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+          FROM a),
+        e AS (
+          SELECT n, n_a, n_b,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cov_n,
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS varx_n,
+                 (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vary_n,
+                 (CAST(sy_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0.0)
+                  - CAST(sy_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0.0))
+                   AS diff_raw,
+                 (CAST(sx_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0.0)
+                  - CAST(sx_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0.0))
+                   AS diff_x
+          FROM g)
+        SELECT n AS n_users, n_a, n_b,
+               ROUND(cov_n / NULLIF(varx_n, 0.0), 6) AS theta,
+               ROUND(diff_raw, 6) AS diff_raw,
+               ROUND(diff_raw - (cov_n / NULLIF(varx_n, 0.0)) * diff_x, 6)
+                 AS diff_cuped,
+               ROUND((cov_n * cov_n) / NULLIF(varx_n * vary_n, 0.0), 6) AS rho2
+        FROM e
     """,
     "split-group-kfold": """
         WITH a AS (

@@ -107,3 +107,36 @@ def test_substring_kgram_short_and_null_docs_excluded(spark):
     out = substring_kgram_dup(docs).collect()
     assert [r.doc_id for r in out] == [3]
     assert out[0].n_grams == 1 and out[0].n_dup == 0
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    # y = 2x exactly for every user: theta = cov/var = 2, rho^2 = 1,
+    # and the adjusted diff collapses to 0 REGARDLESS of which md5 arm
+    # each user lands in — the closed form every CUPED implementation
+    # must reproduce.
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    pre, post = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
+    for u in range(1, 21):
+        x = u % 4  # pre-period purchase count 0..3
+        for _ in range(x):
+            eid += 1
+            rows.append((eid, pre, u, "purchase"))
+        for _ in range(2 * x):
+            eid += 1
+            rows.append((eid, post, u, "purchase"))
+        eid += 1
+        rows.append((eid, pre, u, "view"))  # every user observed
+    from pandasqlite_spark.functions.evalmetrics import cuped_lift
+
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = cuped_lift(ev).collect()[0]
+    assert out.n_users == 20
+    assert out.n_a + out.n_b == 20
+    assert out.theta == 2.0
+    assert out.rho2 == 1.0
+    assert out.diff_cuped == 0.0
