@@ -852,61 +852,102 @@ PHASH_MAX_HAMMING = 3
 
 
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-duplicate pairs over the binary payloads —
-    the image-dedup pipeline in miniature: each 16-byte "image" hashes
-    to a 16-bit signature (bit i set iff byte i exceeds the payload
-    MEAN — the aHash construction; a real pHash swaps in a DCT over the
-    decoded pixels, same downstream), candidates come from 4-bit LSH
-    bands (two images within hamming r share ≥1 exact band whenever
-    r < bands), and exact ``bit_count(xor)`` verifies.
-
-    Scale shape: the signature is row-local integer arithmetic; the
-    band self-join is the SAME bucketed shape as MinHash LSH (shuffle
-    on (band, value), AQE splits hot buckets); verification touches
-    candidate pairs only.  Everything is integer — engine-exact."""
+    """Perceptual-hash near-duplicate READOUT over the binary payloads
+    — the image-dedup pipeline in miniature: each 16-byte "image"
+    hashes to a 16-bit signature (bit i set iff byte i exceeds the
+    payload MEAN — the aHash construction; a real pHash swaps in a DCT
+    over the decoded pixels, same downstream), and the result is the
+    exact per-hamming-distance pair histogram for d ≤ 3 — value pairs
+    and member (doc) pairs per distance."""
     docs = load(spark, sf_dir, "documents")
-    hexd = F.md5("text")
-    byte = lambda i: F.conv(F.substring(hexd, 2 * i + 1, 2), 16, 10).cast("int")  # noqa: E731
-    total = sum(byte(i) for i in range(16))
-    bit = lambda i: (byte(i) * 16 > total).cast("int")  # noqa: E731
-    phash = sum(bit(i) * (1 << i) for i in range(16))
-    sig = docs.select("doc_id", phash.alias("ph"))
-    bands = sig.select(
-        "doc_id",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftright("ph", 4 * j).bitwiseAND(F.lit(15)).alias("bv"),
-                    )
-                    for j in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "ph", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    # flat integer columns with a repartition MATERIALIZATION barrier:
+    # the single-expression form re-derived md5+conv per bit reference
+    # (272 digests/row) and overflowed codegen into interpreted eval;
+    # higher-order aggregate() lambdas are interpreted too.  Byte
+    # columns materialize at the exchange, then the bit arithmetic is
+    # 16 codegen'd integer compares.
+    by = (
+        docs.filter(F.col("text").isNotNull())
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.ph").alias("pha"),
-            F.col("b.ph").alias("phb"),
+            "doc_id",
+            *[
+                F.conv(F.substring(F.md5("text"), 2 * i + 1, 2), 16, 10)
+                .cast("int")
+                .alias(f"b{i}")
+                for i in range(16)
+            ],
         )
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    ham = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+    tot = by.withColumn("total", sum(F.col(f"b{i}") for i in range(16)))
+    phash = sum(
+        (F.col(f"b{i}") * 16 > F.col("total")).cast("int") * (1 << i) for i in range(16)
+    )
+    sig = tot.select("doc_id", phash.alias("ph"))
+    # BOUNDED per-distance readout (round-6 sf10 fix): a 16-bit
+    # signature space SATURATES at 500k docs — every (band, value)
+    # bucket holds ~n/16 docs, so the LSH self-join enumerates ~n²/16
+    # candidate pairs (~10¹⁰ at sf10) and the pair LIST itself is ~10⁸
+    # rows.  But 4-bit × 4 bands guarantees zero misses for hamming ≤ 3
+    # (3 flipped bits touch ≤ 3 of 4 bands), so the candidate+verify
+    # output is EXACTLY "all pairs at hamming ≤ 3" — countable in the
+    # VALUE domain without enumerating a single doc pair: collapse docs
+    # by signature value (≤ 2¹⁶ rows at ANY corpus size), then for each
+    # distance d join values against value XOR mask over the C(16,d)
+    # masks.  n_doc_pairs(d) = Σ n_a·n_b / 2 (+ Σ C(n,2) at d=0).
+    # NO isNotNull filter on ph: it cannot be null (text is filtered
+    # non-null and conv/cast of valid hex never return null), and a
+    # null-filter over this 2000-node expression sent Catalyst's
+    # constraint propagation exponential — the driver OOM'd OPTIMIZING
+    # the plan, not running it
+    vals = sig.groupBy("ph").agg(F.count(F.lit(1)).alias("n"))
+    # the collapsed signature table is ≤ 2¹⁶ rows and is referenced
+    # three times (both mask-join sides + d0): localCheckpoint
+    # materializes the corpus scan once (the CC precedent)
+    vals = vals.localCheckpoint(eager=True)
+    from itertools import combinations
+
+    masks = [
+        (sum(1 << b for b in bits), d)
+        for d in range(1, PHASH_MAX_HAMMING + 1)
+        for bits in combinations(range(16), d)
+    ]
+    # a real 696-row local relation, broadcast: a literal struct-array
+    # explode of the same masks built a plan the optimizer could not
+    # hold (driver OOM during analysis)
+    mask_df = sig.sparkSession.createDataFrame(masks, "mask int, d int")
+    probes = vals.crossJoin(F.broadcast(mask_df)).select(
+        "ph", "n", "mask", "d",
+        F.col("ph").bitwiseXOR(F.col("mask")).alias("ph_b"),
+    )
+    matched = probes.join(
+        vals.select(F.col("ph").alias("ph_b"), F.col("n").alias("n_b")), "ph_b"
+    )
+    per_d = matched.groupBy("d").agg(
+        F.expr("count(1) div 2").alias("n_value_pairs"),
+        F.expr("sum(n * n_b) div 2").alias("n_doc_pairs"),
+    )
+    d0 = vals.agg(
+        F.lit(0).alias("d"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_value_pairs"),
+        F.expr("sum(n * (n - 1) div 2)").alias("n_doc_pairs"),
+    )
+    base = sig.sparkSession.range(0, PHASH_MAX_HAMMING + 1).select(
+        F.col("id").cast("int").alias("hamming")
+    )
+    hist = d0.unionByName(per_d).select(
+        F.col("d").cast("int").alias("hamming"),
+        F.col("n_value_pairs").cast("bigint").alias("n_value_pairs"),
+        F.col("n_doc_pairs").cast("bigint").alias("n_doc_pairs"),
+    )
     return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        base.join(hist, "hamming", "left")
+        .select(
+            "hamming",
+            F.coalesce("n_value_pairs", F.lit(0)).alias("n_value_pairs"),
+            F.coalesce("n_doc_pairs", F.lit(0)).alias("n_doc_pairs"),
+        )
+        .orderBy("hamming")
     )
 
 
@@ -920,23 +961,59 @@ _PH_BITS = " + ".join(
     for i in range(16)
 )
 
+def _phash_masks_sql() -> str:
+    from itertools import combinations
+
+    rows = []
+    for d in range(1, PHASH_MAX_HAMMING + 1):
+        for bits in combinations(range(16), d):
+            rows.append(f"({sum(1 << b for b in bits)}, {d})")
+    return ", ".join(rows)
+
+
+_PH_BYTES_COLS = ", ".join(
+    f"('0x' || substr(hx, {2 * i + 1}, 2))::INTEGER AS b{i}" for i in range(16)
+)
+_PH_TOTAL_COLS = " + ".join(f"b{i}" for i in range(16))
+_PH_BITS_COLS = " + ".join(
+    f"(CASE WHEN b{i} * 16 > total THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+
 ORACLES["multimodal-phash-pairs"] = f"""
-    WITH sig AS (
-      SELECT doc_id, CAST({_PH_BITS} AS BIGINT) AS ph FROM documents WHERE text IS NOT NULL),
-    bands AS (
-      SELECT doc_id, ph, j.band,
-             (ph >> (4 * j.band)) & 15 AS bv
-      FROM sig, (VALUES (0),(1),(2),(3)) AS j(band)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.ph AS pha, b.ph AS phb
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(pha, phb)) AS INTEGER) AS hamming
-    FROM cand
-    WHERE bit_count(xor(pha, phb)) <= {PHASH_MAX_HAMMING}
-    ORDER BY doc_a, doc_b
+    WITH hexed AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL),
+    -- MATERIALIZED: DuckDB inlines single-reference CTEs, which would
+    -- re-derive md5 + every byte per bit term (272 digests/row - the
+    -- sf10 oracle spun for >10 min); materializing computes each once
+    by AS MATERIALIZED (
+      SELECT doc_id, {_PH_BYTES_COLS} FROM hexed),
+    tot AS MATERIALIZED (
+      SELECT doc_id, *, ({_PH_TOTAL_COLS}) AS total FROM by),
+    sig AS (
+      SELECT doc_id, CAST({_PH_BITS_COLS} AS BIGINT) AS ph FROM tot),
+    vals AS (SELECT ph, COUNT(*) AS n FROM sig GROUP BY 1),
+    masks(mask, d) AS (VALUES {_phash_masks_sql()}),
+    matched AS (
+      SELECT m.d, v.n, w.n AS n_b
+      FROM vals v CROSS JOIN masks m
+      JOIN vals w ON w.ph = xor(v.ph, CAST(m.mask AS BIGINT))),
+    per_d AS (
+      SELECT d, COUNT(*) // 2 AS n_value_pairs,
+             CAST(SUM(n * n_b) // 2 AS BIGINT) AS n_doc_pairs
+      FROM matched GROUP BY 1),
+    d0 AS (
+      SELECT 0 AS d,
+             CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_value_pairs,
+             CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_doc_pairs
+      FROM vals),
+    hist AS (SELECT * FROM d0 UNION ALL SELECT * FROM per_d),
+    base AS (SELECT unnest(range(0, {PHASH_MAX_HAMMING + 1})) AS hamming)
+    SELECT CAST(b.hamming AS INTEGER) AS hamming,
+           CAST(COALESCE(h.n_value_pairs, 0) AS BIGINT) AS n_value_pairs,
+           CAST(COALESCE(h.n_doc_pairs, 0) AS BIGINT) AS n_doc_pairs
+    FROM base b LEFT JOIN hist h ON h.d = b.hamming
+    ORDER BY b.hamming
 """
 
 

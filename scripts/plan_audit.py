@@ -107,6 +107,8 @@ NESTED_LOOP_OK = {
     "simsearch-pq-adc",  # 16-row broadcast codebook + 1-row broadcast query
     "events-theil-sen-trend",  # |days|² pair join over the DAILY AGGREGATE
     # (calendar-bounded) + 1-row slope/median broadcasts
+    "multimodal-phash-pairs",  # 696-row broadcast XOR-mask fan-out over the
+    # ≤2¹⁶-row collapsed signature table
 }
 
 # keys whose partition-less Window runs over a DECLARED-BOUNDED input
