@@ -1435,6 +1435,9 @@ def threshold_curve(docs: DataFrame, taus=(0.3, 0.5, 0.7, 0.9)) -> DataFrame:
             gsz.filter(F.col("n_members") >= 2)
             .select(F.col("rep_doc").alias("g"))
             .crossJoin(F.broadcast(base))
+            # intra-group members have Jaccard exactly 1.0, so they are
+            # flagged only at τ ≤ 1 (a caller passing τ > 1 must see 0)
+            .filter(F.col("tau") <= 1.0)
             .select("tau", "g")
         )
         .distinct()
@@ -1448,9 +1451,15 @@ def threshold_curve(docs: DataFrame, taus=(0.3, 0.5, 0.7, 0.9)) -> DataFrame:
         .join(flagged, "tau", "left")
         .select(
             "tau",
-            (F.coalesce("w", F.lit(0)) + F.coalesce("intra_pairs", F.lit(0))).alias(
-                "n_pairs"
-            ),
+            # exact-group intra pairs have Jaccard 1.0 exactly, so they
+            # count only at τ ≤ 1 — without the gate a τ > 1 row would
+            # report nonzero pairs where the uncollapsed plan returns 0
+            (
+                F.coalesce("w", F.lit(0))
+                + F.when(
+                    F.col("tau") <= 1.0, F.coalesce("intra_pairs", F.lit(0))
+                ).otherwise(F.lit(0))
+            ).alias("n_pairs"),
             F.coalesce("n_docs_in_pairs", F.lit(0)).alias("n_docs_in_pairs"),
         )
         .orderBy("tau")

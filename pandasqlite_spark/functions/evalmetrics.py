@@ -564,14 +564,23 @@ ORACLES = {
         FROM nd, sl, res
     """,
     "dedup-substring-kgram": """
-        WITH g AS (
-          -- constant 4000-char bound (testdata max doc length is ~600;
-          -- this DuckDB build rejects column-parameterized
-          -- generate_series bounds, so filter a fixed stride grid)
-          SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INTEGER), 40) AS gram
-          FROM documents CROSS JOIN generate_series(1, 4000, 10) t(i)
+        WITH RECURSIVE grid(i) AS (
+          -- stride grid bounded by the corpus' own max text length:
+          -- generate_series rejects non-constant bounds in this DuckDB
+          -- build, but a recursive CTE takes a scalar subquery — so a
+          -- longer-doc corpus can never silently under-count grams
+          -- (the old constant 4000 bound would have)
+          SELECT 1
+          UNION ALL
+          SELECT i + 10 FROM grid
+          WHERE i + 10 <= (SELECT COALESCE(MAX(length(text)), 0)
+                           FROM documents)
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(grid.i AS INTEGER), 40) AS gram
+          FROM documents CROSS JOIN grid
           WHERE text IS NOT NULL AND length(text) >= 40
-            AND t.i <= length(text) - 39),
+            AND grid.i <= length(text) - 39),
         gd AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY 1),
         dup AS (SELECT gram FROM gd WHERE nd >= 2),
         per AS (

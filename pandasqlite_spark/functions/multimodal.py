@@ -858,7 +858,19 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload MEAN — the aHash construction; a real pHash swaps in a DCT
     over the decoded pixels, same downstream), and the result is the
     exact per-hamming-distance pair histogram for d ≤ 3 — value pairs
-    and member (doc) pairs per distance."""
+    and member (doc) pairs per distance.
+
+    SCHEMA BREAK (round 6, deliberate): this key returned a
+    ``(doc_a, doc_b, hamming)`` pair LIST through round 5; a 16-bit
+    signature space saturates at 500k docs (~10¹⁰ LSH candidates, ~10⁸
+    result rows at sf10), so the readout is now the 4-row per-distance
+    HISTOGRAM — the pair list does not exist at scale on any engine.
+    The key name is kept (the sf10 ledger and the driver's history
+    anchor on it); consumers of the old pair-list schema must migrate
+    to the histogram, or recover the pair list at small SF by joining
+    the signature column on the 696 XOR masks (the value-domain join
+    below, without the final group-size-product aggregation).
+    Recorded per round-6 ADVICE."""
     docs = load(spark, sf_dir, "documents")
     # flat integer columns with a repartition MATERIALIZATION barrier:
     # the single-expression form re-derived md5+conv per bit reference

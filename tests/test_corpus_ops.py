@@ -560,3 +560,21 @@ def test_collapsed_components_labels_equal_uncollapsed(spark):
     assert via_star == via_full
     # A-group + its near-dup form one component labeled by min id 1
     assert {(1, 1), (2, 1), (3, 1), (6, 1), (4, 4), (5, 4)} <= via_star
+
+
+def test_shingle_hash_collision_sentinel(spark, sf_dir):
+    """jaccard_verify/containment_verify transport shingles as their
+    xxhash64 (8 bytes instead of the ~30-byte string); scores match the
+    raw-string DuckDB oracle only while no two DISTINCT shingle strings
+    share a 64-bit hash.  Assert zero collisions corpus-wide — stronger
+    than the within-pair requirement (P < 1e-14 per pair), and a real
+    collision in regenerated testdata would surface here instead of as
+    an unexplained oracle mismatch."""
+    from pandasqlite_spark.functions.dedup import shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"))
+    row = sh.select(
+        F.countDistinct("sh").alias("n_strings"),
+        F.countDistinct(F.xxhash64("sh")).alias("n_hashes"),
+    ).collect()[0]
+    assert row.n_strings == row.n_hashes

@@ -31,7 +31,10 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_keys_run(key, spark, sf_dir):
-    df = QUERIES[key](spark, sf_dir)
-    assert df.count() >= 0
+def test_no_rows_only_keys_remain():
+    """Every registry key carries a full DuckDB value oracle.  This set
+    reached empty in round 6; keep it empty — a new key landing without
+    an oracle_sql() entry silently downgrades the driver's check from
+    rows+schema+hash to rows-only, and this invariant makes that a test
+    failure instead of a skip."""
+    assert sorted(set(QUERIES) - set(ORACLES)) == []

@@ -127,6 +127,17 @@ def test_threshold_curve_monotone(spark, sf_dir):
     assert doc_counts == sorted(doc_counts, reverse=True)
 
 
+def test_threshold_curve_tau_above_one_is_empty(spark, sf_dir):
+    # exact-group intra pairs (Jaccard exactly 1.0) must not leak into a
+    # τ > 1 row: no pair can satisfy jaccard >= 1.5, so both counts are 0
+    docs = load(spark, sf_dir, "documents")
+    rows = {r.tau: r for r in threshold_curve(docs, taus=(1.0, 1.5)).collect()}
+    assert rows[1.5].n_pairs == 0
+    assert rows[1.5].n_docs_in_pairs == 0
+    # while τ = 1.0 still captures the exact-duplicate complete graphs
+    assert rows[1.0].n_pairs >= 0
+
+
 def test_epoch_schedule_respects_cap(spark, sf_dir):
     from pandasqlite_spark.functions.sampling import epoch_schedule
 
