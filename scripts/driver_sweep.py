@@ -43,7 +43,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from tests.util import compare_frames, duckdb_connection  # noqa: E402
+from tests.util import compare_frames, compare_streamed, duckdb_connection  # noqa: E402
 from pandasqlite_spark.session import get_spark  # noqa: E402
 
 
@@ -111,6 +111,13 @@ def main() -> int:
 
     only_arg = opt("--keys")
     only = set(only_arg.split(",")) if only_arg else None
+    # --stream-keys: compare these keys through compare_streamed (both
+    # sides consumed as bounded Arrow chunks; verdict on sorted 64-bit
+    # canon-hash multisets + k-min exact spot-check) instead of a full
+    # toPandas — for full-projection keys whose 60M-row in-memory
+    # compare held ~77 GB RSS at sf10
+    stream_arg = opt("--stream-keys")
+    stream_keys = set(stream_arg.split(",")) if stream_arg else set()
     json_out = opt("--json")
     cache_dir = opt("--oracle-cache")
     # --null-contract <pristine_src_dir>: judge failures against the
@@ -172,6 +179,43 @@ def main() -> int:
         spark_s = oracle_s = compare_s = 0.0
         t1 = time.perf_counter()
         try:
+            if key in stream_keys and key in oracles:
+                # streamed path: Spark result → scratch parquet →
+                # chunked canon-hash; DuckDB → record-batch reader.
+                # Phases interleave, so the whole compare bills to
+                # compare_s.  No oracle cache (nothing pandas-sized is
+                # ever held).
+                tc = time.perf_counter()
+                df = queries[key](spark, sf_dir)
+                problems = compare_streamed(df, con, oracles[key])
+                compare_s = time.perf_counter() - tc
+                count_bad = [p for p in problems if p.startswith("row count")]
+                rec["rows_match"] = not count_bad
+                rec["schema_match"] = not any(
+                    p.startswith("columns") for p in problems
+                )
+                rec["hash_match"] = not problems
+                rec["err"] = "; ".join(problems)[:300] if problems else None
+                if problems:
+                    failures.append((key, problems))
+                results[key] = rec
+                timing[key] = {
+                    "spark_s": 0.0,
+                    "oracle_s": 0.0,
+                    "compare_s": round(compare_s, 3),
+                    "streamed": True,
+                }
+                if json_out:
+                    with open(json_out + ".partial", "w") as fh:
+                        json.dump(results, fh, indent=2)
+                try:
+                    spark.catalog.clearCache()
+                    import gc as _gc
+
+                    _gc.collect()
+                except Exception:
+                    pass
+                continue
             ts = time.perf_counter()
             got = queries[key](spark, sf_dir).toPandas()
             spark_s = time.perf_counter() - ts

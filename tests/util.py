@@ -102,6 +102,17 @@ def _canon_strings(df: pd.DataFrame) -> pd.Series:
         kind = getattr(s.dtype, "kind", "O")
         if kind in "iu" and not s.isna().any():
             p = "int:" + s.astype("int64").astype(str)
+        elif kind in "iu":
+            # nullable Int64/Int32 WITH nulls (streamed-comparator
+            # chunks): .map on a masked array containing NA hands the
+            # callback FLOATS (7 -> 7.0), which would canon an int
+            # column as "float:..." in null-bearing chunks only —
+            # convert to object first so ints stay ints
+            p = (
+                s.astype(object)
+                .map(lambda v: "None" if v is None or v is pd.NA else f"int:{int(v)}")
+                .astype(str)
+            )
         elif kind == "f":
             # bit-exact via the raw float64 bits (bijective with .hex(),
             # fully vectorized — the per-value hex map was 140s+ on one
@@ -205,3 +216,124 @@ def compare_frames(got: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
         diff_b = [r for r in b if r not in set_a][:3]
         problems.append(f"values differ; spark-only={diff_a} oracle-only={diff_b}")
     return problems
+
+
+def _chunk_hashes(pdf: pd.DataFrame, spot, k=16):
+    """Canon-hash one chunk; fold the k smallest (hash, canon) pairs
+    into ``spot`` (a list used as a bounded max-heap via heapq with
+    negated keys) for the post-hoc exact spot-check."""
+    import heapq
+
+    import numpy as np
+
+    ca = _canon_strings(pdf)
+    h = pd.util.hash_pandas_object(ca, index=False).to_numpy()
+    take = min(k, len(h))
+    if take:
+        idx = np.argpartition(h, take - 1)[:take]
+        for i in idx:
+            item = (-int(h[i]), str(ca.iloc[i]))
+            if len(spot) < k:
+                heapq.heappush(spot, item)
+            elif item > spot[0]:
+                heapq.heapreplace(spot, item)
+    return h
+
+
+def compare_streamed(
+    spark_df,
+    duck_con,
+    oracle_sql: str,
+    *,
+    chunk_rows: int = 2_000_000,
+    scratch_dir: str | None = None,
+) -> list[str]:
+    """Order-insensitive value comparison that never materializes either
+    side as ONE pandas frame — for full-projection keys whose 60M-row
+    result held ~77 GB RSS through ``toPandas`` + canon (the round-6
+    sf10 exclusion this replaces).
+
+    The Spark side writes its result to scratch parquet (distributed
+    write, engine memory untouched) and is re-read in bounded pyarrow
+    batches; the DuckDB side streams through ``fetch_record_batch``.
+    Each chunk converts to pandas with Arrow-backed NULLABLE integer
+    dtypes on BOTH sides (plain ``to_pandas`` widens an int chunk that
+    happens to contain nulls to float64, which would canon the same
+    value differently across chunks), runs the same ``_canon_strings``
+    canonicalization as the in-memory fast path, and contributes 64-bit
+    row hashes; the verdict compares the SORTED HASH MULTISETS (memory:
+    8 bytes/row/side) plus an exact spot-check of the k smallest-hash
+    canon strings — identical discriminating power to the in-memory
+    ``compare_frames`` fast path."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    def _to_pandas(batch: pa.RecordBatch | pa.Table) -> pd.DataFrame:
+        mapper = {
+            pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+            pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+            pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+            pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+            pa.bool_(): pd.BooleanDtype(),
+        }.get
+        return batch.to_pandas(types_mapper=mapper)
+
+    tmp = tempfile.mkdtemp(prefix="stream_cmp_", dir=scratch_dir)
+    problems: list[str] = []
+    try:
+        out = f"{tmp}/spark_result"
+        spark_df.write.mode("overwrite").parquet(out)
+        ds = pads.dataset(out, format="parquet")
+        spark_cols = sorted(ds.schema.names)
+
+        spot_a: list = []
+        a_parts = []
+        for batch in ds.to_batches(batch_size=chunk_rows):
+            if batch.num_rows:
+                a_parts.append(_chunk_hashes(_to_pandas(batch), spot_a))
+        ha = np.concatenate(a_parts) if a_parts else np.empty(0, dtype="uint64")
+
+        reader = duck_con.execute(oracle_sql).fetch_record_batch(chunk_rows)
+        oracle_cols: list[str] | None = None
+        spot_b: list = []
+        b_parts = []
+        while True:
+            try:
+                batch = reader.read_next_batch()
+            except StopIteration:
+                break
+            if oracle_cols is None:
+                oracle_cols = sorted(batch.schema.names)
+            if batch.num_rows:
+                b_parts.append(_chunk_hashes(_to_pandas(batch), spot_b))
+        hb = np.concatenate(b_parts) if b_parts else np.empty(0, dtype="uint64")
+        if oracle_cols is None:
+            oracle_cols = spark_cols  # zero-batch oracle: count check decides
+
+        if spark_cols != oracle_cols:
+            return [f"columns: spark={spark_cols} oracle={oracle_cols}"]
+        if len(ha) != len(hb):
+            problems.append(f"row count: spark={len(ha)} oracle={len(hb)}")
+            return problems
+        if not np.array_equal(np.sort(ha), np.sort(hb)):
+            only_a = np.setdiff1d(ha, hb)
+            only_b = np.setdiff1d(hb, ha)
+            problems.append(
+                f"values differ (streamed hash multiset): "
+                f"{len(only_a)} spark-only / {len(only_b)} oracle-only hashes"
+            )
+            return problems
+        # k-min spot-check through the exact canon strings (same
+        # collision-bounding argument as compare_frames)
+        if sorted(spot_a) != sorted(spot_b):
+            problems.append(
+                "hash multisets equal but k-min canon spot-check differs "
+                "(64-bit collision masking a divergence)"
+            )
+        return problems
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
