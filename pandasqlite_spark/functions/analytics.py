@@ -4770,3 +4770,35 @@ ORACLES["validate-freshness"] = """
            MAX(last_us) OVER () - last_us > 7200000000 AS stale
     FROM per_type ORDER BY event_type
 """
+
+
+# Staged / restated oracles for big-SF sweeps (see registry.oracle_sql_big):
+# semantically identical readouts whose registry form is verifier-infeasible
+# at sf10.  skyline-pareto's registry oracle is the naive NOT-EXISTS
+# self-join — deliberately algorithm-independent from the engine, and the
+# right cross-check at sf ≤ 1 — but it is O(n²) with NO equi key (4×10¹²
+# pair tests over sf10's 2M-row part).  The big twin restates the SAME
+# dominance semantics through the sort-based identity the docstring of
+# :func:`skyline_2d` derives: p survives iff no strictly-cheaper price
+# reaches its size (running max over the per-price maxima) and no
+# same-price row strictly beats it.  Proven row-identical to the naive
+# form at sf0.01/sf0.1 before use (tests/test_stream_compare.py sibling
+# check in the sweep; the naive form remains the registry oracle).
+ORACLES_BIG = {
+    "skyline-pareto": """
+        WITH pp AS (
+          SELECT p_retailprice, MAX(p_size) AS pmax
+          FROM part GROUP BY 1),
+        run AS (
+          SELECT p_retailprice, pmax,
+                 MAX(pmax) OVER (ORDER BY p_retailprice
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS m1
+          FROM pp)
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        JOIN run r ON r.p_retailprice = p.p_retailprice
+        WHERE NOT (COALESCE(r.m1 >= p.p_size, FALSE) OR r.pmax > p.p_size)
+        ORDER BY p_partkey
+    """,
+}

@@ -1505,3 +1505,321 @@ ORACLES["dedup-threshold-curve"] = f"""
     LEFT JOIN nd ON nd.tau = t.tau
     ORDER BY t.tau
 """
+
+
+# ---------------------------------------------------------------------------
+# Staged big-SF oracle twins (registry.oracle_sql_big)
+#
+# The registry oracles above run uncollapsed LSH over every document —
+# deliberately engine-independent, and the right cross-check at sf ≤ 1.
+# At sf10 the 100-way verbatim clusters make the member-level candidate
+# set ~25M pairs, each joined to ~50-element shingle lists — the
+# verifier-side cost that kept the dedup chain off the sf10 ledger
+# (round-6 verdict #1).  These twins restate the SAME semantics through
+# the exact-collapse theorem the ENGINE already uses (and that
+# tests/test_corpus_ops.py pins): minhash signatures, LSH banding and
+# shingle Jaccard are functions of the TEXT alone, so
+#   - two same-text docs (with ≥3 tokens, i.e. a signature exists) are
+#     ALWAYS candidates with Jaccard exactly 1.0, and
+#   - a cross-text member pair is a candidate iff its representative
+#     pair is, with the identical verify scores.
+# Each twin stages rep-level sig/pairs/verify ONCE into temp tables
+# (the graph-oracle pattern, graph.py:556) and recovers member-level
+# rows by group expansion / weight arithmetic.  Equivalence to the
+# registry oracles is pinned per-key at sf0.001 by
+# tests/test_dedup_staged_oracles.py and re-proven at sf0.01/sf0.1
+# before any sf10 use.
+# ---------------------------------------------------------------------------
+
+
+def _staged_common(final_needs: tuple[str, ...]) -> list[str]:
+    """The shared staging prefix: rep-level group/map/sig/pairs/shl/ver
+    temp tables.  ``final_needs`` trims stages a key doesn't touch (the
+    signature key needs no pair join at all)."""
+    mins = ",\n               ".join(
+        f"min(md5('s{i}|' || sh)) AS m{i}" for i in range(N_HASHES)
+    )
+    r = N_HASHES // N_BANDS
+    bands = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'm{b * r + j}' for j in range(r))}) AS band_sig "
+        f"FROM st_sig"
+        for b in range(N_BANDS)
+    )
+    stmts = [
+        "DROP TABLE IF EXISTS st_grp",
+        f"""CREATE TEMP TABLE st_grp AS
+        SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_members,
+               COALESCE(len({_TOKS}) >= 3, FALSE) AS has_sig,
+               text
+        FROM documents GROUP BY text""",
+        "DROP TABLE IF EXISTS st_map",
+        """CREATE TEMP TABLE st_map AS
+        SELECT d.doc_id, g.rep_doc, d.source
+        FROM documents d
+        JOIN st_grp g ON g.text IS NOT DISTINCT FROM d.text""",
+    ]
+    if {"sig", "pairs", "ver"} & set(final_needs):
+        stmts += [
+            "DROP TABLE IF EXISTS st_sig",
+            f"""CREATE TEMP TABLE st_sig AS
+            WITH toks AS (
+              SELECT rep_doc AS doc_id, {_TOKS} AS t FROM st_grp),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                           for i in range(1, len(t) - 1)])) AS sh
+              FROM toks WHERE len(t) >= 3)
+            SELECT doc_id,
+                   {mins}
+            FROM sh GROUP BY doc_id""",
+        ]
+    if {"pairs", "ver"} & set(final_needs):
+        stmts += [
+            "DROP TABLE IF EXISTS st_pairs",
+            f"""CREATE TEMP TABLE st_pairs AS
+            WITH bands AS (
+              {bands})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id""",
+        ]
+    if "ver" in final_needs:
+        stmts += [
+            "DROP TABLE IF EXISTS st_shl",
+            f"""CREATE TEMP TABLE st_shl AS
+            WITH toks AS (
+              SELECT rep_doc AS doc_id, {_TOKS} AS t FROM st_grp)
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) AS l
+            FROM toks WHERE len(t) >= 3""",
+            "DROP TABLE IF EXISTS st_ver",
+            """CREATE TEMP TABLE st_ver AS
+            SELECT p.doc_a, p.doc_b,
+                   CAST(len(list_intersect(a.l, b.l)) AS BIGINT) AS n_inter,
+                   len(a.l) AS n_a, len(b.l) AS n_b,
+                   CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+                     / (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l)))
+                     AS jaccard
+            FROM st_pairs p
+            JOIN st_shl a ON a.doc_id = p.doc_a
+            JOIN st_shl b ON b.doc_id = p.doc_b""",
+        ]
+    return stmts
+
+
+# member-level pair expansion fragments (cross- and intra-group); the
+# intra clique exists iff the group's text HAS a signature — same-text
+# docs with < 3 tokens never reach the band join in the registry oracle
+_X_MEMB = """
+    FROM st_ver v
+    JOIN st_map ma ON ma.rep_doc = v.doc_a
+    JOIN st_map mb ON mb.rep_doc = v.doc_b"""
+_I_MEMB = """
+    FROM st_map a
+    JOIN st_map b ON a.rep_doc = b.rep_doc AND a.doc_id < b.doc_id
+    JOIN st_grp g ON g.rep_doc = a.rep_doc AND g.has_sig"""
+
+
+def _staged_dedup_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+
+    def pack(needs, *final):
+        return ";\n".join(_staged_common(needs) + list(final))
+
+    out["dedup-minhash-signature"] = pack(
+        ("sig",),
+        f"""SELECT m.doc_id, {', '.join(f's.m{i}' for i in range(N_HASHES))}
+        FROM st_map m JOIN st_sig s ON s.doc_id = m.rep_doc""",
+    )
+
+    out["dedup-minhash-pairs"] = pack(
+        ("pairs",),
+        f"""SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+               GREATEST(ma.doc_id, mb.doc_id) AS doc_b
+        FROM st_pairs v
+        JOIN st_map ma ON ma.rep_doc = v.doc_a
+        JOIN st_map mb ON mb.rep_doc = v.doc_b
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b{_I_MEMB}""",
+    )
+
+    out["dedup-jaccard-verify"] = pack(
+        ("ver",),
+        f"""SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+               GREATEST(ma.doc_id, mb.doc_id) AS doc_b,
+               v.jaccard{_X_MEMB}
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, CAST(1.0 AS DOUBLE) AS jaccard{_I_MEMB}""",
+    )
+
+    out["dedup-containment"] = pack(
+        ("ver",),
+        f"""SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+               GREATEST(ma.doc_id, mb.doc_id) AS doc_b,
+               v.n_inter,
+               CAST(v.n_inter AS DOUBLE) / LEAST(v.n_a, v.n_b) AS containment
+        {_X_MEMB}
+        UNION ALL
+        SELECT a.doc_id, b.doc_id,
+               CAST(len(sh.l) AS BIGINT) AS n_inter,
+               CAST(1.0 AS DOUBLE) AS containment{_I_MEMB}
+        JOIN st_shl sh ON sh.doc_id = a.rep_doc""",
+    )
+
+    out["dedup-near"] = pack(
+        ("ver",),
+        f"""SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+               GREATEST(ma.doc_id, mb.doc_id) AS doc_b
+        {_X_MEMB}
+        WHERE v.jaccard >= 0.5
+        UNION ALL
+        SELECT a.doc_id, b.doc_id{_I_MEMB}""",
+    )
+
+    out["dedup-cross-source-leakage"] = pack(
+        ("ver",),
+        f"""WITH memb AS (
+          SELECT ma.source AS sa, mb.source AS sb
+          {_X_MEMB}
+          WHERE v.jaccard >= 0.5
+          UNION ALL
+          SELECT a.source AS sa, b.source AS sb{_I_MEMB}
+        )
+        SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+               sa <> sb AS cross_source, COUNT(*) AS n_pairs
+        FROM memb GROUP BY 1, 2, 3 ORDER BY source_a, source_b""",
+    )
+
+    # rep-level connected components over near edges; members inherit
+    # their group's component (group cliques merge via rep near edges);
+    # a doc appears in the registry oracle's output iff it is in some
+    # near pair: member of a has_sig group of size >= 2, or member of a
+    # group incident to a rep-level near edge
+    _cc_stage = """DROP TABLE IF EXISTS st_cc;
+CREATE TEMP TABLE st_cc AS
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM st_ver WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM st_ver WHERE jaccard >= 0.5),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        SELECT u AS rep_doc, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u"""
+
+    out["dedup-connected-components"] = pack(
+        ("ver",),
+        _cc_stage,
+        """SELECT m.doc_id, COALESCE(c.comp, m.rep_doc) AS rep_id
+        FROM st_map m
+        JOIN st_grp g ON g.rep_doc = m.rep_doc
+        LEFT JOIN st_cc c ON c.rep_doc = m.rep_doc
+        WHERE c.rep_doc IS NOT NULL OR (g.has_sig AND g.n_members >= 2)""",
+    )
+
+    # component member count = sum of group sizes; keep doc = member
+    # with max n_chars then min doc_id — n_chars is a function of the
+    # text (asserted at data-gen), so the member argmax is the group
+    # argmax and its min member is the group's rep_doc
+    out["dedup-cluster-representative"] = pack(
+        ("ver",),
+        _cc_stage,
+        """WITH gl AS (
+          SELECT g.rep_doc, COALESCE(c.comp, g.rep_doc) AS rep_id,
+                 g.n_members, d.n_chars
+          FROM st_grp g
+          LEFT JOIN st_cc c ON c.rep_doc = g.rep_doc
+          JOIN documents d ON d.doc_id = g.rep_doc
+          WHERE c.rep_doc IS NOT NULL OR (g.has_sig AND g.n_members >= 2)),
+        sel AS (
+          SELECT rep_id, rep_doc, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY rep_id
+                                    ORDER BY n_chars DESC, rep_doc) AS rn,
+                 CAST(SUM(n_members) OVER (PARTITION BY rep_id)
+                      AS BIGINT) AS n_members
+          FROM gl)
+        SELECT rep_id, rep_doc AS keep_doc, n_chars AS keep_chars, n_members
+        FROM sel WHERE rn = 1""",
+    )
+
+    est_match = " + ".join(
+        f"CAST(a.m{i} = b.m{i} AS INTEGER)" for i in range(N_HASHES)
+    )
+    out["dedup-minhash-estimate"] = pack(
+        ("ver",),
+        f"""DROP TABLE IF EXISTS st_est;
+CREATE TEMP TABLE st_est AS
+        SELECT v.doc_a, v.doc_b, ({est_match}) AS n_match, v.jaccard
+        FROM st_ver v
+        JOIN st_sig a ON a.doc_id = v.doc_a
+        JOIN st_sig b ON b.doc_id = v.doc_b""",
+        f"""WITH memb AS (
+          SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+                 GREATEST(ma.doc_id, mb.doc_id) AS doc_b,
+                 e.n_match, e.jaccard
+          FROM st_est e
+          JOIN st_map ma ON ma.rep_doc = e.doc_a
+          JOIN st_map mb ON mb.rep_doc = e.doc_b
+          UNION ALL
+          SELECT a.doc_id, b.doc_id, {N_HASHES} AS n_match,
+                 CAST(1.0 AS DOUBLE) AS jaccard{_I_MEMB}
+        )
+        SELECT doc_a, doc_b, n_match,
+               ROUND(n_match / {float(N_HASHES)}, 6) AS est_jaccard,
+               ROUND(jaccard, 6) AS exact_jaccard,
+               ROUND(n_match / {float(N_HASHES)} - jaccard, 6) AS err
+        FROM memb
+        WHERE (doc_a * 31 + doc_b) % 16 = 0
+        ORDER BY doc_a, doc_b""",
+    )
+
+    out["dedup-threshold-curve"] = pack(
+        ("ver",),
+        """WITH taus AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS tau),
+        cw AS (
+          SELECT t.tau,
+                 CAST(SUM(ga.n_members * gb.n_members) AS BIGINT) AS w
+          FROM st_ver v
+          JOIN taus t ON v.jaccard >= t.tau
+          JOIN st_grp ga ON ga.rep_doc = v.doc_a
+          JOIN st_grp gb ON gb.rep_doc = v.doc_b
+          GROUP BY 1),
+        iw AS (
+          SELECT CAST(SUM(n_members * (n_members - 1) // 2) AS BIGINT)
+                   AS intra_pairs
+          FROM st_grp WHERE has_sig AND n_members >= 2),
+        fl AS (
+          SELECT t.tau,
+                 CAST(SUM(g.n_members) AS BIGINT) AS n_docs_in_pairs
+          FROM taus t
+          JOIN (
+            SELECT tau, rep FROM (
+              SELECT t2.tau, v.doc_a AS rep FROM st_ver v
+              JOIN taus t2 ON v.jaccard >= t2.tau
+              UNION
+              SELECT t2.tau, v.doc_b AS rep FROM st_ver v
+              JOIN taus t2 ON v.jaccard >= t2.tau
+              UNION
+              SELECT t2.tau, g2.rep_doc AS rep
+              FROM st_grp g2 CROSS JOIN taus t2
+              WHERE g2.has_sig AND g2.n_members >= 2)
+          ) u ON u.tau = t.tau
+          JOIN st_grp g ON g.rep_doc = u.rep
+          GROUP BY 1)
+        SELECT t.tau,
+               COALESCE(cw.w, 0) + COALESCE(iw.intra_pairs, 0) AS n_pairs,
+               COALESCE(fl.n_docs_in_pairs, 0) AS n_docs_in_pairs
+        FROM taus t
+        LEFT JOIN cw ON cw.tau = t.tau
+        CROSS JOIN iw
+        LEFT JOIN fl ON fl.tau = t.tau
+        ORDER BY t.tau""",
+    )
+
+    return out
+
+
+ORACLES_BIG = _staged_dedup_oracles()
