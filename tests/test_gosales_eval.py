@@ -657,6 +657,90 @@ def _cases():
         g["delta"] = g["Quantity"] - g["Quantity"].shift(1)
         return g.rename(columns={"Quantity": "qty"})
 
+    def c41_sql(h):
+        # CAST AS NUMERIC → DOUBLE widening (SQLite NUMERIC affinity
+        # preserves the value; Spark decimal(10,0) would truncate)
+        return (
+            f"SELECT CAST(SUM(Quantity) AS NUMERIC) / 10 AS q FROM `{h['s']}`"
+        )
+
+    def c41_exp(frames):
+        return pd.DataFrame({"q": [float(frames["go_1k"]["Quantity"].sum()) / 10]})
+
+    def c42_sql(h):
+        # GLOB '^' escape edge: '^' is a regex metachar — unescaped it
+        # would anchor mid-pattern and match NOTHING here
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['p']}` "
+            f"WHERE (Product || '^' || Product_brand) GLOB '*^*'"
+        )
+
+    def c42_exp(frames):
+        return pd.DataFrame({"n": [len(frames["go_products"])]})
+
+    def c43_sql(h):
+        # GLOB '[^]]' edge: ']' FIRST in a negated class is a literal
+        # member, not the class terminator
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['p']}` "
+            f"WHERE Product GLOB '[^]]*'"
+        )
+
+    def c43_exp(frames):
+        p = frames["go_products"]["Product"].astype(str)
+        return pd.DataFrame({"n": [int((~p.str.startswith("]")).sum())]})
+
+    def c44_sql(h):
+        # SQLite json '->>' operator → get_json_object
+        return (
+            f"SELECT js ->> '$.q' AS q FROM "
+            f"(SELECT concat('{{\"q\": ', Quantity, '}}') AS js FROM `{h['s']}`) t"
+        )
+
+    def c44_exp(frames):
+        return pd.DataFrame({"q": frames["go_1k"]["Quantity"].astype(str)})
+
+    def c45_sql(h):
+        # SQLite/MySQL offset-first LIMIT 5, 3 → LIMIT 3 OFFSET 5
+        return (
+            f"SELECT Product FROM `{h['p']}` ORDER BY Product LIMIT 5, 3"
+        )
+
+    def c45_exp(frames):
+        prods = frames["go_products"]["Product"].sort_values()
+        return pd.DataFrame({"Product": prods.iloc[5:8].tolist()})
+
+    def c46_sql(h):
+        # date('now', '-1 day') modifier form → date_add arithmetic
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['s']}` "
+            f"WHERE to_date(Date, 'dd/MM/yyyy') < date('now', '-1 day')"
+        )
+
+    def c46_exp(frames):
+        return pd.DataFrame({"n": [len(frames["go_1k"])]})
+
+    def c47_sql(h):
+        # random() → rand(); never NULL on either engine
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['s']}` "
+            f"WHERE random() IS NOT NULL"
+        )
+
+    def c47_exp(frames):
+        return pd.DataFrame({"n": [len(frames["go_1k"])]})
+
+    def c48_sql(h):
+        # unixepoch() (SQLite >= 3.38) → unix_timestamp
+        return (
+            f"SELECT CAST(unixepoch(MIN(to_date(Date, 'dd/MM/yyyy'))) AS BIGINT) "
+            f"AS t FROM `{h['s']}`"
+        )
+
+    def c48_exp(frames):
+        d = pd.to_datetime(frames["go_1k"]["Date"], format="%d/%m/%Y")
+        return pd.DataFrame({"t": [int(d.min().timestamp())]})
+
     return [
         ("c01-join-revenue-by-line", "total revenue by product line", c01_sql, c01_exp),
         ("c02-top3-countries", "top 3 countries by quantity sold", c02_sql, c02_exp),
@@ -698,6 +782,14 @@ def _cases():
         ("c38-exists-bulk", "products with a big order", c38_sql, c38_exp),
         ("c39-self-join-pairs", "same line color pairs", c39_sql, c39_exp),
         ("c40-cte-window-mom", "month over month delta 2018", c40_sql, c40_exp),
+        ("c41-cast-numeric", "tenth of total quantity", c41_sql, c41_exp),
+        ("c42-glob-caret", "products with caret marker", c42_sql, c42_exp),
+        ("c43-glob-negated-rbracket", "products not bracketed", c43_sql, c43_exp),
+        ("c44-json-arrow", "quantities from json", c44_sql, c44_exp),
+        ("c45-limit-comma", "products page two short", c45_sql, c45_exp),
+        ("c46-date-now-modifier", "sales before yesterday", c46_sql, c46_exp),
+        ("c47-random-not-null", "row count via random", c47_sql, c47_exp),
+        ("c48-unixepoch-first-sale", "first sale epoch", c48_sql, c48_exp),
     ]
 
 
