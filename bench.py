@@ -204,7 +204,22 @@ def _child_one_query(name: str) -> None:
         except Exception:
             pass
     n_runs = int(os.environ.get("BENCH_RUNS", "5"))
-    print(json.dumps({"name": name, "sec": _run_one(spark, sf_dir, name, fn, n_runs)}))
+    sec = _run_one(spark, sf_dir, name, fn, n_runs)
+    # normalize inside the SAME child JVM the query ran in: cross-run
+    # comparison divides out this JVM's share of machine state
+    # (round-6 verdict #5 — q11's 25% fresh-JVM spread tracked the
+    # ref-query ratio)
+    ref_s = _ref_query_s(spark)
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "sec": sec,
+                "ref_query_s": ref_s,
+                "norm": round(sec / ref_s, 3) if ref_s else None,
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -225,6 +240,7 @@ def main() -> None:
         import subprocess
 
         timings: dict[str, float] = {}
+        normalized: dict[str, float] = {}
         for name in _queries(sf_dir):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--query", name],
@@ -232,7 +248,9 @@ def main() -> None:
                 text=True,
                 check=True,
             )
-            timings[name] = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            timings[name] = rec["sec"]
+            normalized[name] = rec.get("norm")
         from pandasqlite_spark.session import get_spark
 
         spark = get_spark("pandasqlite_spark_bench")
@@ -245,6 +263,10 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    # sec / that child JVM's own ref_query_s — the
+                    # machine-state-independent per-query number two
+                    # fresh runs are compared on (round-6 verdict #5)
+                    "queries_normalized": normalized,
                     "sf": sf,
                     "runs_per_query": int(os.environ.get("BENCH_RUNS", "5")),
                     "stat": "median",
@@ -300,6 +322,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_normalized": {
+                    k: (round(v / ref_s, 3) if ref_s else None)
+                    for k, v in timings.items()
+                },
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "stat": "median",
