@@ -489,9 +489,18 @@ def ivf_candidate_cosine(
     contingent on AQE choosing to broadcast (round-5 verdict #6).  The
     distinct candidate-id set is tiny (≤ queries × probed-cell
     population), so the semi-join broadcasts at any corpus scale."""
-    cand_vecs = corpus.join(
-        F.broadcast(cand.select("vec_id").distinct()), "vec_id", "left_semi"
-    )
+    # PANDASQLITE_IVF_NO_PRUNE=1 is a BENCH-ONLY escape hatch for the
+    # prune-in/prune-out A/B (round-6 verdict #4); results are
+    # identical either way (the candidate equi-join below bounds the
+    # output), only the explode input size changes
+    import os as _os
+
+    if _os.environ.get("PANDASQLITE_IVF_NO_PRUNE") == "1":
+        cand_vecs = corpus
+    else:
+        cand_vecs = corpus.join(
+            F.broadcast(cand.select("vec_id").distinct()), "vec_id", "left_semi"
+        )
     e = cand_vecs.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
         "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
     )

@@ -44,7 +44,9 @@ from pandasqlite_spark.streaming.events import (  # noqa: E402
 CONF_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
-def drain_and_measure(spark, build, mode: str, rocksdb: bool = False) -> dict:
+def drain_and_measure(
+    spark, build, mode: str, rocksdb: bool = False, meta: dict | None = None
+) -> dict:
     prev = spark.conf.get(CONF_KEY, None)
     if rocksdb:
         spark.conf.set(CONF_KEY, _ROCKSDB_PROVIDER)
@@ -92,6 +94,15 @@ def drain_and_measure(spark, build, mode: str, rocksdb: bool = False) -> dict:
         }
         if rocksdb:
             rec["rocksdb_sst_bytes"] = sst_bytes
+        # self-describing config (round-6 verdict #3: the JSON rows
+        # omitted evict/mode, so the artifact couldn't say which
+        # configuration ran) + the micro-batch sizing datum
+        rec["mode"] = mode
+        rec["rocksdb"] = rocksdb
+        if n_batches:
+            rec["rows_per_batch"] = round(rows_in / n_batches)
+        if meta:
+            rec.update(meta)
         return rec
     finally:
         if prev is None:
@@ -281,12 +292,79 @@ def main() -> int:
         ]
     for key, kw in mb:
         print(f"BENCH {key}", file=sys.stderr, flush=True)
-        results[key] = drain_and_measure(spark, **kw)
+        results[key] = drain_and_measure(spark, **kw, meta={"evict": True})
         print(f"  {results[key]}", file=sys.stderr, flush=True)
+
+    # ---- batch-size decomposition (round-6 verdict #3): the same 1M
+    # events through 4 / 12 / 48 files splits per-batch FIXED cost from
+    # per-row cost — total_batch_ms(n) = fixed_ms*n + per_row_ms*rows
+    # with rows constant, so the slope over n IS the fixed cost and the
+    # intercept is the per-row term.  This curve is what sizes the
+    # micro-batch knob at 100 TB.
+    sweep_files = [
+        int(x) for x in os.environ.get("STREAM_SWEEP_FILES", "4,12,48").split(",")
+    ]
+    sweep_keys = {
+        "rate-limit": lambda s: dict(
+            build=lambda: streaming_rate_limit(s()), mode="append", rocksdb=True
+        ),
+        "pattern-apply": lambda s: dict(
+            build=lambda: stateful.sequence_match_stream(s(), evict=True),
+            mode="append",
+            rocksdb=True,
+        ),
+    }
+    curve: dict[str, list[dict]] = {k: [] for k in sweep_keys}
+    for nf in sweep_files:
+        stg = os.path.join(
+            os.environ.get("STREAM_STAGING_ROOT", "/tmp/stream_stage"),
+            os.path.basename(os.path.normpath(sf_dir)) + f"_{nf}",
+        )
+        print(f"STAGING sweep {nf} files -> {stg}", file=sys.stderr)
+        stage_time_ordered_files(spark, sf_dir, nf, stg)
+        ssrc = lambda stg=stg: read_staged_stream(spark, stg)  # noqa: E731
+        for kname, mk in sweep_keys.items():
+            key = f"mb{nf}-{kname}"
+            print(f"BENCH {key}", file=sys.stderr, flush=True)
+            rec = drain_and_measure(
+                spark, **mk(ssrc), meta={"evict": True, "files": nf}
+            )
+            results[key] = rec
+            print(f"  {rec}", file=sys.stderr, flush=True)
+            if "batch_ms" in rec and rec.get("n_batches"):
+                curve[kname].append(rec)
+
+    decomposition = {}
+    for kname, pts in curve.items():
+        if len(pts) >= 2:
+            # least squares on batch_ms = fixed*n_batches + c
+            n = [p["n_batches"] for p in pts]
+            y = [p["batch_ms"] for p in pts]
+            k = len(pts)
+            sn, sy = sum(n), sum(y)
+            snn, sny = sum(a * a for a in n), sum(a * b for a, b in zip(n, y))
+            denom = k * snn - sn * sn
+            fixed = (k * sny - sn * sy) / denom if denom else None
+            c = (sy - (fixed or 0) * sn) / k
+            rows = pts[0]["rows_in"]
+            decomposition[kname] = {
+                "fixed_ms_per_batch": round(fixed, 1) if fixed is not None else None,
+                "per_row_us": round(c / rows * 1000.0, 3) if rows else None,
+                "points": [
+                    {"files": p.get("files"), "n_batches": p["n_batches"],
+                     "batch_ms": p["batch_ms"], "events_per_s": p["events_per_s"]}
+                    for p in pts
+                ],
+            }
 
     print(
         json.dumps(
-            {"sf_dir": sf_dir, "multibatch_files": n_batches, "streams": results},
+            {
+                "sf_dir": sf_dir,
+                "multibatch_files": n_batches,
+                "streams": results,
+                "batch_size_decomposition": decomposition,
+            },
             indent=2,
         )
     )
