@@ -292,7 +292,9 @@ def main() -> int:
         ]
     for key, kw in mb:
         print(f"BENCH {key}", file=sys.stderr, flush=True)
-        results[key] = drain_and_measure(spark, **kw, meta={"evict": True})
+        results[key] = drain_and_measure(
+            spark, **kw, meta={"evict": True, "files": n_batches}
+        )
         print(f"  {results[key]}", file=sys.stderr, flush=True)
 
     # ---- batch-size decomposition (round-6 verdict #3): the same 1M
