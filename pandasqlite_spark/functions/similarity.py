@@ -2660,3 +2660,91 @@ ORACLES["simsearch-hamming-recall"] = f"""
     LEFT JOIN hits h ON h.query_id = qq.query_id
     ORDER BY qq.query_id
 """
+
+
+def _emb_bucketed_oracle_staged(n_chunks: int = 8) -> str:
+    """Staged big-SF twin of ``dedup-embedding-bucketed``: the registry
+    oracle's candidate-pair dot join is ~13-32M pairs × 64 positions at
+    sf10 (~2G join rows) — DuckDB spilled >60 GB of temp and died
+    (round-7 sweep).  Same semantics, three structural changes for the
+    verifier's single-node execution model:
+
+    1. exact-duplicate COLLAPSE on the embedding array (sf10 replicates
+       vectors ~1.6×; bucket, norm, and pairwise cosine are functions
+       of the vectors alone, so member pairs inherit the rep pair's
+       cosine and intra-group pairs score ``nn/(sqrt(nn)*sqrt(nn))`` —
+       the exact expression both engines evaluate for an identical
+       pair, NOT a literal 1.0);
+    2. every intermediate materialized ONCE into a temp table (the
+       graph-oracle pattern);
+    3. the pair-dot join processed in ``n_chunks`` hash-disjoint
+       chunks (``va % n_chunks``), bounding peak temp to ~1/n_chunks
+       of the monolithic join.
+    """
+    stmts = [
+        "DROP TABLE IF EXISTS eb_grp",
+        f"""CREATE TEMP TABLE eb_grp AS
+        SELECT MIN(vec_id) AS rep_vec, COUNT(*) AS n_members, embedding
+        FROM embeddings GROUP BY embedding""",
+        "DROP TABLE IF EXISTS eb_map",
+        """CREATE TEMP TABLE eb_map AS
+        SELECT e.vec_id, g.rep_vec
+        FROM embeddings e
+        JOIN eb_grp g ON g.embedding = e.embedding""",
+        "DROP TABLE IF EXISTS eb_s",
+        f"""CREATE TEMP TABLE eb_s AS
+        SELECT rep_vec AS vec_id, {_SIGN_BUCKET_SQL} AS bucket FROM eb_grp""",
+        "DROP TABLE IF EXISTS eb_e",
+        """CREATE TEMP TABLE eb_e AS
+        SELECT rep_vec AS vec_id, t.i AS pos,
+               CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+        FROM eb_grp, generate_series(1, 64) t(i)""",
+        "DROP TABLE IF EXISTS eb_n",
+        """CREATE TEMP TABLE eb_n AS
+        SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS nn FROM eb_e GROUP BY 1""",
+        "DROP TABLE IF EXISTS eb_cand",
+        """CREATE TEMP TABLE eb_cand AS
+        SELECT sa.vec_id AS va, sb.vec_id AS vb
+        FROM eb_s sa JOIN eb_s sb
+          ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id""",
+        "DROP TABLE IF EXISTS eb_d",
+        """CREATE TEMP TABLE eb_d
+        (va BIGINT, vb BIGINT, dot DOUBLE)""",
+    ]
+    for i in range(n_chunks):
+        stmts.append(
+            f"""INSERT INTO eb_d
+            SELECT c.va, c.vb, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+            FROM eb_cand c
+            JOIN eb_e a ON a.vec_id = c.va
+            JOIN eb_e b ON b.vec_id = c.vb AND b.pos = a.pos
+            WHERE c.va % {n_chunks} = {i}
+            GROUP BY 1, 2"""
+        )
+    stmts.append(
+        f"""WITH rep_pass AS (
+          SELECT d.va, d.vb, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+          FROM eb_d d
+          JOIN eb_n na ON na.vec_id = d.va
+          JOIN eb_n nb ON nb.vec_id = d.vb
+          WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {COSINE_DUP_THRESHOLD})
+        SELECT LEAST(ma.vec_id, mb.vec_id) AS va,
+               GREATEST(ma.vec_id, mb.vec_id) AS vb,
+               r.cosine
+        FROM rep_pass r
+        JOIN eb_map ma ON ma.rep_vec = r.va
+        JOIN eb_map mb ON mb.rep_vec = r.vb
+        UNION ALL
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               n.nn / (sqrt(n.nn) * sqrt(n.nn)) AS cosine
+        FROM eb_map a
+        JOIN eb_map b ON a.rep_vec = b.rep_vec AND a.vec_id < b.vec_id
+        JOIN eb_n n ON n.vec_id = a.rep_vec
+        WHERE n.nn / (sqrt(n.nn) * sqrt(n.nn)) >= {COSINE_DUP_THRESHOLD}"""
+    )
+    return ";\n".join(stmts)
+
+
+ORACLES_BIG = {
+    "dedup-embedding-bucketed": _emb_bucketed_oracle_staged(),
+}
