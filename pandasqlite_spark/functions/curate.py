@@ -350,3 +350,47 @@ def _coverage_oracle_staged(k: int = COVERAGE_K) -> str:
 ORACLES_BIG = {
     "corpus-coverage-select": _coverage_oracle_staged(),
 }
+
+
+def _semantic_oracle_staged() -> str:
+    """Staged big-SF twin of ``dedup-semantic``: the registry oracle
+    nests the uncollapsed bucketed-pairs oracle (a ~2G-row pair-dot
+    join that exhausted the sf10 verifier's temp disk) inside a
+    member-level transitive closure.  This twin reuses the shared
+    embedding collapse staging (:func:`similarity._emb_staged_common`:
+    rep-level chunked dots → ``eb_pass`` passing pairs + ``eb_intra_ok``
+    threshold-passing duplicate groups), runs the connected-components
+    closure at REP level, and recovers member labels by expansion: a
+    member's component is its group's component (group cliques merge
+    via rep edges; the component's minimum member id equals the
+    rep-level label because every group's minimum member IS its rep)."""
+    from pandasqlite_spark.functions.similarity import _emb_staged_common
+
+    stmts = _emb_staged_common()
+    stmts += [
+        "DROP TABLE IF EXISTS eb_cc",
+        """CREATE TEMP TABLE eb_cc AS
+        WITH RECURSIVE edges AS (
+          SELECT va AS u, vb AS v FROM eb_pass
+          UNION ALL
+          SELECT vb AS u, va AS v FROM eb_pass),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        SELECT u AS rep_vec, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u""",
+        """SELECT m.vec_id AS doc_id,
+               COALESCE(c.comp, m.rep_vec) AS rep_id,
+               d.lang
+        FROM eb_map m
+        LEFT JOIN eb_cc c ON c.rep_vec = m.rep_vec
+        LEFT JOIN eb_intra_ok i ON i.rep_vec = m.rep_vec
+        JOIN documents d ON d.doc_id = m.vec_id
+        WHERE c.rep_vec IS NOT NULL OR i.rep_vec IS NOT NULL""",
+    ]
+    return ";\n".join(stmts)
+
+
+ORACLES_BIG = {
+    "dedup-semantic": _semantic_oracle_staged(),
+}

@@ -2662,7 +2662,7 @@ ORACLES["simsearch-hamming-recall"] = f"""
 """
 
 
-def _emb_bucketed_oracle_staged(n_chunks: int = 8) -> str:
+def _emb_staged_common(n_chunks: int = 8) -> list[str]:
     """Staged big-SF twin of ``dedup-embedding-bucketed``: the registry
     oracle's candidate-pair dot join is ~13-32M pairs × 64 positions at
     sf10 (~2G join rows) — DuckDB spilled >60 GB of temp and died
@@ -2721,26 +2721,42 @@ def _emb_bucketed_oracle_staged(n_chunks: int = 8) -> str:
             WHERE c.va % {n_chunks} = {i}
             GROUP BY 1, 2"""
         )
+    stmts += [
+        "DROP TABLE IF EXISTS eb_pass",
+        f"""CREATE TEMP TABLE eb_pass AS
+        SELECT d.va, d.vb, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+        FROM eb_d d
+        JOIN eb_n na ON na.vec_id = d.va
+        JOIN eb_n nb ON nb.vec_id = d.vb
+        WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {COSINE_DUP_THRESHOLD}""",
+        # intra-group member pairs pass iff the identical-pair cosine
+        # expression (NOT a literal 1.0 — sqrt(nn)*sqrt(nn) != nn in
+        # IEEE) clears the threshold, evaluated exactly as both engines
+        # evaluate it for a member pair
+        "DROP TABLE IF EXISTS eb_intra_ok",
+        f"""CREATE TEMP TABLE eb_intra_ok AS
+        SELECT g.rep_vec, n.nn / (sqrt(n.nn) * sqrt(n.nn)) AS cosine
+        FROM eb_grp g JOIN eb_n n ON n.vec_id = g.rep_vec
+        WHERE g.n_members >= 2
+          AND n.nn / (sqrt(n.nn) * sqrt(n.nn)) >= {COSINE_DUP_THRESHOLD}""",
+    ]
+    return stmts
+
+
+def _emb_bucketed_oracle_staged(n_chunks: int = 8) -> str:
+    stmts = _emb_staged_common(n_chunks)
     stmts.append(
-        f"""WITH rep_pass AS (
-          SELECT d.va, d.vb, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
-          FROM eb_d d
-          JOIN eb_n na ON na.vec_id = d.va
-          JOIN eb_n nb ON nb.vec_id = d.vb
-          WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {COSINE_DUP_THRESHOLD})
-        SELECT LEAST(ma.vec_id, mb.vec_id) AS va,
+        """SELECT LEAST(ma.vec_id, mb.vec_id) AS va,
                GREATEST(ma.vec_id, mb.vec_id) AS vb,
                r.cosine
-        FROM rep_pass r
+        FROM eb_pass r
         JOIN eb_map ma ON ma.rep_vec = r.va
         JOIN eb_map mb ON mb.rep_vec = r.vb
         UNION ALL
-        SELECT a.vec_id AS va, b.vec_id AS vb,
-               n.nn / (sqrt(n.nn) * sqrt(n.nn)) AS cosine
-        FROM eb_map a
-        JOIN eb_map b ON a.rep_vec = b.rep_vec AND a.vec_id < b.vec_id
-        JOIN eb_n n ON n.vec_id = a.rep_vec
-        WHERE n.nn / (sqrt(n.nn) * sqrt(n.nn)) >= {COSINE_DUP_THRESHOLD}"""
+        SELECT a.vec_id AS va, b.vec_id AS vb, i.cosine
+        FROM eb_intra_ok i
+        JOIN eb_map a ON a.rep_vec = i.rep_vec
+        JOIN eb_map b ON b.rep_vec = i.rep_vec AND a.vec_id < b.vec_id"""
     )
     return ";\n".join(stmts)
 

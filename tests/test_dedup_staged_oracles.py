@@ -7,13 +7,18 @@ from __future__ import annotations
 
 import pytest
 
-from pandasqlite_spark.functions import dedup, similarity
+from pandasqlite_spark.functions import curate, dedup, similarity
 from pandasqlite_spark.functions.analytics import ORACLES_BIG as AN_BIG
 from pandasqlite_spark.functions.analytics import ORACLES as AN_ORACLES
 from tests.util import compare_frames, duckdb_connection
 
-ORACLES = {**dedup.ORACLES, **similarity.ORACLES, **AN_ORACLES}
-ORACLES_BIG = {**dedup.ORACLES_BIG, **similarity.ORACLES_BIG, **AN_BIG}
+ORACLES = {**dedup.ORACLES, **similarity.ORACLES, **curate.ORACLES, **AN_ORACLES}
+ORACLES_BIG = {
+    **dedup.ORACLES_BIG,
+    **similarity.ORACLES_BIG,
+    **curate.ORACLES_BIG,
+    **AN_BIG,
+}
 
 
 @pytest.mark.parametrize("key", sorted(ORACLES_BIG))
