@@ -498,6 +498,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
         edges.selectExpr("doc_b AS u", "doc_a AS v")
     )
+    # materialize the edge list ONCE before iterating: labels were
+    # already checkpointed per round, but `sym` kept its full lineage,
+    # so EVERY round's join (and its changed-count action) re-executed
+    # the upstream edge derivation — invisible at sf0.1, a ~10×
+    # wall-clock multiplier at sf10 where dedup-semantic's edges are a
+    # ~5G-row bucketed cosine join (found live in the round-7 sweep)
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
     for _ in range(max_iter):
         nbr = (
