@@ -486,15 +486,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     ``rep_id`` is the smallest doc_id in the node's component — the
     canonical document every near-dup cluster keeps.
 
-    Pregel-style neighbor-min label propagation: each round joins the
-    current labels to the symmetric edge list and takes the min over
-    neighbors, converging in O(component diameter) rounds.  Near-dup
-    clusters have tiny diameters (dups of dups of one source), so this
-    terminates in a handful of rounds; each round is one shuffle on the
-    node key and the frontier is ``localCheckpoint``-ed so the plan
-    doesn't grow with iterations.  (For adversarial long-chain graphs,
-    switch to large-star/small-star, which contracts in O(log n)
-    rounds — same join shape, different update rule.)"""
+    Pregel-style neighbor-min label propagation WITH pointer doubling:
+    each round (a) takes the min label over graph neighbors, then (b)
+    adopts the label of its own label (path-compression shortcut), so
+    the min label's reach doubles per round and convergence is
+    O(log diameter) — not O(diameter).  The doubling is load-bearing at
+    scale: plain neighbor-min under the 20-round cap silently returned
+    WRONG labels on sf10's semantic near-dup graph, whose largest
+    component has eccentricity 30 from its min node (found as a value
+    mismatch in the round-7 sf10 sweep; sf0.001–sf1 components are all
+    shallower than the cap, so only sf10 could catch it).  Each round
+    is two shuffles on the node/label keys and the frontier is
+    ``localCheckpoint``-ed so the plan doesn't grow with iterations."""
     sym = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
         edges.selectExpr("doc_b AS u", "doc_a AS v")
     )
@@ -514,6 +517,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         new = labels.join(nbr, "u", "left").select(
             "u", F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
+        )
+        # pointer doubling: adopt my label's own label, so the min
+        # label's reach doubles per round (O(log diameter) convergence)
+        ll = new.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = new.join(ll, "lbl", "left").select(
+            "u", F.least("lbl", F.coalesce("lbl2", F.col("lbl"))).alias("lbl")
         )
         new = new.localCheckpoint(eager=True)
         changed = (

@@ -578,3 +578,14 @@ def test_shingle_hash_collision_sentinel(spark, sf_dir):
         F.countDistinct(F.xxhash64("sh")).alias("n_hashes"),
     ).collect()[0]
     assert row.n_strings == row.n_hashes
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 64-link chain has eccentricity 64 from its min node — plain
+    neighbor-min propagation under the 20-round cap would stop early
+    with wrong labels (the sf10 dedup-semantic mismatch); pointer
+    doubling converges in O(log diameter)."""
+    edges = _edges(spark, [(i, i + 1) for i in range(1, 65)])
+    got = {r.doc_id: r.rep_id for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 65
