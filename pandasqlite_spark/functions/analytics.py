@@ -1298,24 +1298,88 @@ def rank_similarity_pairs(events: DataFrame, max_dist: int = 4) -> DataFrame:
     ranks = full.select(
         "user_id", "event_type", F.row_number().over(w).alias("r")
     )
-    top1 = ranks.filter(F.col("r") == 1).select(
-        "user_id", F.col("event_type").alias("t1")
+    # ---- value-domain collapse (round 7, SCHEMA BREAK — deliberate):
+    # through round 6 this key emitted the (ua, ub, footrule) pair
+    # LIST.  The footrule is a function of the ranking PERMUTATION
+    # alone, and a corpus has at most |types|! distinct rankings (119
+    # observed at sf10 across 150k users), so user pairs collapse into
+    # ranking-pair weight products — while the pair list itself is the
+    # quadratic object (~105M intra pairs at sf10 alone; its engine
+    # shuffle filled the sweep machine's disk).  The readout is now the
+    # exact per-distance HISTOGRAM (footrule, n_pairs, n_users) for
+    # d <= max_dist, computed entirely in the ranking domain: cross
+    # pairs count na*nb over top-1-blocked distinct-ranking pairs,
+    # same-ranking pairs count C(n,2) at d = 0, and n_users sums the
+    # member counts of the distinct rankings involved at each distance.
+    # Same phash-pairs precedent as round 6 (key name kept for ledger
+    # continuity; consumers of the pair list must migrate).
+    users = ranks.filter(F.col("user_id").isNotNull())
+    vec = users.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            "|",
+        ).alias("rv")
     )
-    pairs = (
-        top1.select(F.col("user_id").alias("ua"), "t1")
-        .join(top1.select(F.col("user_id").alias("ub"), "t1"), "t1")
-        .filter(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-    )
-    ra = ranks.select(F.col("user_id").alias("ua"), "event_type", F.col("r").alias("r_a"))
-    rb = ranks.select(F.col("user_id").alias("ub"), "event_type", F.col("r").alias("r_b"))
-    return (
-        pairs.join(ra, "ua")
-        .join(rb, ["ub", "event_type"])
-        .groupBy("ua", "ub")
+    gsz = vec.groupBy("rv").agg(F.count(F.lit(1)).alias("n_members"))
+    rv_ranks = gsz.select(
+        "rv", F.posexplode(F.split("rv", r"\|")).alias("r0", "event_type")
+    ).select("rv", "event_type", (F.col("r0") + 1).alias("r"))
+    t1 = F.split(F.col("rv"), r"\|").getItem(0)
+    a = gsz.select(F.col("rv").alias("rva"), F.col("n_members").alias("na"), t1.alias("t1"))
+    b = gsz.select(F.col("rv").alias("rvb"), F.col("n_members").alias("nb"), t1.alias("t1"))
+    rep_pairs = a.join(b, "t1").filter(F.col("rva") < F.col("rvb"))
+    fr = (
+        rep_pairs.join(
+            rv_ranks.select(F.col("rv").alias("rva"), "event_type", F.col("r").alias("r_a")),
+            "rva",
+        )
+        .join(
+            rv_ranks.select(F.col("rv").alias("rvb"), "event_type", F.col("r").alias("r_b")),
+            ["rvb", "event_type"],
+        )
+        .groupBy("rva", "rvb", "na", "nb")
         .agg(F.sum(F.abs(F.col("r_a") - F.col("r_b"))).alias("footrule"))
         .filter(F.col("footrule") <= max_dist)
-        .orderBy("ua", "ub")
+    )
+    cross_np = fr.groupBy("footrule").agg(
+        F.sum(F.col("na").cast("bigint") * F.col("nb").cast("bigint")).alias("np")
+    )
+    intra_np = gsz.agg(
+        F.sum(
+            F.col("n_members").cast("bigint")
+            * (F.col("n_members") - 1).cast("bigint")
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("np")
+    ).select(F.lit(0).cast("bigint").alias("footrule"), "np")
+    n_pairs = (
+        cross_np.select(F.col("footrule").cast("bigint"), "np")
+        .unionByName(intra_np)
+        .groupBy("footrule")
+        .agg(F.sum("np").alias("n_pairs"))
+    )
+    flagged = (
+        fr.select("footrule", F.col("rva").alias("rv"))
+        .unionByName(fr.select("footrule", F.col("rvb").alias("rv")))
+        .unionByName(
+            gsz.filter(F.col("n_members") >= 2).select(
+                F.lit(0).cast("bigint").alias("footrule"), "rv"
+            )
+        )
+        .select(F.col("footrule").cast("bigint"), "rv")
+        .distinct()
+        .join(gsz, "rv")
+        .groupBy("footrule")
+        .agg(F.sum(F.col("n_members").cast("bigint")).alias("n_users"))
+    )
+    return (
+        n_pairs.join(flagged, "footrule")
+        .select("footrule", "n_pairs", "n_users")
+        .orderBy("footrule")
     )
 
 
@@ -3466,17 +3530,50 @@ ORACLES = {
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY n DESC, event_type) AS r
           FROM full_),
-        top1 AS (SELECT user_id, event_type AS t1 FROM ranks WHERE r = 1),
-        pairs AS (
-          SELECT a.user_id AS ua, b.user_id AS ub
-          FROM top1 a JOIN top1 b ON a.t1 = b.t1 AND a.user_id < b.user_id)
-        SELECT p.ua, p.ub,
-               CAST(SUM(ABS(ra.r - rb.r)) AS BIGINT) AS footrule
-        FROM pairs p
-        JOIN ranks ra ON ra.user_id = p.ua
-        JOIN ranks rb ON rb.user_id = p.ub AND rb.event_type = ra.event_type
-        GROUP BY p.ua, p.ub HAVING SUM(ABS(ra.r - rb.r)) <= 4
-        ORDER BY p.ua, p.ub
+        vec AS (
+          SELECT user_id, string_agg(event_type, '|' ORDER BY r) AS rv
+          FROM ranks WHERE user_id IS NOT NULL GROUP BY 1),
+        gsz AS (SELECT rv, COUNT(*) AS n_members FROM vec GROUP BY 1),
+        rvr AS (
+          SELECT rv, t.e AS event_type, t.r
+          FROM gsz, LATERAL (
+            SELECT UNNEST(string_split(rv, '|')) AS e,
+                   UNNEST(range(1, len(string_split(rv, '|')) + 1)) AS r) t),
+        rp AS (
+          SELECT a.rv AS rva, b.rv AS rvb, a.n_members AS na, b.n_members AS nb
+          FROM gsz a JOIN gsz b
+            ON string_split(a.rv, '|')[1] = string_split(b.rv, '|')[1]
+           AND a.rv < b.rv),
+        fr AS (
+          SELECT p.rva, p.rvb, p.na, p.nb,
+                 CAST(SUM(ABS(ra.r - rb.r)) AS BIGINT) AS footrule
+          FROM rp p
+          JOIN rvr ra ON ra.rv = p.rva
+          JOIN rvr rb ON rb.rv = p.rvb AND rb.event_type = ra.event_type
+          GROUP BY 1, 2, 3, 4
+          HAVING SUM(ABS(ra.r - rb.r)) <= 4),
+        np AS (
+          SELECT footrule, CAST(SUM(CAST(na AS BIGINT) * nb) AS BIGINT) AS np
+          FROM fr GROUP BY 1
+          UNION ALL
+          SELECT CAST(0 AS BIGINT),
+                 CAST(SUM(n_members * (n_members - 1) // 2) AS BIGINT)
+          FROM gsz),
+        npairs AS (
+          SELECT footrule, CAST(SUM(np) AS BIGINT) AS n_pairs
+          FROM np GROUP BY 1),
+        fl AS (
+          SELECT footrule, CAST(SUM(n_members) AS BIGINT) AS n_users
+          FROM (
+            SELECT DISTINCT footrule, rv FROM (
+              SELECT footrule, rva AS rv FROM fr
+              UNION ALL SELECT footrule, rvb FROM fr
+              UNION ALL
+              SELECT CAST(0 AS BIGINT), rv FROM gsz WHERE n_members >= 2)
+          ) u JOIN gsz USING (rv) GROUP BY 1)
+        SELECT n.footrule, n.n_pairs, f.n_users
+        FROM npairs n JOIN fl f USING (footrule)
+        ORDER BY n.footrule
     """,
     # the oracle pins skyline semantics via the naive quadratic
     # NOT-EXISTS dominance test the windowed form replaces
