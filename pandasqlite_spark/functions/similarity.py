@@ -123,7 +123,17 @@ def _explode_dec(df: DataFrame, id_expr, arr: str = "embedding") -> DataFrame:
 def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Assign each vector to its max-dot-product centroid cell.  At
     100 TB: centroids are broadcast (k rows), the fact side never
-    shuffles for assignment — one narrow pass."""
+    shuffles for assignment — one narrow pass.
+
+    Like :func:`cosine_topk_exact`, the assignment's |cells|×64-row
+    blowup inherits the SCAN's partitioning: a small parquet (sf10
+    embeddings = 7 splits) serialized the 512-cell derived assignment
+    (~6.5G multiply-adds) onto 7 tasks — the residual straggler after
+    the brute-force fix.  Spread the pre-explode rows first; at real
+    fact/dim ratios the scan is already wide and this is a no-op."""
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism, id_col)
     e = _explode_dec(emb, F.col(id_col))
     c = _explode_dec(centroids, F.col("cid")).withColumnRenamed("x", "cx")
     dots = (
