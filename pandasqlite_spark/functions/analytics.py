@@ -3514,6 +3514,15 @@ ORACLES = {
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
         FROM g ORDER BY l_returnflag
     """,
+    # NAIVE member-level histogram: rank every user, block user pairs
+    # on the shared top-1 event, sum per-pair footrule, aggregate to
+    # the per-distance histogram.  Deliberately algorithm-independent
+    # from the engine's ranking-vector collapse (round-7 advice: the
+    # registry oracle had been rewritten to the SAME collapse the
+    # engine runs, so a bug in the shared collapse/top-1-blocking
+    # logic would have passed verification at every SF).  The collapsed
+    # form lives in ORACLES_BIG for big-SF sweeps, equivalence-tested
+    # against this one in tests/test_dedup_staged_oracles.py.
     "rank-similarity-join": """
         WITH counts AS (
           SELECT user_id, event_type, COUNT(*) AS n
@@ -3530,47 +3539,24 @@ ORACLES = {
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY n DESC, event_type) AS r
           FROM full_),
-        vec AS (
-          SELECT user_id, string_agg(event_type, '|' ORDER BY r) AS rv
-          FROM ranks WHERE user_id IS NOT NULL GROUP BY 1),
-        gsz AS (SELECT rv, COUNT(*) AS n_members FROM vec GROUP BY 1),
-        rvr AS (
-          SELECT rv, t.e AS event_type, t.r
-          FROM gsz, LATERAL (
-            SELECT UNNEST(string_split(rv, '|')) AS e,
-                   UNNEST(range(1, len(string_split(rv, '|')) + 1)) AS r) t),
-        rp AS (
-          SELECT a.rv AS rva, b.rv AS rvb, a.n_members AS na, b.n_members AS nb
-          FROM gsz a JOIN gsz b
-            ON string_split(a.rv, '|')[1] = string_split(b.rv, '|')[1]
-           AND a.rv < b.rv),
+        top1 AS (SELECT user_id, event_type AS t1 FROM ranks WHERE r = 1),
+        pairs AS (
+          SELECT a.user_id AS ua, b.user_id AS ub
+          FROM top1 a JOIN top1 b ON a.t1 = b.t1 AND a.user_id < b.user_id),
         fr AS (
-          SELECT p.rva, p.rvb, p.na, p.nb,
-                 CAST(SUM(ABS(ra.r - rb.r)) AS BIGINT) AS footrule
-          FROM rp p
-          JOIN rvr ra ON ra.rv = p.rva
-          JOIN rvr rb ON rb.rv = p.rvb AND rb.event_type = ra.event_type
-          GROUP BY 1, 2, 3, 4
-          HAVING SUM(ABS(ra.r - rb.r)) <= 4),
-        np AS (
-          SELECT footrule, CAST(SUM(CAST(na AS BIGINT) * nb) AS BIGINT) AS np
-          FROM fr GROUP BY 1
-          UNION ALL
-          SELECT CAST(0 AS BIGINT),
-                 CAST(SUM(n_members * (n_members - 1) // 2) AS BIGINT)
-          FROM gsz),
+          SELECT p.ua, p.ub, CAST(SUM(ABS(ra.r - rb.r)) AS BIGINT) AS footrule
+          FROM pairs p
+          JOIN ranks ra ON ra.user_id = p.ua
+          JOIN ranks rb ON rb.user_id = p.ub AND rb.event_type = ra.event_type
+          GROUP BY 1, 2 HAVING SUM(ABS(ra.r - rb.r)) <= 4),
         npairs AS (
-          SELECT footrule, CAST(SUM(np) AS BIGINT) AS n_pairs
-          FROM np GROUP BY 1),
+          SELECT footrule, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM fr GROUP BY 1),
         fl AS (
-          SELECT footrule, CAST(SUM(n_members) AS BIGINT) AS n_users
-          FROM (
-            SELECT DISTINCT footrule, rv FROM (
-              SELECT footrule, rva AS rv FROM fr
-              UNION ALL SELECT footrule, rvb FROM fr
-              UNION ALL
-              SELECT CAST(0 AS BIGINT), rv FROM gsz WHERE n_members >= 2)
-          ) u JOIN gsz USING (rv) GROUP BY 1)
+          SELECT footrule, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+          FROM (SELECT footrule, ua AS u FROM fr
+                UNION ALL SELECT footrule, ub FROM fr)
+          GROUP BY 1)
         SELECT n.footrule, n.n_pairs, f.n_users
         FROM npairs n JOIN fl f USING (footrule)
         ORDER BY n.footrule
@@ -4897,5 +4883,76 @@ ORACLES_BIG = {
         JOIN run r ON r.p_retailprice = p.p_retailprice
         WHERE NOT (COALESCE(r.m1 >= p.p_size, FALSE) OR r.pmax > p.p_size)
         ORDER BY p_partkey
+    """,
+    # rank-similarity-join's registry oracle is the naive member-level
+    # pair histogram — O(users²) within a top-1 block, ~105M pairs at
+    # sf10 (the quadratic that filled the round-7 sweep disk).  This
+    # twin restates the SAME readout in the ranking-permutation domain:
+    # users collapse onto their distinct ranking string, cross pairs
+    # weight na*nb over top-1-blocked distinct-ranking pairs, intra
+    # pairs count C(n,2) at d=0, and n_users sums the member counts of
+    # the rankings involved at each distance — ≤ |types|! rows at any
+    # corpus size.  Equivalence-tested against the naive form in
+    # tests/test_dedup_staged_oracles.py.
+    "rank-similarity-join": """
+        WITH counts AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        grid AS (
+          SELECT u.user_id, t.event_type
+          FROM (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        full_ AS (
+          SELECT g.user_id, g.event_type, COALESCE(c.n, 0) AS n
+          FROM grid g LEFT JOIN counts c USING (user_id, event_type)),
+        ranks AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS r
+          FROM full_),
+        vec AS (
+          SELECT user_id, string_agg(event_type, '|' ORDER BY r) AS rv
+          FROM ranks WHERE user_id IS NOT NULL GROUP BY 1),
+        gsz AS (SELECT rv, COUNT(*) AS n_members FROM vec GROUP BY 1),
+        rvr AS (
+          SELECT rv, t.e AS event_type, t.r
+          FROM gsz, LATERAL (
+            SELECT UNNEST(string_split(rv, '|')) AS e,
+                   UNNEST(range(1, len(string_split(rv, '|')) + 1)) AS r) t),
+        rp AS (
+          SELECT a.rv AS rva, b.rv AS rvb, a.n_members AS na, b.n_members AS nb
+          FROM gsz a JOIN gsz b
+            ON string_split(a.rv, '|')[1] = string_split(b.rv, '|')[1]
+           AND a.rv < b.rv),
+        fr AS (
+          SELECT p.rva, p.rvb, p.na, p.nb,
+                 CAST(SUM(ABS(ra.r - rb.r)) AS BIGINT) AS footrule
+          FROM rp p
+          JOIN rvr ra ON ra.rv = p.rva
+          JOIN rvr rb ON rb.rv = p.rvb AND rb.event_type = ra.event_type
+          GROUP BY 1, 2, 3, 4
+          HAVING SUM(ABS(ra.r - rb.r)) <= 4),
+        np AS (
+          SELECT footrule, CAST(SUM(CAST(na AS BIGINT) * nb) AS BIGINT) AS np
+          FROM fr GROUP BY 1
+          UNION ALL
+          SELECT CAST(0 AS BIGINT),
+                 CAST(SUM(n_members * (n_members - 1) // 2) AS BIGINT)
+          FROM gsz),
+        npairs AS (
+          SELECT footrule, CAST(SUM(np) AS BIGINT) AS n_pairs
+          FROM np GROUP BY 1),
+        fl AS (
+          SELECT footrule, CAST(SUM(n_members) AS BIGINT) AS n_users
+          FROM (
+            SELECT DISTINCT footrule, rv FROM (
+              SELECT footrule, rva AS rv FROM fr
+              UNION ALL SELECT footrule, rvb FROM fr
+              UNION ALL
+              SELECT CAST(0 AS BIGINT), rv FROM gsz WHERE n_members >= 2)
+          ) u JOIN gsz USING (rv) GROUP BY 1)
+        SELECT n.footrule, n.n_pairs, f.n_users
+        FROM npairs n JOIN fl f USING (footrule)
+        ORDER BY n.footrule
     """,
 }

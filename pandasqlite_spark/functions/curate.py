@@ -391,6 +391,8 @@ def _semantic_oracle_staged() -> str:
     return ";\n".join(stmts)
 
 
-ORACLES_BIG = {
-    "dedup-semantic": _semantic_oracle_staged(),
-}
+# Merge — a second dict literal here would REBIND the module attribute
+# and silently drop the earlier staged twins (round-7 advice: the
+# `corpus-coverage-select` twin vanished exactly that way, and the sf10
+# sweep fell back to the verifier-infeasible registry oracle).
+ORACLES_BIG["dedup-semantic"] = _semantic_oracle_staged()

@@ -187,10 +187,16 @@ def main() -> int:
                 # ever held).
                 tc = time.perf_counter()
                 df = queries[key](spark, sf_dir)
-                problems = compare_streamed(df, con, oracles[key])
+                st: dict = {}
+                problems = compare_streamed(df, con, oracles[key], stats=st)
                 compare_s = time.perf_counter() - tc
-                count_bad = [p for p in problems if p.startswith("row count")]
-                rec["rows_match"] = not count_bad
+                rec["spark_rows"] = st.get("spark_rows")
+                rec["oracle_rows"] = st.get("oracle_rows")
+                rec["rows_match"] = (
+                    st.get("spark_rows") == st.get("oracle_rows")
+                    if st
+                    else not any(p.startswith("row count") for p in problems)
+                )
                 rec["schema_match"] = not any(
                     p.startswith("columns") for p in problems
                 )

@@ -4,9 +4,17 @@ sf10 ledger table (round-6 verdict #1: "SWEEP_SF10.md carries a 399-row
 table, every key value-proven or explicitly size-contracted with its
 reason; zero mismatches").
 
-A key's status is the best verdict across all artifacts (a later clean
-pass supersedes an earlier environmental error).  Keys never attempted
-or only ever errored print as OPEN with the latest error snippet.
+Merge policy (round-7 verdict #4 — a value divergence must never print
+as an environmental hiccup):
+
+- artifacts are ordered by mtime; within a key, the LATEST evidence of
+  each kind wins;
+- a key whose newest evidence is a completed compare with
+  ``hash_match: false`` (or rows/schema false) renders as **MISMATCH**,
+  distinct from an execution ERROR — even if an older artifact passed;
+- a clean pass supersedes any OLDER mismatch or environmental error;
+- keys never attempted, or only ever errored, print as OPEN with the
+  latest error snippet.
 
 Usage: python scripts/sf10_ledger.py [repo_dir] > ledger.md
 """
@@ -22,12 +30,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def merge(repo: str) -> dict[str, dict]:
-    best: dict[str, dict] = {}
+    # per key, the most recent record of each kind: pass / mismatch / error
+    latest: dict[str, dict[str, tuple[int, dict]]] = {}
     files = sorted(
         glob.glob(os.path.join(repo, "SWEEP_SF10*.json"))
-        + glob.glob(os.path.join(repo, "SWEEP_SF10*.json.partial"))
+        + glob.glob(os.path.join(repo, "SWEEP_SF10*.json.partial")),
+        key=lambda f: os.path.getmtime(f),
     )
-    for f in files:
+    for idx, f in enumerate(files):
         if ".timing" in f:
             continue
         try:
@@ -41,14 +51,47 @@ def merge(repo: str) -> dict[str, dict]:
             if not isinstance(v, dict) or "hash_match" not in v:
                 continue
             ok = bool(v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
-            prev = best.get(k)
-            if prev is None or (ok and not prev["ok"]):
-                best[k] = {
-                    "ok": ok,
-                    "rows": v.get("spark_rows"),
-                    "err": (v.get("err") or "")[:90],
-                    "src": src,
-                }
+            err = v.get("err") or ""
+            # A record is a MISMATCH only if the compare actually
+            # COMPLETED and disagreed: the oracle produced rows
+            # (oracle_rows set), or a match flag is true (flags are only
+            # set by a completed compare), or the err text is one of the
+            # comparator's own problem strings.  An exception repr with
+            # no completed compare — even with spark_rows populated
+            # (engine ran, oracle died) — is an execution ERROR.
+            compared = (
+                v.get("oracle_rows") is not None
+                or v.get("rows_match")
+                or v.get("schema_match")
+                or err.startswith(("row count", "columns:", "values differ", "hash "))
+            )
+            if ok:
+                kind = "pass"
+            elif compared:
+                kind = "mismatch"
+            else:
+                kind = "error"
+            rec = {
+                "ok": ok,
+                "kind": kind,
+                "rows": v.get("spark_rows"),
+                "err": (v.get("err") or "")[:90],
+                "src": src,
+            }
+            latest.setdefault(k, {})[kind] = (idx, rec)
+    best: dict[str, dict] = {}
+    for k, kinds in latest.items():
+        # newest mismatch outranks an older pass; a newer pass clears it
+        order = sorted(kinds.items(), key=lambda kv: kv[1][0], reverse=True)
+        newest_kind, (newest_idx, newest_rec) = order[0]
+        if newest_kind == "error" and "pass" in kinds:
+            # an environmental error never hides an earlier clean pass —
+            # unless a mismatch is newer than that pass
+            p_idx, p_rec = kinds["pass"]
+            m = kinds.get("mismatch")
+            best[k] = m[1] if m and m[0] > p_idx else p_rec
+        else:
+            best[k] = newest_rec
     return best
 
 
@@ -61,14 +104,25 @@ def main() -> int:
     keys = sorted(entrymod.queries())
     best = merge(repo)
     n_pass = sum(1 for k in keys if best.get(k, {}).get("ok"))
-    n_open = len(keys) - n_pass
-    print(f"## sf10 ledger — {n_pass}/{len(keys)} value-proven, {n_open} open\n")
+    n_mismatch = sum(
+        1 for k in keys if best.get(k, {}).get("kind") == "mismatch"
+    )
+    n_open = len(keys) - n_pass - n_mismatch
+    print(
+        f"## sf10 ledger — {n_pass}/{len(keys)} value-proven, "
+        f"{n_mismatch} MISMATCH, {n_open} open\n"
+    )
     print("| key | status | rows | artifact / note |")
     print("|---|---|---|---|")
     for k in keys:
         b = best.get(k)
         if b and b["ok"]:
             print(f"| {k} | pass | {b['rows']} | {b['src']} |")
+        elif b and b["kind"] == "mismatch":
+            print(
+                f"| {k} | **MISMATCH** | {b['rows']} | "
+                f"value divergence: {b['err'] or 'hash_match=false'} ({b['src']}) |"
+            )
         elif b:
             print(f"| {k} | OPEN | — | last error: {b['err']} ({b['src']}) |")
         else:

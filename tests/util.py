@@ -247,6 +247,7 @@ def compare_streamed(
     *,
     chunk_rows: int = 2_000_000,
     scratch_dir: str | None = None,
+    stats: dict | None = None,
 ) -> list[str]:
     """Order-insensitive value comparison that never materializes either
     side as ONE pandas frame — for full-projection keys whose 60M-row
@@ -298,7 +299,10 @@ def compare_streamed(
         ha = np.concatenate(a_parts) if a_parts else np.empty(0, dtype="uint64")
 
         reader = duck_con.execute(oracle_sql).fetch_record_batch(chunk_rows)
-        oracle_cols: list[str] | None = None
+        # schema from the READER, not the first batch: a zero-batch
+        # oracle would otherwise be assumed schema-equal to the Spark
+        # side and a 0-vs-0-row comparison could mask a column mismatch
+        oracle_cols = sorted(reader.schema.names)
         spot_b: list = []
         b_parts = []
         while True:
@@ -306,14 +310,13 @@ def compare_streamed(
                 batch = reader.read_next_batch()
             except StopIteration:
                 break
-            if oracle_cols is None:
-                oracle_cols = sorted(batch.schema.names)
             if batch.num_rows:
                 b_parts.append(_chunk_hashes(_to_pandas(batch), spot_b))
         hb = np.concatenate(b_parts) if b_parts else np.empty(0, dtype="uint64")
-        if oracle_cols is None:
-            oracle_cols = spark_cols  # zero-batch oracle: count check decides
 
+        if stats is not None:
+            stats["spark_rows"] = int(len(ha))
+            stats["oracle_rows"] = int(len(hb))
         if spark_cols != oracle_cols:
             return [f"columns: spark={spark_cols} oracle={oracle_cols}"]
         if len(ha) != len(hb):
