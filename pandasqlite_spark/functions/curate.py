@@ -18,8 +18,8 @@ one groupBy (normalized-hash dedup) → one broadcast anti-join
 (contamination; the benchmark shingle set is tiny) → per-row split
 hash.  Nothing materializes between stages and the only fact-table
 shuffle is the dedup groupBy.  The semantic path inherits the bucketed
-candidate join (never all-pairs) and the O(diameter) label-propagation
-rounds of its components.
+candidate join (never all-pairs) and the O(log² n) alternating-star
+contraction rounds of its connected components.
 """
 
 from __future__ import annotations

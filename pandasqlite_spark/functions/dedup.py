@@ -480,61 +480,96 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected edge list
     ``(doc_a, doc_b)`` → one ``(doc_id, rep_id)`` row per node, where
     ``rep_id`` is the smallest doc_id in the node's component — the
     canonical document every near-dup cluster keeps.
 
-    Pregel-style neighbor-min label propagation WITH pointer doubling:
-    each round (a) takes the min label over graph neighbors, then (b)
-    adopts the label of its own label (path-compression shortcut), so
-    the min label's reach doubles per round and convergence is
-    O(log diameter) — not O(diameter).  The doubling is load-bearing at
-    scale: plain neighbor-min under the 20-round cap silently returned
-    WRONG labels on sf10's semantic near-dup graph, whose largest
-    component has eccentricity 30 from its min node (found as a value
-    mismatch in the round-7 sf10 sweep; sf0.001–sf1 components are all
-    shallower than the cap, so only sf10 could catch it).  Each round
-    is two shuffles on the node/label keys and the frontier is
-    ``localCheckpoint``-ed so the plan doesn't grow with iterations."""
-    sym = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
-        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    algorithm behind GraphFrames' CC): each round rewires every node's
+    larger neighbors (large-star) and then its smaller neighbors
+    (small-star) onto the local minimum, contracting whole LABEL
+    REGIONS per round, until the edge set is a fixpoint — at which
+    point every node holds a direct edge to its component minimum.
+    O(log² n) rounds regardless of id placement.
+
+    Why not label propagation: the previous implementation
+    (neighbor-min + one label-of-label indirection per round) was
+    silently WRONG at sf10 — pointer doubling is defeated whenever a
+    region uniformly converges to the component's SECOND-smallest id
+    first: every such node's label-of-label is that id itself, so the
+    true minimum crawls back one hop per round and a 20-round cap
+    exits unconverged.  Found as the `dedup-semantic` sf10 hash
+    mismatch (round-8 bisection: one 149-doc region kept rep 1467
+    despite cosine-0.49 bucket edges into the rep-1271 component);
+    pinned by ``test_connected_components_second_min_far_end``.
+    Star contraction has no such failure mode, and a non-convergence
+    at ``max_iter`` now RAISES instead of returning wrong labels.
+
+    Scale shape: per round, two partial-aggregated min-groupBys and
+    two key-equi-joins over the (shrinking) edge set; the edge list is
+    canonicalized + ``localCheckpoint``-ed once up front so the
+    upstream derivation (at sf10 a ~5G-row bucketed cosine join) is
+    never re-executed across rounds, and each round's result is
+    checkpointed so the plan stays constant-depth."""
+    e = (
+        edges.selectExpr("doc_a AS x", "doc_b AS y")
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
+        .distinct()
     )
-    # materialize the edge list ONCE before iterating: labels were
-    # already checkpointed per round, but `sym` kept its full lineage,
-    # so EVERY round's join (and its changed-count action) re-executed
-    # the upstream edge derivation — invisible at sf0.1, a ~10×
-    # wall-clock multiplier at sf10 where dedup-semantic's edges are a
-    # ~5G-row bucketed cosine join (found live in the round-7 sweep)
-    sym = sym.localCheckpoint(eager=True)
-    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    # materialize ONCE before iterating (round-7 fix, kept): every
+    # round re-reads the edge set; without this the full upstream
+    # lineage re-executes per round — a ~10× wall multiplier at sf10
+    e = e.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr = (
-            sym.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        # large-star: for each node u, hook every LARGER neighbor onto
+        # min(N(u) ∪ {u}) — emitted edges stay (larger, smaller)
+        sym = e.selectExpr("a AS u", "b AS v").unionAll(
+            e.selectExpr("b AS u", "a AS v")
         )
-        new = labels.join(nbr, "u", "left").select(
-            "u", F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        # pointer doubling: adopt my label's own label, so the min
-        # label's reach doubles per round (O(log diameter) convergence)
-        ll = new.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2"))
-        new = new.join(ll, "lbl", "left").select(
-            "u", F.least("lbl", F.coalesce("lbl2", F.col("lbl"))).alias("lbl")
+        # small-star: for each node u (the larger endpoint of its
+        # edges), hook u and all its smaller neighbors onto their min
+        mnb = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            ls.join(mnb, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mnb.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        new = new.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        same = (
+            ss.count() == e.count()
+            and ss.exceptAll(e).limit(1).count() == 0
         )
-        labels = new
-        if changed == 0:
+        e = ss
+        if same:
             break
-    return labels.selectExpr("u AS doc_id", "lbl AS rep_id")
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "alternating-star rounds — refusing to return labels"
+        )
+    # fixpoint edge set is a flat star forest: (node, component min)
+    leaves = e.selectExpr("a AS doc_id", "b AS rep_id")
+    centers = (
+        e.select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("rep_id", F.col("doc_id"))
+    )
+    return leaves.unionByName(centers)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

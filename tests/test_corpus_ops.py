@@ -589,3 +589,36 @@ def test_connected_components_deep_chain_converges(spark):
     got = {r.doc_id: r.rep_id for r in connected_components(edges).collect()}
     assert set(got.values()) == {1}
     assert len(got) == 65
+
+
+def test_connected_components_second_min_far_end(spark):
+    """The topology that defeated round-7's pointer doubling (the
+    dedup-semantic sf10 value mismatch, root-caused in round 8): a
+    long path whose SECOND-smallest id sits at the far end from the
+    minimum — [2, 3, 4, ..., 40, 1].  Label propagation converges the
+    whole path to label 2 first (argmin chains all point toward 2);
+    after that, every node's label-of-label is 2 itself, so label 1
+    crawls back ONE hop per round and a 20-round cap exits silently
+    unconverged.  Star contraction merges label regions, not hops, so
+    it converges regardless of id placement."""
+    path = list(range(2, 41)) + [1]  # 2-3-4-...-40-1
+    edges = _edges(spark, list(zip(path, path[1:])))
+    got = {r.doc_id: r.rep_id for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 40
+
+
+def test_connected_components_two_regions_single_bridge(spark):
+    """Miniature of the sf10 divergence: two dense regions, each with
+    its own internal minimum, joined by one bridge edge far from both
+    minima — the merged component must take the global minimum."""
+    # region A: star around 100 with min 10; region B: star around 200
+    # with min 20; bridge between two leaf nodes 150 and 250
+    edges = [(100, 10), (100, 150), (100, 101), (200, 20), (200, 250),
+             (200, 201), (150, 250)]
+    got = {
+        r.doc_id: r.rep_id
+        for r in connected_components(_edges(spark, edges)).collect()
+    }
+    assert set(got.values()) == {10}
+    assert len(got) == 8
