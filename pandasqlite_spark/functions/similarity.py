@@ -120,35 +120,121 @@ def _explode_dec(df: DataFrame, id_expr, arr: str = "embedding") -> DataFrame:
     ).select(id_expr, "pos", F.col("raw").cast("double").cast(_DEC).alias("x"))
 
 
+# scaled-long vector: the operator value domain quantizes coordinates
+# to DECIMAL(8,6) (see _DEC); ×10⁶ makes each a BIGINT ≤ 5×10⁵, so a
+# 64-dim dot product is ≤ 64·(5×10⁵)² ≈ 1.6×10¹³ < 2⁵³ — exact in
+# int64 AND exact through any double conversion, in any summation
+# order, in both engines.  Long arithmetic stays in whole-stage
+# codegen where the previous decimal path burned BigDecimal objects.
+_SCALED_LONG = (
+    "transform({col}, v -> CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))"
+    " * 1000000 AS BIGINT))"
+)
+
+
+IVF_ARROW_CELLS = 32
+
+
+def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Large-cell-count assignment: exact scaled-long GEMM over Arrow
+    batches.  Coordinates quantize to DECIMAL(8,6)·10⁶ longs, so every
+    product ≤ 2.5×10¹¹ and every 64-term partial sum ≤ 1.6×10¹³ < 2⁵³
+    — float64 BLAS computes each dot with ZERO rounding in any
+    summation order, so the scores (and the argmax with its
+    dot-DESC/cid-ASC tie-break: centroid rows sorted by cid, argmax
+    takes the first maximum) are bit-identical to the decimal oracle.
+    2×10¹¹ flops at sf10's derived 2048 cells run in seconds where the
+    same math as a posexplode ⋈ groupBy materialized 2×10¹¹ join rows
+    (38 min, round-8 sweep) and an interpreted HOF fold was still
+    ~20 min.
+
+    At 100 TB: the centroid matrix is a broadcast variable (|cells| ≤
+    the 2²⁰ sizing cap; √N sizing keeps it ≪ executor memory at any
+    real corpus — a 10¹²-vector corpus would shard the assignment
+    hierarchically before this is the bottleneck), the fact side is
+    one narrow Arrow map pass — no shuffle, no join."""
+    import numpy as np
+    import pandas as pd
+
+    crows = centroids.select(
+        "cid", F.expr(_SCALED_LONG.format(col="embedding")).alias("cs")
+    ).collect()
+    crows.sort(key=lambda r: r["cid"])
+    cids = np.asarray([r["cid"] for r in crows], dtype=np.int64)
+    C = np.asarray([r["cs"] for r in crows], dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, C))
+
+    src = emb.select(
+        F.col(id_col), F.expr(_SCALED_LONG.format(col="embedding")).alias("xl")
+    )
+
+    def assign_batches(batches):
+        b_cids, b_C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["xl"].tolist(), dtype=np.float64)
+            best = np.argmax(X @ b_C.T, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values,
+                 "cell": b_cids[best].astype(np.int32)}
+            )
+
+    return src.mapInPandas(assign_batches, schema=f"{id_col} long, cell int")
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Assign each vector to its max-dot-product centroid cell.  At
     100 TB: centroids are broadcast (k rows), the fact side never
     shuffles for assignment — one narrow pass.
 
-    Like :func:`cosine_topk_exact`, the assignment's |cells|×64-row
-    blowup inherits the SCAN's partitioning: a small parquet (sf10
-    embeddings = 7 splits) serialized the 512-cell derived assignment
-    (~6.5G multiply-adds) onto 7 tasks — the residual straggler after
-    the brute-force fix.  Spread the pre-explode rows first; at real
-    fact/dim ratios the scan is already wide and this is a no-op."""
+    Round-8 shape: the previous posexplode ⋈ broadcast ⋈ groupBy
+    materialized |corpus|·|cells| grouped rows (2×10¹¹ at sf10's
+    derived 2048 cells — 38 min of BigDecimal aggregation, found live
+    in the sf10 sweep).  Now the dot products run in SCALED-LONG
+    arithmetic (DECIMAL(8,6)·10⁶ per coordinate ⇒ |dot| < 2⁵³ — exact,
+    order-free, engine-independent): small cell counts fold row-wise
+    over a broadcast centroid array in pure JVM expressions; above
+    ``IVF_ARROW_CELLS`` the same exact math runs as a float64 GEMM
+    over Arrow batches (:func:`_ivf_assign_arrow`), where BLAS does
+    the flops instead of an interpreted per-element lambda.  Both
+    paths produce bit-identical assignments (same quantization, same
+    (dot DESC, cid ASC) tie-break).  The pre-compute repartition keeps
+    the pass spread across the cluster when the scan under-partitions
+    (sf10 parquet = 7 input splits)."""
     sc = emb.sparkSession.sparkContext
     if emb.rdd.getNumPartitions() < sc.defaultParallelism:
         emb = emb.repartition(sc.defaultParallelism, id_col)
-    e = _explode_dec(emb, F.col(id_col))
-    c = _explode_dec(centroids, F.col("cid")).withColumnRenamed("x", "cx")
-    dots = (
-        e.join(F.broadcast(c), "pos")
-        .groupBy(id_col, "cid")
-        .agg(F.sum(F.col("x") * F.col("cx")).cast("double").alias("dot"))
+    if centroids.count() > IVF_ARROW_CELLS:
+        return _ivf_assign_arrow(emb, centroids, id_col)
+    # 1-row broadcast relation carrying every centroid's scaled-long
+    # vector (array_sort orders the struct array by its first field,
+    # cid — deterministic regardless of collect_list order)
+    cents = centroids.select(
+        F.expr(_SCALED_LONG.format(col="embedding")).alias("cs"), "cid"
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cs"))).alias("cents")
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(id_col).orderBy(F.col("dot").desc(), F.col("cid"))
-    return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("cid").alias("cell"))
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        F.expr(_SCALED_LONG.format(col="embedding")).alias("xl"),
+        "cents",
     )
+    # one exact scaled-long dot per centroid, then an explicit
+    # (dot DESC, cid ASC) argmax fold — order-independent
+    best = F.expr(
+        "aggregate("
+        " transform(cents, c -> struct("
+        "   aggregate(zip_with(xl, c.cs, (a, b) -> a * b),"
+        "             CAST(0 AS BIGINT), (s, v) -> s + v) AS dot,"
+        "   c.cid AS cid)),"
+        " struct(CAST(-9223372036854775808 AS BIGINT) AS dot,"
+        "        CAST(2147483647 AS INT) AS cid),"
+        " (acc, s) -> CASE WHEN s.dot > acc.dot"
+        "                    OR (s.dot = acc.dot AND s.cid < acc.cid)"
+        "             THEN s ELSE acc END)"
+    )
+    return scored.select(id_col, best.getField("cid").alias("cell"))
 
 
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +829,75 @@ def _mmr_oracle(k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA) -
         {final}
         ORDER BY step
     """
+
+def _mmr_oracle_staged(
+    k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA
+) -> str:
+    """Staged big-SF twin of ``simsearch-mmr-rerank``: the registry
+    oracle's greedy CTEs s₂..s_k each re-reference rel/sims (which
+    chain back through the |corpus|·64-row ``e`` expansion), and
+    DuckDB's inlining of those multi-referenced CTEs replicated the
+    base pipeline until the sf10 oracle hit 112 GB RSS and the kernel
+    OOM-killed the sweep (round 8).  Same semantics: the shared
+    intermediates (pool-bounded ``rel`` and pairwise ``sims``) are
+    materialized ONCE into temp tables, and the unrolled greedy
+    selection runs over those ≤pool-row relations."""
+    sel = ["s1 AS (SELECT vec_id FROM mmr_rel ORDER BY cosine DESC, vec_id LIMIT 1)"]
+    prev = "SELECT vec_id FROM s1"
+    for i in range(2, k + 1):
+        sel.append(f"""s{i} AS (
+          SELECT r.vec_id FROM mmr_rel r
+          WHERE r.vec_id NOT IN ({prev})
+          ORDER BY {lam} * r.cosine - (1 - {lam}) * (
+              SELECT MAX(p.sim) FROM mmr_sims p
+              WHERE p.va = r.vec_id AND p.vb IN ({prev})) DESC, r.vec_id
+          LIMIT 1)""")
+        prev += f" UNION ALL SELECT vec_id FROM s{i}"
+    final = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, vec_id FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    sel_block = ",\n        ".join(sel)
+    stmts = [
+        "DROP TABLE IF EXISTS mmr_e",
+        """CREATE TEMP TABLE mmr_e AS
+        SELECT vec_id, t.i AS pos,
+               CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+        FROM embeddings, generate_series(1, 64) t(i) WHERE vec_id <> 0""",
+        "DROP TABLE IF EXISTS mmr_rel",
+        f"""CREATE TEMP TABLE mmr_rel AS
+        WITH q AS (
+          SELECT t.i AS pos,
+                 CAST(CAST(qe.embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS qx
+          FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qe,
+               generate_series(1, 64) t(i)),
+        nq AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q),
+        pv AS (
+          SELECT e.vec_id, CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+                 CAST(SUM(e.x * e.x) AS DOUBLE) AS ne
+          FROM mmr_e e JOIN q USING (pos) GROUP BY e.vec_id)
+        SELECT vec_id, dot / (sqrt(ne) * sqrt(nq.nq)) AS cosine
+        FROM pv, nq ORDER BY cosine DESC, vec_id LIMIT {pool}""",
+        "DROP TABLE IF EXISTS mmr_sims",
+        """CREATE TEMP TABLE mmr_sims AS
+        WITH ce AS (SELECT * FROM mmr_e
+                    WHERE vec_id IN (SELECT vec_id FROM mmr_rel)),
+        nn AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS nn
+               FROM ce GROUP BY 1),
+        pd AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+          FROM ce a JOIN ce b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2)
+        SELECT va, vb, dot / (sqrt(na.nn) * sqrt(nb.nn)) AS sim
+        FROM pd JOIN nn na ON na.vec_id = pd.va
+                JOIN nn nb ON nb.vec_id = pd.vb""",
+        f"""WITH {sel_block}
+        {final}
+        ORDER BY step""",
+    ]
+    return ";\n".join(stmts)
+
 
 def q_simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -2771,6 +2926,140 @@ def _emb_bucketed_oracle_staged(n_chunks: int = 8) -> str:
     return ";\n".join(stmts)
 
 
+def _ivf_staged_common(cells_sql: str, prefix: str) -> list[str]:
+    """Staged big-SF IVF scaffolding: the registry oracles assign cells
+    through a (vectors × 64) ⋈ (cells × 64) position join — 2×10¹¹
+    grouped rows at sf10's derived 2048 cells, which spilled DuckDB's
+    temp disk to death (round-8 sweep).  Same semantics, three
+    structural changes:
+
+    1. vectors become SCALED-LONG lists once (DECIMAL(8,6)·10⁶ per
+       coordinate — a 64-dim dot is ≤ 64·(5×10⁵)² < 2⁵³, so
+       ``list_dot_product`` over BIGINT lists is EXACT and its
+       double→int conversions are lossless; dividing by 10¹² rounds
+       once, exactly like the registry's DECIMAL→DOUBLE cast);
+    2. assignment is one streaming cross-join aggregate —
+       ``arg_max(cid, dot·2²¹ + (2²¹−1−cid))`` over a HUGEINT key
+       encodes the registry's (dot DESC, cid ASC) tie-break without
+       materializing per-pair rows (2²¹ > the 2²⁰ cell-count cap);
+    3. every multiply-referenced intermediate is materialized ONCE
+       into a temp table (the graph-oracle pattern).
+    """
+    sl = (
+        "list_transform(embedding, v -> CAST(CAST(CAST(v AS DOUBLE)"
+        " AS DECIMAL(8,6)) * 1000000 AS BIGINT))"
+    )
+    p = prefix
+    return [
+        f"DROP TABLE IF EXISTS {p}_el",
+        f"""CREATE TEMP TABLE {p}_el AS
+        SELECT vec_id, {sl} AS xl FROM embeddings""",
+        f"DROP TABLE IF EXISTS {p}_cl",
+        f"""CREATE TEMP TABLE {p}_cl AS
+        SELECT vec_id AS cid, xl AS cs FROM {p}_el WHERE vec_id < {cells_sql}""",
+        f"DROP TABLE IF EXISTS {p}_assign",
+        f"""CREATE TEMP TABLE {p}_assign AS
+        SELECT e.vec_id,
+               arg_max(c.cid,
+                       CAST(list_dot_product(e.xl, c.cs) AS HUGEINT) * 2097152
+                         + (2097151 - c.cid)) AS cell
+        FROM {p}_el e CROSS JOIN {p}_cl c
+        GROUP BY e.vec_id""",
+        f"DROP TABLE IF EXISTS {p}_q",
+        f"""CREATE TEMP TABLE {p}_q AS
+        SELECT xl AS qxl,
+               CAST(list_dot_product(xl, xl) AS DOUBLE) / 1e12 AS nq
+        FROM {p}_el WHERE vec_id = 0""",
+        f"DROP TABLE IF EXISTS {p}_per",
+        f"""CREATE TEMP TABLE {p}_per AS
+        SELECT e.vec_id,
+               (CAST(list_dot_product(e.xl, q.qxl) AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(list_dot_product(e.xl, e.xl) AS DOUBLE) / 1e12)
+                    * sqrt(q.nq)) AS cosine
+        FROM {p}_el e, {p}_q q
+        WHERE e.vec_id <> 0""",
+        f"DROP TABLE IF EXISTS {p}_truth",
+        f"""CREATE TEMP TABLE {p}_truth AS
+        SELECT vec_id FROM {p}_per
+        ORDER BY cosine DESC, vec_id LIMIT {NPROBE_TOPK}""",
+        f"DROP TABLE IF EXISTS {p}_cell_rank",
+        f"""CREATE TEMP TABLE {p}_cell_rank AS
+        SELECT cid, ROW_NUMBER() OVER (ORDER BY dot DESC, cid) AS cell_rank
+        FROM (SELECT c.cid,
+                     CAST(list_dot_product(q.qxl, c.cs) AS DOUBLE) / 1e12 AS dot
+              FROM {p}_q q, {p}_cl c)""",
+    ]
+
+
+def _ivf_nprobe_levels_staged(prefix: str) -> str:
+    p = prefix
+    levels = []
+    for nprobe in NPROBE_LEVELS:
+        levels.append(f"""
+        SELECT {nprobe} AS nprobe,
+               (SELECT COUNT(*) FROM {p}_assign a
+                WHERE a.vec_id <> 0 AND a.cell IN
+                  (SELECT cid FROM {p}_cell_rank WHERE cell_rank <= {nprobe}))
+                 AS n_candidates,
+               (SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM {p}_per
+                  WHERE vec_id IN (SELECT a.vec_id FROM {p}_assign a
+                                   WHERE a.vec_id <> 0 AND a.cell IN
+                                     (SELECT cid FROM {p}_cell_rank
+                                      WHERE cell_rank <= {nprobe}))
+                  ORDER BY cosine DESC, vec_id LIMIT {NPROBE_TOPK}) apx
+                WHERE apx.vec_id IN (SELECT vec_id FROM {p}_truth)) AS n_hit,
+               ROUND((SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM {p}_per
+                  WHERE vec_id IN (SELECT a.vec_id FROM {p}_assign a
+                                   WHERE a.vec_id <> 0 AND a.cell IN
+                                     (SELECT cid FROM {p}_cell_rank
+                                      WHERE cell_rank <= {nprobe}))
+                  ORDER BY cosine DESC, vec_id LIMIT {NPROBE_TOPK}) apx
+                WHERE apx.vec_id IN (SELECT vec_id FROM {p}_truth))
+                / {float(NPROBE_TOPK)}, 6) AS recall_at_10""")
+    return "\n        UNION ALL".join(levels)
+
+
+def _ivf_derived_oracle_staged() -> str:
+    stmts = [
+        "DROP TABLE IF EXISTS ivd_der",
+        """CREATE TEMP TABLE ivd_der AS
+        SELECT CAST(MIN(pp.p) AS BIGINT) AS n_cells
+        FROM (SELECT CAST(POWER(2, g) AS BIGINT) AS p
+              FROM generate_series(2, 20) t(g)) pp,
+             (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id <> 0) nn
+        WHERE pp.p * pp.p >= nn.n""",
+    ]
+    stmts += _ivf_staged_common("(SELECT n_cells FROM ivd_der)", "ivd")
+    stmts.append(f"""
+        WITH lv AS (
+        {_ivf_nprobe_levels_staged("ivd")})
+        , sel AS (
+          SELECT COALESCE(
+            MIN(CASE WHEN recall_at_10 >= {ANN_RECALL_TARGET} THEN nprobe END),
+            MAX(nprobe)) AS ch FROM lv)
+        SELECT lv.nprobe, (SELECT n_cells FROM ivd_der) AS n_cells,
+               lv.n_candidates, lv.n_hit, lv.recall_at_10,
+               lv.nprobe = sel.ch AS chosen
+        FROM lv, sel
+        ORDER BY lv.nprobe""")
+    return ";\n".join(stmts)
+
+
+def _nprobe_curve_oracle_staged() -> str:
+    stmts = _ivf_staged_common(str(N_CELLS), "ivc")
+    stmts.append(f"""
+        WITH lv AS (
+        {_ivf_nprobe_levels_staged("ivc")})
+        SELECT nprobe, n_candidates, n_hit, recall_at_10
+        FROM lv ORDER BY nprobe""")
+    return ";\n".join(stmts)
+
+
 ORACLES_BIG = {
     "dedup-embedding-bucketed": _emb_bucketed_oracle_staged(),
+    "simsearch-ivf-derived": _ivf_derived_oracle_staged(),
+    "simsearch-nprobe-curve": _nprobe_curve_oracle_staged(),
+    "simsearch-mmr-rerank": _mmr_oracle_staged(),
 }

@@ -63,6 +63,9 @@ PINNED_BIG_KEYS = {
     "graph-modularity",
     "graph-pagerank",
     "rank-similarity-join",
+    "simsearch-ivf-derived",
+    "simsearch-mmr-rerank",
+    "simsearch-nprobe-curve",
     "skyline-pareto",
 }
 

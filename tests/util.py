@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -14,6 +15,15 @@ from pandasqlite_spark.operators.common import TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # cap the oracle's RAM and give it a spill directory: DuckDB's
+    # default (80% of RAM) let the simsearch-mmr-rerank sf10 oracle
+    # grow a 112 GB RSS and the kernel OOM-killed the whole sweep —
+    # a bounded oracle spills (or fails with a catchable error the
+    # per-key harness records) instead of taking the process down.
+    # Env-tunable so small-SF pytest runs keep the (tiny) default hit.
+    mem = os.environ.get("ORACLE_DUCKDB_MEM", "24GB")
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql("SET temp_directory='.tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
