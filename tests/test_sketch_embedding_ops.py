@@ -193,3 +193,33 @@ def test_ivf_derived_key_consistent(spark, sf_dir):
     # recall is monotone non-decreasing in nprobe
     recalls = [r["recall_at_10"] for r in rows]
     assert recalls == sorted(recalls)
+
+
+def test_ivf_assign_arrow_and_jvm_paths_identical(spark):
+    """The two ivf_assign execution paths — the pure-JVM row-wise fold
+    (cells <= IVF_ARROW_CELLS) and the Arrow float64-GEMM path — must
+    produce IDENTICAL assignments: both run the same scaled-long exact
+    dot (DECIMAL(8,6)*10^6 coordinates, |dot| < 2^53) with the same
+    (dot DESC, cid ASC) tie-break.  Forces both paths over the same
+    corpus/centroids by toggling the threshold."""
+    import pandasqlite_spark.functions.similarity as sim
+    from pandasqlite_spark.operators.common import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    jvm = {
+        r.vec_id: r.cell for r in sim.ivf_assign(emb, cents).collect()
+    }
+    old = sim.IVF_ARROW_CELLS
+    try:
+        sim.IVF_ARROW_CELLS = 0  # force the Arrow GEMM path
+        arrow = {
+            r.vec_id: r.cell for r in sim.ivf_assign(emb, cents).collect()
+        }
+    finally:
+        sim.IVF_ARROW_CELLS = old
+    assert jvm == arrow
+    assert len(jvm) == emb.count()
