@@ -156,15 +156,30 @@ def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> Data
     import numpy as np
     import pandas as pd
 
-    crows = centroids.select(
-        "cid", F.expr(_SCALED_LONG.format(col="embedding")).alias("cs")
-    ).collect()
+    crows = (
+        centroids.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        )
+        .select("cid", F.expr(_SCALED_LONG.format(col="embedding")).alias("cs"))
+        .collect()
+    )
+    if not crows:
+        # zero usable centroids → zero assignments (join semantics)
+        return emb.select(F.col(id_col)).limit(0).select(
+            F.col(id_col), F.lit(None).cast("int").alias("cell")
+        )
     crows.sort(key=lambda r: r["cid"])
     cids = np.asarray([r["cid"] for r in crows], dtype=np.int64)
-    C = np.asarray([r["cs"] for r in crows], dtype=np.float64)
+    # null ELEMENTS contribute nothing to a SQL SUM — a zero product is
+    # the same thing, so both the centroid matrix and the row batches
+    # null-fill with 0 (the nulls-contract sweep pinned this: the old
+    # explode ⋈ SUM path skipped null products)
+    C = pd.DataFrame([r["cs"] for r in crows]).fillna(0.0).to_numpy(np.float64)
     bc = emb.sparkSession.sparkContext.broadcast((cids, C))
 
-    src = emb.select(
+    src = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select(
         F.col(id_col), F.expr(_SCALED_LONG.format(col="embedding")).alias("xl")
     )
 
@@ -173,7 +188,11 @@ def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> Data
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(pdf["xl"].tolist(), dtype=np.float64)
+            X = (
+                pd.DataFrame(pdf["xl"].tolist())
+                .fillna(0.0)
+                .to_numpy(np.float64)
+            )
             best = np.argmax(X @ b_C.T, axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values,
@@ -209,23 +228,41 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> 
         return _ivf_assign_arrow(emb, centroids, id_col)
     # 1-row broadcast relation carrying every centroid's scaled-long
     # vector (array_sort orders the struct array by its first field,
-    # cid — deterministic regardless of collect_list order)
-    cents = centroids.select(
-        F.expr(_SCALED_LONG.format(col="embedding")).alias("cs"), "cid"
-    ).agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cs"))).alias("cents")
+    # cid — deterministic regardless of collect_list order); null /
+    # empty centroid embeddings drop out exactly as the explode
+    # formulation dropped them
+    cents = (
+        centroids.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        )
+        .select(F.expr(_SCALED_LONG.format(col="embedding")).alias("cs"), "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cs"))).alias("cents"))
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        F.expr(_SCALED_LONG.format(col="embedding")).alias("xl"),
-        "cents",
+    scored = (
+        emb
+        # null / empty embeddings never reached the old explode ⋈ SUM
+        # assignment (posexplode emits no rows) — the nulls-contract
+        # sweep pins this
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .crossJoin(F.broadcast(cents))
+        # zero centroids → zero assignments (the join formulation's
+        # inner-join semantics), never the fold's sentinel cid
+        .filter(F.size("cents") > 0)
+        .select(
+            id_col,
+            F.expr(_SCALED_LONG.format(col="embedding")).alias("xl"),
+            "cents",
+        )
     )
     # one exact scaled-long dot per centroid, then an explicit
-    # (dot DESC, cid ASC) argmax fold — order-independent
+    # (dot DESC, cid ASC) argmax fold — order-independent.  Null
+    # ELEMENTS yield null products; SQL SUM skips nulls, so the fold
+    # filters them before accumulating (same value, same contract).
     best = F.expr(
         "aggregate("
         " transform(cents, c -> struct("
-        "   aggregate(zip_with(xl, c.cs, (a, b) -> a * b),"
+        "   aggregate(filter(zip_with(xl, c.cs, (a, b) -> a * b),"
+        "                    p -> p IS NOT NULL),"
         "             CAST(0 AS BIGINT), (s, v) -> s + v) AS dot,"
         "   c.cid AS cid)),"
         " struct(CAST(-9223372036854775808 AS BIGINT) AS dot,"
