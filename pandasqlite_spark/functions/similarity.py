@@ -303,35 +303,46 @@ COSINE_DUP_THRESHOLD = 0.4
 
 
 def _dec_rows(emb: DataFrame, *extra_cols: Column) -> DataFrame:
-    """(vec_id, xs, nn[, extras]): per-row decimal vector + exact norm.
+    """(vec_id, xs, nn[, extras]): per-row scaled-long vector + exact
+    norm (DECIMAL(8,6)-quantized coordinates carried as x·10⁶ longs).
 
-    The decimal vector makes the dot/norm folds exact
-    (order-independent), so values match the decimal oracle while a
+    The exact integer arithmetic makes the dot/norm folds
+    order-independent, so values match the decimal oracle while a
     pair join moves ROWS, not the n²·dim positions a posexplode+join
     formulation would shuffle (measured 1.5× wall at sf0.1 locally; the
     shuffle-volume gap widens on a real network).
     """
-    dec_vec = F.expr(f"transform(embedding, v -> CAST(CAST(v AS DOUBLE) AS {_DEC}))")
-    zero = "CAST(0 AS DECIMAL(25,12))"
-    # the re-CAST in each step pins the accumulator type, and the
-    # accumulator precision is kept at 25 ON PURPOSE: (25,12)+(17,12)
-    # widens to (26,12) — still exact — while a 38-precision
-    # accumulator would hit Spark's cap and silently ROUND each step
-    # to scale 11, breaking the oracle match in the last bits
-    norm = F.expr(
-        f"CAST(aggregate(transform(embedding, v -> CAST(CAST(v AS DOUBLE) AS {_DEC})),"
-        f" {zero}, (acc, x) -> CAST(acc + x * x AS DECIMAL(25,12))) AS DOUBLE)"
+    # round-8: the decimal fold became SCALED-LONG arithmetic — the
+    # DECIMAL(8,6) quantization stays (same value domain), but each
+    # coordinate carries as x·10⁶ BIGINT, so products ≤ 2.5×10¹¹ and
+    # 64-term sums ≤ 1.6×10¹³ < 2⁵³: exact in int64, and the final
+    # /1e12 double division is the SAME single rounding as the old
+    # DECIMAL(25,12)→DOUBLE cast (one correctly-rounded conversion of
+    # the identical rational) — oracle-bit-exact, while long folds run
+    # in whole-stage codegen where BigDecimal folds burned the sf10
+    # sweeps (dedup-semantic's pair rerank was the largest residual).
+    lvec = F.expr(
+        f"transform(embedding, v -> CAST(CAST(CAST(v AS DOUBLE) AS {_DEC})"
+        f" * 1000000 AS BIGINT))"
     )
-    return emb.select("vec_id", dec_vec.alias("xs"), norm.alias("nn"), *extra_cols)
+    norm = F.expr(
+        f"CAST(aggregate(transform(embedding, v -> CAST(CAST(CAST(v AS DOUBLE)"
+        f" AS {_DEC}) * 1000000 AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS DOUBLE) / 1e12"
+    )
+    return emb.select("vec_id", lvec.alias("xs"), norm.alias("nn"), *extra_cols)
 
 
 def _pair_cosine(pairs: DataFrame) -> DataFrame:
     """(va, vb, cosine) from pair rows carrying xa/xb/na/nb — exact
-    decimal dot fold surfaced as double (oracle-bit-exact)."""
-    zero = "CAST(0 AS DECIMAL(25,12))"
+    scaled-long dot fold surfaced as double (oracle-bit-exact; see
+    :func:`_dec_rows` for the < 2⁵³ argument).  Null elements yield
+    null products, and the fold propagates the null into a null dot —
+    exactly as the decimal fold did (a null-element pair drops at the
+    threshold filter)."""
     dot = F.expr(
-        f"CAST(aggregate(zip_with(xa, xb, (x, y) -> x * y), {zero},"
-        f" (acc, v) -> CAST(acc + v AS DECIMAL(25,12))) AS DOUBLE)"
+        "CAST(aggregate(zip_with(xa, xb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12"
     )
     cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
     return pairs.select("va", "vb", dot.alias("dot"), "na", "nb").select(
