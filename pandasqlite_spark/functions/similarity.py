@@ -71,17 +71,22 @@ def cosine_topk_exact(
     sc = emb.sparkSession.sparkContext
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism, id_col)
+    # round-8: coordinates carry as DECIMAL(8,6)·10⁶ BIGINTs — products
+    # ≤ 2.5×10¹¹, 64-term sums ≤ 1.6×10¹³ < 2⁵³, so the long SUM is
+    # exact and /1e12 is the same single rounding as the old
+    # decimal→double cast (bit-identical cosines, codegen-speed folds)
     e = src.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
-        id_col, "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+        id_col,
+        "pos",
+        (F.col("x").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("x"),
     )
     q = query.select(F.posexplode("qv").alias("pos", "qx")).select(
-        "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
+        "pos",
+        (F.col("qx").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("qx"),
     )
-    # scale-6 inputs keep every summed scaled integer below 2^53, so
-    # the final decimal→double conversion is exact in both engines (at
-    # higher scales the conversion itself rounds, engine-dependently)
+
     def as_dbl(c: Column) -> Column:
-        return c.cast("double")
+        return c.cast("double") / F.lit(1e12)
 
     nq = q.agg(as_dbl(F.sum(F.col("qx") * F.col("qx"))).alias("nq"))
     per_vec = (
@@ -597,20 +602,30 @@ def knn_join_exact(
     Decimal(8,6) sums keep the double conversion bit-identical across
     engines (same contract as :func:`cosine_topk_exact`).
     """
+    # scaled-long coordinates (see cosine_topk_exact): exact < 2⁵³
+    # integer sums, /1e12 = the decimal→double cast's single rounding
     e = emb.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
-        id_col, "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+        id_col,
+        "pos",
+        (F.col("x").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("x"),
     )
     q = queries.select(qid_col, F.posexplode("qv").alias("pos", "qx")).select(
-        qid_col, "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
+        qid_col,
+        "pos",
+        (F.col("qx").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("qx"),
     )
-    ne = e.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
+    ne = e.groupBy(id_col).agg(
+        (F.sum(F.col("x") * F.col("x")).cast("double") / F.lit(1e12)).alias("ne")
+    )
     nq = q.groupBy(qid_col).agg(
-        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
+        (F.sum(F.col("qx") * F.col("qx")).cast("double") / F.lit(1e12)).alias("nq")
     )
     dots = (
         e.join(F.broadcast(q), "pos")
         .groupBy(qid_col, id_col)
-        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
+        .agg(
+            (F.sum(F.col("x") * F.col("qx")).cast("double") / F.lit(1e12)).alias("dot")
+        )
     )
     scored = (
         dots.join(ne, id_col)
