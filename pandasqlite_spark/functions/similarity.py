@@ -180,6 +180,7 @@ def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> Data
     # null-fill with 0 (the nulls-contract sweep pinned this: the old
     # explode ⋈ SUM path skipped null products)
     C = pd.DataFrame([r["cs"] for r in crows]).fillna(0.0).to_numpy(np.float64)
+    _check_scaled_bound(C, "ivf centroids")
     bc = emb.sparkSession.sparkContext.broadcast((cids, C))
 
     src = emb.filter(
@@ -198,6 +199,7 @@ def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> Data
                 .fillna(0.0)
                 .to_numpy(np.float64)
             )
+            _check_scaled_bound(X, "ivf scan")
             best = np.argmax(X @ b_C.T, axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values,
@@ -1049,6 +1051,163 @@ def _pq_sub_dist(a: str, b: str, m: int):
     return F.aggregate(sq, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+# Largest |scaled coordinate| the Arrow float64 kernels accept.  At
+# 2^22 a PQ squared-diff 8-term sum stays ≤ 8·(2·2^22)² = 2^47 and a
+# 64-dim scaled-long dot stays ≤ 64·(2^22)² = 2^50 — both < 2^53, so
+# every float64 intermediate is an exactly-represented integer.  The
+# DECIMAL(8,6) domain nominally admits 99.999999 (scaled 1e8), which
+# WOULD overflow the exactness argument — the kernels assert this
+# bound so a future data-domain widening fails loudly instead of
+# silently losing bit-exactness (round-8 advice).
+_SCALED_ABS_MAX = 1 << 22
+
+
+def _check_scaled_bound(arr, what: str) -> None:
+    """Raise if any |scaled coordinate| exceeds the float64-exactness
+    envelope.  NaN-safe: null elements compare False and pass."""
+    import numpy as np
+
+    if arr.size and np.any(np.abs(arr) > _SCALED_ABS_MAX):
+        raise ValueError(
+            f"{what}: |scaled coordinate| exceeds {_SCALED_ABS_MAX}; "
+            "the scaled-long float64 exactness bound (sums < 2^53) no "
+            "longer holds — re-derive the quantization scale"
+        )
+
+
+PQ_ARROW = True  # Arrow/numpy ADC encode (False = legacy JVM HOF fold)
+
+
+def _pq_adc_arrow(scan: DataFrame, cb_adc: DataFrame) -> DataFrame:
+    """ADC encode as a NaN-aware numpy kernel over Arrow batches —
+    the round-9 extension of the round-8 ``_ivf_assign_arrow`` rewrite
+    to the PQ hot path (the last interpreted-HOF scan: |corpus|×PQ_K
+    broadcast rows through ``zip_with``/``slice``/``aggregate``
+    lambdas).
+
+    Bit-identical to the JVM fold by construction: the same scaled
+    BIGINT grid (``_pq_scaled``), every per-subspace squared-L2 ≤
+    8·(2·_SCALED_ABS_MAX)² < 2^53 so float64 arithmetic is exact in
+    any order, and the argmin reproduces ``min(struct(dv·PQ_K+cid,
+    dq))`` exactly — including Spark's null-struct-field-sorts-FIRST
+    rule (verified: ``min`` over ``struct(NULL,5),struct(3,9)`` picks
+    the NULL) via a −inf fill, and the zip_with length-pad contract
+    (missing element → null term; empty slice → 0; null array → all
+    null).  Scale shape: the (≤PQ_K)-row ADC table is a broadcast
+    variable; the scan is one narrow Arrow map pass — no join, no
+    shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    crows = cb_adc.collect()
+    if not crows:
+        # empty codebook → the crossJoin formulation yields zero rows
+        return scan.select("vec_id").limit(0).select(
+            F.col("vec_id"), F.lit(None).cast("bigint").alias("adc_dist")
+        )
+    crows.sort(key=lambda r: r["cid"])
+    cids = np.asarray([r["cid"] for r in crows], dtype=np.int64)
+    DIM = PQ_M * PQ_DSUB
+    n_cents = len(crows)
+
+    def to_mat(lists):
+        """rows → (len(lists), DIM) float64, NaN where the element is
+        null or the array is shorter than DIM; also the true lengths
+        (null array → length 0 + an explicit null-row mask)."""
+        lens = np.asarray(
+            [0 if v is None else len(v) for v in lists], dtype=np.int64
+        )
+        nulls = np.asarray([v is None for v in lists], dtype=bool)
+        n = len(lists)
+        if n and not nulls.any():
+            # vectorized C path (the common case: no null arrays).
+            # pd.DataFrame pads ragged rows and null ELEMENTS with NaN
+            # — exactly the kernel's representation.
+            raw = pd.DataFrame(lists).to_numpy(np.float64)
+            if raw.shape[1] >= DIM:
+                return raw[:, :DIM], lens, nulls
+            mat = np.full((n, DIM), np.nan)
+            if raw.shape[1]:
+                mat[:, : raw.shape[1]] = raw
+            return mat, lens, nulls
+        mat = np.full((n, DIM), np.nan)
+        for i, v in enumerate(lists):
+            if v is None:
+                continue
+            w = min(len(v), DIM)
+            if w:
+                mat[i, :w] = [
+                    np.nan if x is None else float(x) for x in v[:w]
+                ]
+        return mat, lens, nulls
+
+    C, c_lens, c_null = to_mat([r["carr"] for r in crows])
+    _check_scaled_bound(C[~np.isnan(C)], "pq codebook")
+    dq = np.full((n_cents, PQ_M), np.nan)
+    for m in range(PQ_M):
+        col = [r[f"dq{m}"] for r in crows]
+        dq[:, m] = [np.nan if x is None else float(x) for x in col]
+
+    bc = scan.sparkSession.sparkContext.broadcast(
+        (cids, C, c_lens, c_null, dq)
+    )
+
+    def encode_batches(batches):
+        b_cids, b_C, b_clens, b_cnull, b_dq = bc.value
+        neg_inf = np.float64("-inf")
+        dq_fill = np.where(np.isnan(b_dq), neg_inf, b_dq)  # (16, M)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X, x_lens, x_null = to_mat(pdf["arr"].tolist())
+            _check_scaled_bound(X[~np.isnan(X)], "pq scan")
+            n = len(pdf)
+            # sq = zip_with(arr, carr, (x,y)->(x-y)^2) pads the shorter
+            # side with null to max(len) — positions < maxlen are
+            # INCLUDED (null term → null sum), positions ≥ maxlen do
+            # not exist (empty slice → 0)
+            maxlen = np.maximum(
+                x_lens[:, None], b_clens[None, :]
+            )  # (n, 16)
+            t = np.zeros((n, PQ_M))  # chosen dq per subspace
+            for m in range(PQ_M):
+                lo = m * PQ_DSUB
+                d2 = (
+                    X[:, None, lo : lo + PQ_DSUB]
+                    - b_C[None, :, lo : lo + PQ_DSUB]
+                ) ** 2  # (n, 16, 8); NaN where either side missing/null
+                include = (
+                    lo + np.arange(PQ_DSUB)[None, None, :]
+                ) < maxlen[:, :, None]
+                dv = np.where(include, d2, 0.0).sum(axis=2)  # (n, 16)
+                # null array on either side → the whole zip is null
+                dv[x_null, :] = np.nan
+                dv[:, b_cnull] = np.nan
+                k = dv * PQ_K + b_cids[None, :]
+                kf = np.where(np.isnan(k), neg_inf, k)  # null sorts first
+                tie = kf == kf.min(axis=1, keepdims=True)
+                pick = np.where(tie, dq_fill[None, :, m], np.inf).argmin(
+                    axis=1
+                )  # first index on ties == smallest cid
+                t[:, m] = b_dq[pick, m]
+            adc = t.sum(axis=1)  # NaN propagates like SQL null
+            out = pd.DataFrame({"vec_id": pdf["vec_id"].values})
+            nan_mask = np.isnan(adc)
+            if not nan_mask.any():
+                out["adc_dist"] = adc.astype(np.int64)
+            else:
+                out["adc_dist"] = pd.array(
+                    [None if m else int(v) for v, m in zip(adc, nan_mask)],
+                    dtype="Int64",
+                )
+            yield out
+
+    return scan.select("vec_id", "arr").mapInPandas(
+        encode_batches, schema="vec_id long, adc_dist long"
+    )
+
+
 def pq_topk(emb: DataFrame, scan_ids: DataFrame | None = None) -> DataFrame:
     """PQ/ADC approximate nearest neighbours with exact rerank.
 
@@ -1072,6 +1231,36 @@ def pq_topk(emb: DataFrame, scan_ids: DataFrame | None = None) -> DataFrame:
     both top-k steps — no shuffle ever moves more than |candidates|.
     """
     scaled = _pq_scaled(emb)
+    qrow = scaled.filter(F.col("vec_id") == PQ_QUERY_ID).select(F.col("arr").alias("qarr"))
+    cand = (
+        pq_adc_scores(emb, scan_ids)
+        .orderBy("adc_dist", "vec_id")
+        .limit(PQ_CAND)
+    )
+    exact = (
+        scaled.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.aggregate(
+                F.zip_with("arr", "qarr", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("exact_dist"),
+        )
+    )
+    return exact.orderBy("exact_dist", "vec_id").limit(PQ_TOPK)
+
+
+def pq_adc_scores(
+    emb: DataFrame, scan_ids: DataFrame | None = None, arrow: bool | None = None
+) -> DataFrame:
+    """The PQ encode + ADC sum as a standalone (vec_id, adc_dist)
+    table — the stage ``pq_topk`` ranks.  ``arrow=None`` follows the
+    module default; the bit-identity test pins both paths equal over
+    the full corpus including null/empty/ragged edge vectors."""
+    scaled = _pq_scaled(emb)
     # optional candidate restriction (the IVF→PQ two-stage path):
     # codebook and query always come from the FULL corpus, the ADC scan
     # touches only the given ids
@@ -1089,49 +1278,41 @@ def pq_topk(emb: DataFrame, scan_ids: DataFrame | None = None) -> DataFrame:
         "carr",
         *[_pq_sub_dist("qarr", "carr", m).alias(f"dq{m}") for m in range(PQ_M)],
     )
-    # one element-wise squared-diff zip per row, shared by all PQ_M
-    # slice-folds (vs PQ_M separate zip+fold pipelines)
-    sq = F.zip_with("arr", "carr", lambda x, y: (x - y) * (x - y))
-    joined = scan.crossJoin(F.broadcast(cb_adc)).withColumn("sq", sq)
+    if PQ_ARROW if arrow is None else arrow:
+        # round-9 hot path: NaN-aware numpy kernel over Arrow batches,
+        # bit-identical to the fold below (pinned by
+        # test_pq_adc_arrow_and_jvm_paths_identical)
+        return _pq_adc_arrow(scan, cb_adc)
+    else:
+        # legacy JVM HOF fold: one element-wise squared-diff zip per
+        # (vector, centroid) row, shared by all PQ_M slice-folds
+        sq = F.zip_with("arr", "carr", lambda x, y: (x - y) * (x - y))
+        joined = scan.crossJoin(F.broadcast(cb_adc)).withColumn("sq", sq)
 
-    def slice_sum(m: int):
-        return F.aggregate(
-            F.slice("sq", m * PQ_DSUB + 1, PQ_DSUB),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-
-    per_m = joined.select(
-        "vec_id",
-        *[
-            F.struct(
-                (slice_sum(m) * PQ_K + F.col("cid")).alias("k"),
-                F.col(f"dq{m}").alias("dq"),
-            ).alias(f"s{m}")
-            for m in range(PQ_M)
-        ],
-    )
-    enc = per_m.groupBy("vec_id").agg(
-        *[F.min(f"s{m}").getField("dq").alias(f"t{m}") for m in range(PQ_M)]
-    )
-    adc = F.col("t0")
-    for m in range(1, PQ_M):
-        adc = adc + F.col(f"t{m}")
-    cand = enc.select("vec_id", adc.alias("adc_dist")).orderBy("adc_dist", "vec_id").limit(PQ_CAND)
-    exact = (
-        scaled.join(F.broadcast(cand), "vec_id")
-        .crossJoin(F.broadcast(qrow))
-        .select(
-            "vec_id",
-            "adc_dist",
-            F.aggregate(
-                F.zip_with("arr", "qarr", lambda x, y: (x - y) * (x - y)),
+        def slice_sum(m: int):
+            return F.aggregate(
+                F.slice("sq", m * PQ_DSUB + 1, PQ_DSUB),
                 F.lit(0).cast("bigint"),
                 lambda acc, v: acc + v,
-            ).alias("exact_dist"),
+            )
+
+        per_m = joined.select(
+            "vec_id",
+            *[
+                F.struct(
+                    (slice_sum(m) * PQ_K + F.col("cid")).alias("k"),
+                    F.col(f"dq{m}").alias("dq"),
+                ).alias(f"s{m}")
+                for m in range(PQ_M)
+            ],
         )
-    )
-    return exact.orderBy("exact_dist", "vec_id").limit(PQ_TOPK)
+        enc = per_m.groupBy("vec_id").agg(
+            *[F.min(f"s{m}").getField("dq").alias(f"t{m}") for m in range(PQ_M)]
+        )
+        adc = F.col("t0")
+        for m in range(1, PQ_M):
+            adc = adc + F.col(f"t{m}")
+        return enc.select("vec_id", adc.alias("adc_dist"))
 
 
 def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -223,3 +223,111 @@ def test_ivf_assign_arrow_and_jvm_paths_identical(spark):
         sim.IVF_ARROW_CELLS = old
     assert jvm == arrow
     assert len(jvm) == emb.count()
+
+
+def test_pq_adc_arrow_and_jvm_paths_identical(spark):
+    """The two PQ ADC-encode paths — the legacy JVM HOF fold
+    (zip_with/slice/aggregate per (vector, centroid) row) and the
+    round-9 NaN-aware numpy kernel over Arrow batches — must produce
+    IDENTICAL (vec_id, adc_dist) tables, including every null-contract
+    edge: null array (whole zip → null), empty array (null vs a
+    non-empty side, 0 where the slice is empty), null ELEMENT (null
+    term → null subspace sum), ragged lengths (zip_with pads the
+    shorter side with null; positions beyond max(len) do not exist),
+    and Spark's null-struct-field-sorts-FIRST min(struct) rule.
+    Covers edges on the scan side, in the codebook (vec_id < PQ_K),
+    and in the query row (PQ_QUERY_ID)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from pandasqlite_spark.functions.similarity import pq_adc_scores
+
+    rng = random.Random(7)
+
+    def mkvec(n=64):
+        return [round(rng.uniform(-1, 1), 4) for _ in range(n)]
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def both(rows):
+        emb = spark.createDataFrame(rows, schema)
+        a = {r.vec_id: r.adc_dist for r in pq_adc_scores(emb, arrow=True).collect()}
+        j = {r.vec_id: r.adc_dist for r in pq_adc_scores(emb, arrow=False).collect()}
+        return a, j
+
+    base = [(i, mkvec()) for i in range(60)]
+
+    # edges everywhere at once: codebook (null / empty / short), scan
+    # (null / empty / long / null elements at both ends), clean query
+    rows = list(base)
+    rows[3] = (3, None)
+    rows[4] = (4, [])
+    rows[7] = (7, mkvec(5))
+    rows[30] = (30, None)
+    rows[31] = (31, [])
+    rows[33] = (33, mkvec(66))
+    v = mkvec()
+    v[0] = None
+    v[63] = None
+    rows[34] = (34, v)
+    a, j = both(rows)
+    assert a == j and len(a) == 60
+    assert a[30] is None and a[31] is None  # null/empty scan → null adc
+
+    # query-side edges: null, empty, short — adc must stay identical
+    for qcase in (None, [], mkvec(20)):
+        rows2 = list(base)
+        rows2[42] = (42, qcase)
+        a, j = both(rows2)
+        assert a == j and len(a) == 60
+
+    # no query row / no codebook → both paths yield zero rows
+    a, j = both([(i, mkvec()) for i in range(40)])
+    assert a == j == {}
+    a, j = both([(i + 100, mkvec()) for i in range(30)] + [(42, mkvec())])
+    assert a == j == {}
+
+    # real data: full-corpus score table and the final top-k agree
+    import pandasqlite_spark.functions.similarity as sim
+    from pandasqlite_spark.operators.common import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {r.vec_id: r.adc_dist for r in pq_adc_scores(emb, arrow=True).collect()}
+    j = {r.vec_id: r.adc_dist for r in pq_adc_scores(emb, arrow=False).collect()}
+    assert a == j and len(a) == emb.count()
+    old = sim.PQ_ARROW
+    try:
+        sim.PQ_ARROW = True
+        new_top = [tuple(r) for r in sim.pq_topk(emb).collect()]
+        sim.PQ_ARROW = False
+        old_top = [tuple(r) for r in sim.pq_topk(emb).collect()]
+    finally:
+        sim.PQ_ARROW = old
+    assert new_top == old_top
+
+
+def test_scaled_bound_guard_raises():
+    """The float64-exactness envelope (|scaled coordinate| ≤ 2^22 ⇒
+    every kernel sum < 2^53) fails LOUDLY if the value domain widens —
+    round-8 advice: DECIMAL(8,6) nominally admits 99.999999 (scaled
+    1e8), which would silently break bit-exactness without this."""
+    import numpy as np
+    import pytest
+
+    from pandasqlite_spark.functions.similarity import (
+        _SCALED_ABS_MAX,
+        _check_scaled_bound,
+    )
+
+    _check_scaled_bound(np.array([0.0, -_SCALED_ABS_MAX, 1.0]), "ok")
+    _check_scaled_bound(np.array([]), "empty ok")
+    with pytest.raises(ValueError, match="exactness"):
+        _check_scaled_bound(np.array([1.0, float(_SCALED_ABS_MAX + 1)]), "bad")
+    with pytest.raises(ValueError, match="exactness"):
+        _check_scaled_bound(np.array([-float(1 << 30)]), "bad neg")
