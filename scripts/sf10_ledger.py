@@ -84,12 +84,17 @@ def merge(repo: str) -> dict[str, dict]:
         # newest mismatch outranks an older pass; a newer pass clears it
         order = sorted(kinds.items(), key=lambda kv: kv[1][0], reverse=True)
         newest_kind, (newest_idx, newest_rec) = order[0]
-        if newest_kind == "error" and "pass" in kinds:
-            # an environmental error never hides an earlier clean pass —
-            # unless a mismatch is newer than that pass
-            p_idx, p_rec = kinds["pass"]
+        if newest_kind == "error" and ("pass" in kinds or "mismatch" in kinds):
+            # an environmental error never hides an earlier VERDICT —
+            # neither a clean pass nor a value MISMATCH (round-8 advice:
+            # a divergence must never print as OPEN).  Pass-vs-mismatch
+            # arbitration stays recency-based: the newer of the two wins.
+            p = kinds.get("pass")
             m = kinds.get("mismatch")
-            best[k] = m[1] if m and m[0] > p_idx else p_rec
+            if p and m:
+                best[k] = m[1] if m[0] > p[0] else p[1]
+            else:
+                best[k] = (p or m)[1]
         else:
             best[k] = newest_rec
     return best

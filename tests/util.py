@@ -23,7 +23,19 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # Env-tunable so small-SF pytest runs keep the (tiny) default hit.
     mem = os.environ.get("ORACLE_DUCKDB_MEM", "24GB")
     con.sql(f"SET memory_limit='{mem}'")
-    con.sql("SET temp_directory='.tmp/duckdb_oracle_spill'")
+    # anchor the spill dir to the repo (not the CWD): /tmp-cwd verify
+    # runs would otherwise scatter .tmp/ dirs wherever the harness was
+    # launched from, outside the repo's .gitignore.  Env-overridable
+    # alongside ORACLE_DUCKDB_MEM.
+    spill = os.environ.get(
+        "ORACLE_DUCKDB_SPILL",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            "duckdb_oracle_spill",
+        ),
+    )
+    con.sql(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
