@@ -2477,7 +2477,12 @@ NPROBE_LEVELS = (1, 2, 4)
 NPROBE_TOPK = 10
 
 
-def _nprobe_curve(spark: SparkSession, sf_dir: str, n_cells: int) -> DataFrame:
+def _nprobe_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int,
+    emb: DataFrame | None = None,
+) -> DataFrame:
     """Recall-vs-nprobe readout against an ``n_cells``-cell IVF index
     (stand-in centroids = the first ``n_cells`` vectors): per probed
     level, candidate count, top-10 overlap with exact search, and
@@ -2489,8 +2494,12 @@ def _nprobe_curve(spark: SparkSession, sf_dir: str, n_cells: int) -> DataFrame:
     nprobe level a cell-membership semi-join + exact rerank — each
     level touches only its candidate cells.  Recall is an integer
     overlap over k; everything ordering-relevant is the exact decimal
-    cosine."""
-    emb = load(spark, sf_dir, "embeddings")
+    cosine.
+
+    ``emb`` overrides the corpus (the perturbed eval slice passes its
+    deterministically-noised table); default is the sf_dir table."""
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cid"), "embedding"
     )
@@ -2653,7 +2662,9 @@ QUERIES["simsearch-nprobe-curve"] = q_simsearch_nprobe_curve
 QUERIES["simsearch-ivf-derived"] = q_simsearch_ivf_derived
 
 
-def _nprobe_oracle(cells_expr: str = str(N_CELLS), extra_ctes: str = "") -> str:
+def _nprobe_oracle(
+    cells_expr: str = str(N_CELLS), extra_ctes: str = "", pert: bool = False
+) -> str:
     levels = []
     for nprobe in NPROBE_LEVELS:
         levels.append(f"""
@@ -2680,10 +2691,23 @@ def _nprobe_oracle(cells_expr: str = str(N_CELLS), extra_ctes: str = "") -> str:
                 WHERE apx.vec_id IN (SELECT vec_id FROM truth))
                 / {float(NPROBE_TOPK)}, 6) AS recall_at_10""")
     union = "\n        UNION ALL".join(levels)
+    if pert:
+        # the perturbed slice: quantize, add the integer hash delta on
+        # the scaled grid, round-trip through DOUBLE back to the
+        # decimal — bit-identical to the Spark-side _PERT_ARRAY rebuild
+        x_expr = (
+            "CAST(CAST("
+            "CAST(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6))"
+            " * 1000000 AS BIGINT) + "
+            + _PERT_DELTA.format(i1="t.i")
+            + " AS DOUBLE) / 1000000.0 AS DECIMAL(8,6))"
+        )
+    else:
+        x_expr = "CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6))"
     return f"""
     WITH e AS (
       SELECT vec_id, t.i AS pos,
-             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(8,6)) AS x
+             {x_expr} AS x
       FROM embeddings, generate_series(1, 64) t(i)),{extra_ctes}
     c AS (SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < {cells_expr}),
     dots AS (
@@ -2738,6 +2762,111 @@ _DERIVED_CTES = f"""
 
 ORACLES["simsearch-ivf-derived"] = _nprobe_oracle(
     cells_expr="(SELECT n_cells FROM der)", extra_ctes=_DERIVED_CTES
+).format(
+    final=f"""
+    , sel AS (
+      SELECT COALESCE(
+        MIN(CASE WHEN recall_at_10 >= {ANN_RECALL_TARGET} THEN nprobe END),
+        MAX(nprobe)) AS ch FROM lv)
+    SELECT lv.nprobe, (SELECT n_cells FROM der) AS n_cells,
+           lv.n_candidates, lv.n_hit, lv.recall_at_10,
+           lv.nprobe = sel.ch AS chosen
+    FROM lv, sel
+    ORDER BY lv.nprobe"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Discriminative ANN recall slice (round-8 verdict #3): the replicated
+# big-SF corpora put every query's exact duplicates in its own cell, so
+# recall@10 = 1.0 at nprobe = 1 and the curve can't inform tuning.
+# This slice adds DETERMINISTIC per-(vec_id, position) noise on the
+# DECIMAL(8,6) grid — a pure-integer hash both engines compute
+# bit-identically — which breaks duplicate geometry and makes the
+# recall/candidate trade real.
+# ---------------------------------------------------------------------------
+
+# ±PERT_P grid units of 1e-6 → ±0.12 per coordinate (rms ≈ 0.069, ~10%
+# of a uniform(-1,1) 64-dim vector's norm): enough to scatter exact
+# duplicates across neighbouring cells without destroying neighbourhood
+# structure.  The hash is a Knuth-multiplicative LCG folded through a
+# prime modulus — plain integer arithmetic (no engine hash builtin), so
+# the DuckDB twin reproduces it exactly.  Perturbed |scaled coord| ≤
+# 1.12×10⁶ stays far inside the 2²² float64-exactness envelope.
+PERT_P = 120_000
+PERT_MOD = 1_000_003
+PERT_A = 2_654_435_761
+PERT_B = 40_503
+
+# delta(vec_id, pos) with pos 1-BASED; {i1} is the 1-based position expr
+_PERT_DELTA = (
+    f"((vec_id * {PERT_A} + {{i1}} * {PERT_B}) % {PERT_MOD})"
+    f" % {2 * PERT_P + 1} - {PERT_P}"
+)
+
+# array rebuild: quantize to the scaled-long grid, add the integer
+# delta, return to DOUBLE.  (k + δ)/10⁶ is within 1 ulp of the grid
+# point, so the downstream DECIMAL(8,6) re-quantization recovers
+# k + δ exactly — both engines round the same double the same way.
+_PERT_ARRAY = (
+    "transform({col}, (v, i) -> CAST("
+    "CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6)) * 1000000 AS BIGINT)"
+    " + " + _PERT_DELTA.format(i1="(i + 1)") + " AS DOUBLE) / 1000000.0)"
+)
+
+
+def perturb_embeddings(emb: DataFrame) -> DataFrame:
+    """The deterministically-noised eval corpus: same schema, every
+    coordinate shifted by the integer hash delta on the decimal grid.
+    Row-local ``transform`` — stays in whole-stage codegen, no shuffle,
+    no Python."""
+    return emb.select(
+        "vec_id", F.expr(_PERT_ARRAY.format(col="embedding")).alias("embedding")
+    )
+
+
+def q_simsearch_nprobe_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`simsearch-ivf-derived` over the PERTURBED corpus — the
+    discriminative sizing readout: derived √N cells, recall-vs-nprobe
+    curve, and `derive_nprobe`'s pick, measured where exact duplicates
+    can no longer hide the candidate/recall trade.  Scale shape is
+    identical to the derived key (broadcast assignment, per-probe
+    semi-join + bounded rerank); the perturbation itself is a free
+    row-local map."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_corpus = emb.filter(F.col("vec_id") != 0).count()
+    cells = derive_ivf_cells(n_corpus)
+    curve = _nprobe_curve(spark, sf_dir, cells, emb=perturb_embeddings(emb))
+    sel = curve.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("recall_at_10") >= ANN_RECALL_TARGET, F.col("nprobe")
+                )
+            ),
+            F.max("nprobe"),
+        ).alias("ch")
+    )
+    return (
+        curve.crossJoin(F.broadcast(sel))
+        .select(
+            "nprobe",
+            F.lit(cells).cast("bigint").alias("n_cells"),
+            "n_candidates",
+            "n_hit",
+            "recall_at_10",
+            (F.col("nprobe") == F.col("ch")).alias("chosen"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+QUERIES["simsearch-nprobe-perturbed"] = q_simsearch_nprobe_perturbed
+
+# derived-cells oracle over the perturbed e-CTE; `der` counts the RAW
+# corpus (perturbation never changes row counts)
+ORACLES["simsearch-nprobe-perturbed"] = _nprobe_oracle(
+    cells_expr="(SELECT n_cells FROM der)", extra_ctes=_DERIVED_CTES, pert=True
 ).format(
     final=f"""
     , sel AS (
@@ -3170,7 +3299,9 @@ def _emb_bucketed_oracle_staged(n_chunks: int = 8) -> str:
     return ";\n".join(stmts)
 
 
-def _ivf_staged_common(cells_sql: str, prefix: str) -> list[str]:
+def _ivf_staged_common(
+    cells_sql: str, prefix: str, pert: bool = False
+) -> list[str]:
     """Staged big-SF IVF scaffolding: the registry oracles assign cells
     through a (vectors × 64) ⋈ (cells × 64) position join — 2×10¹¹
     grouped rows at sf10's derived 2048 cells, which spilled DuckDB's
@@ -3189,10 +3320,21 @@ def _ivf_staged_common(cells_sql: str, prefix: str) -> list[str]:
     3. every multiply-referenced intermediate is materialized ONCE
        into a temp table (the graph-oracle pattern).
     """
-    sl = (
-        "list_transform(embedding, v -> CAST(CAST(CAST(v AS DOUBLE)"
-        " AS DECIMAL(8,6)) * 1000000 AS BIGINT))"
-    )
+    if pert:
+        # the perturbed slice adds the integer hash delta directly in
+        # the scaled-long domain (DuckDB lambda index i is 1-based,
+        # matching the registry oracle's t.i)
+        sl = (
+            "list_transform(embedding, (v, i) -> CAST(CAST(CAST(v AS DOUBLE)"
+            " AS DECIMAL(8,6)) * 1000000 AS BIGINT) + "
+            + _PERT_DELTA.format(i1="i")
+            + ")"
+        )
+    else:
+        sl = (
+            "list_transform(embedding, v -> CAST(CAST(CAST(v AS DOUBLE)"
+            " AS DECIMAL(8,6)) * 1000000 AS BIGINT))"
+        )
     p = prefix
     return [
         f"DROP TABLE IF EXISTS {p}_el",
@@ -3301,9 +3443,40 @@ def _nprobe_curve_oracle_staged() -> str:
     return ";\n".join(stmts)
 
 
+def _ivf_perturbed_oracle_staged() -> str:
+    """`simsearch-nprobe-perturbed`'s big-SF twin: the derived-cells
+    staged scaffold over the PERTURBED scaled-long lists.  Proven ≡ the
+    registry oracle at small SF by
+    ``test_nprobe_perturbed_staged_twin_matches_registry``."""
+    stmts = [
+        "DROP TABLE IF EXISTS ivp_der",
+        """CREATE TEMP TABLE ivp_der AS
+        SELECT CAST(MIN(pp.p) AS BIGINT) AS n_cells
+        FROM (SELECT CAST(POWER(2, g) AS BIGINT) AS p
+              FROM generate_series(2, 20) t(g)) pp,
+             (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id <> 0) nn
+        WHERE pp.p * pp.p >= nn.n""",
+    ]
+    stmts += _ivf_staged_common("(SELECT n_cells FROM ivp_der)", "ivp", pert=True)
+    stmts.append(f"""
+        WITH lv AS (
+        {_ivf_nprobe_levels_staged("ivp")})
+        , sel AS (
+          SELECT COALESCE(
+            MIN(CASE WHEN recall_at_10 >= {ANN_RECALL_TARGET} THEN nprobe END),
+            MAX(nprobe)) AS ch FROM lv)
+        SELECT lv.nprobe, (SELECT n_cells FROM ivp_der) AS n_cells,
+               lv.n_candidates, lv.n_hit, lv.recall_at_10,
+               lv.nprobe = sel.ch AS chosen
+        FROM lv, sel
+        ORDER BY lv.nprobe""")
+    return ";\n".join(stmts)
+
+
 ORACLES_BIG = {
     "dedup-embedding-bucketed": _emb_bucketed_oracle_staged(),
     "simsearch-ivf-derived": _ivf_derived_oracle_staged(),
     "simsearch-nprobe-curve": _nprobe_curve_oracle_staged(),
+    "simsearch-nprobe-perturbed": _ivf_perturbed_oracle_staged(),
     "simsearch-mmr-rerank": _mmr_oracle_staged(),
 }

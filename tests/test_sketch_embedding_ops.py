@@ -331,3 +331,46 @@ def test_scaled_bound_guard_raises():
         _check_scaled_bound(np.array([1.0, float(_SCALED_ABS_MAX + 1)]), "bad")
     with pytest.raises(ValueError, match="exactness"):
         _check_scaled_bound(np.array([-float(1 << 30)]), "bad neg")
+
+
+def test_nprobe_perturbed_slice_is_discriminative(spark):
+    """Round-8 verdict #3: the replicated corpora make the plain
+    recall curve degenerate (recall@10 = 1.0 at nprobe = 1, nothing to
+    tune).  The perturbed slice must (a) leave recall@10 BELOW 1.0 at
+    nprobe = 1 so the curve carries information, (b) stay deterministic
+    (pure integer hash — two runs bit-equal), and (c) keep the
+    perturbation inside the scaled-long exactness envelope."""
+    import numpy as np
+
+    from pandasqlite_spark.functions.similarity import (
+        _SCALED_ABS_MAX,
+        PERT_P,
+        derive_nprobe,
+        perturb_embeddings,
+        q_simsearch_nprobe_perturbed,
+    )
+    from pandasqlite_spark.operators.common import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_simsearch_nprobe_perturbed(spark, sf).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    by_np = {r["nprobe"]: r for r in rows}
+    assert by_np[1]["recall_at_10"] < 1.0  # (a) the curve discriminates
+    curve = [(r["nprobe"], r["recall_at_10"]) for r in rows]
+    chosen = derive_nprobe(curve)
+    assert chosen == next(r["nprobe"] for r in rows if r["chosen"])
+    # monotone in nprobe: probing more cells never loses recall
+    assert (
+        by_np[1]["recall_at_10"]
+        <= by_np[2]["recall_at_10"]
+        <= by_np[4]["recall_at_10"]
+    )
+    # (b) deterministic across runs
+    assert rows == q_simsearch_nprobe_perturbed(spark, sf).collect()
+    # (c) perturbed coordinates stay inside the float64-exactness bound
+    emb = perturb_embeddings(load(spark, sf, "embeddings"))
+    mx = emb.selectExpr(
+        "max(aggregate(transform(embedding, v -> abs(v)), 0D, (a, v) -> greatest(a, v))) AS m"
+    ).collect()[0]["m"]
+    assert mx * 1_000_000 <= _SCALED_ABS_MAX, mx
+    assert PERT_P * 2 < _SCALED_ABS_MAX
