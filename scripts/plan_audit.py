@@ -54,6 +54,7 @@ NESTED_LOOP_OK = {
     "simsearch-ivf-pq",  # broadcast centroid/ADC-table crossJoins (≤16 rows each)
     "simsearch-nprobe-curve",  # 1-row recall/candidate-count summary broadcasts
     "simsearch-ivf-derived",  # same summary broadcasts, derived-cells twin
+    "simsearch-nprobe-perturbed",  # same summary broadcasts, perturbed-corpus twin
     "simsearch-ivf-knn-join",  # 1-row broadcast centroid-ARRAY carrier (ivf_assign's
     "simsearch-recall-eval",   # row-wise fold; round 8 — replaces the explode⋈groupBy)
     "dedup-threshold-curve",  # 4-row τ fan-out broadcast over the collapsed pair set
