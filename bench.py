@@ -26,7 +26,7 @@ def _queries(sf_dir: str):
     from pandasqlite_spark.functions.dedup import (
         candidate_pairs,
         lsh_bands,
-        minhash_signatures,
+        minhash_signatures_local,
     )
     from pandasqlite_spark.functions.similarity import cosine_topk
     from pandasqlite_spark.functions.text import quality_score, token_count
@@ -36,8 +36,18 @@ def _queries(sf_dir: str):
     from pandasqlite_spark.operators.common import load_events
 
     def dedup_fast(spark, d):
+        # row-local signature under its documented win condition
+        # (round-9 q5 profile, PROFILE_Q5_SF1.json): full-parallelism
+        # input + eagerly persisted signature feeding both self-join
+        # sides — −16% sf0.1 / −30% sf1 vs the explode→groupBy form,
+        # and the persisted signature (k×8B/doc) is ≪ the text it
+        # replaces, so the win grows at scale
         docs = load(spark, d, "documents")
-        return candidate_pairs(lsh_bands(minhash_signatures(docs, portable=False)))
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sig = minhash_signatures_local(docs.repartition(n_part)).localCheckpoint(
+            eager=True
+        )
+        return candidate_pairs(lsh_bands(sig))
 
     def simsearch_fast(spark, d):
         emb = load(spark, d, "embeddings")

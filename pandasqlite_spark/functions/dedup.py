@@ -149,13 +149,17 @@ def minhash_signatures_local(df: DataFrame, k: int = N_HASHES, n: int = 3) -> Da
     exchange from signature generation; identical output (docs shorter
     than n tokens drop out).
 
-    Measured tradeoff (sf0.1, local[32], single-partition input): the
-    explode→groupBy form wins end-to-end, because its exchange (a) re-
-    parallelizes a narrow input across all cores and (b) is deduplicated
-    by ReusedExchange when the LSH stage self-joins — the shuffle-free
-    form recomputes the whole signature on both join sides.  Prefer this
-    variant only when the input is already well-partitioned AND the
-    signature feeds a single consumer (or is persisted)."""
+    Measured tradeoff (round-9 q5 profile, PROFILE_Q5_SF1.json,
+    local[32], 2-partition parquet scan): signature-only this form is
+    4–7× cheaper (sf1 medians 1.1s vs 5.2–8.0s).  End-to-end into the
+    LSH self-join it LOSES as-is (21s vs 7.3s) because (a) the narrow
+    scan caps it at 2-way parallelism and (b) the signature recomputes
+    on both join sides — but under its documented win condition
+    (repartition to full parallelism + eagerly persisted signature) it
+    wins end-to-end: 5.1s vs 7.3s at sf1, 1.08s vs 1.28s at sf0.1.
+    The bench q5 path uses that form; prefer the explode→groupBy form
+    only when the signature cannot be persisted and the input is
+    narrow."""
     sh_arr = F.expr(
         f"array_distinct(transform(sequence(0, size(toks)-{n}),"
         f" i -> concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(n))})))"
