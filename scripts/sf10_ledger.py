@@ -29,13 +29,36 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _artifact_time(repo: str, f: str) -> float:
+    """Stable recency for artifact ordering: the file's last git commit
+    time, falling back to mtime for uncommitted files.  Plain mtime is
+    NOT recoverable after a fresh checkout (every file gets the checkout
+    instant, observed round 9), which silently scrambled the
+    latest-evidence arbitration this module depends on."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", os.path.basename(f)],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout.strip()
+        if out:
+            return float(out)
+    except Exception:
+        pass
+    return os.path.getmtime(f)
+
+
 def merge(repo: str) -> dict[str, dict]:
     # per key, the most recent record of each kind: pass / mismatch / error
     latest: dict[str, dict[str, tuple[int, dict]]] = {}
     files = sorted(
         glob.glob(os.path.join(repo, "SWEEP_SF10*.json"))
         + glob.glob(os.path.join(repo, "SWEEP_SF10*.json.partial")),
-        key=lambda f: os.path.getmtime(f),
+        key=lambda f: (_artifact_time(repo, f), os.path.basename(f)),
     )
     for idx, f in enumerate(files):
         if ".timing" in f:
