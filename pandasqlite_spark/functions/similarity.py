@@ -140,7 +140,47 @@ _SCALED_LONG = (
 IVF_ARROW_CELLS = 32
 
 
-def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+def _collect_scaled_centroids(centroids: DataFrame):
+    """Driver-side materialization of the centroid set as scaled-long
+    rows, sorted by cid — ONE job shared by both assignment paths.
+
+    The centroid set is broadcast-by-contract (≤ the 2²⁰ sizing cap,
+    ≪ executor memory under √N sizing), so collecting it is the same
+    driver cost the broadcast already paid.  Doing it once at build
+    time replaces (a) the ``count()`` probe job that only chose the
+    path, and (b) the per-branch ObjectHashAggregate/collect rebuilds
+    a multi-use plan (knn-join, recall-eval: 5 broadcast branches)
+    re-executed per run (round-9 profile: 2×count + rebuilds ≈ 0.5 s
+    of the 2.4 s q19 wall)."""
+    crows = (
+        centroids.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        )
+        .select("cid", F.expr(_SCALED_LONG.format(col="embedding")).alias("cs"))
+        .collect()
+    )
+    crows.sort(key=lambda r: r["cid"])
+    return crows
+
+
+def _spread_scan(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition a scan-rooted input to cluster parallelism when the
+    file layout under-partitions it (sf10 parquet = 7 input splits —
+    the straggler from round-6 verdict #2).  The probe is
+    ``inputFiles()`` — driver-side metadata, ~0.04 s, vs the ~0.1-0.7 s
+    plan-conversion cost of ``df.rdd.getNumPartitions()`` (same move as
+    ``_spread_for_codec``, round-4 verdict #4).  Falls back to the RDD
+    probe for non-file sources (in-memory test frames), where the
+    conversion is cheap."""
+    sc = df.sparkSession.sparkContext
+    files = df.inputFiles()
+    n_hint = len(files) if files else df.rdd.getNumPartitions()
+    if n_hint < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, id_col)
+    return df
+
+
+def _ivf_assign_arrow(emb: DataFrame, crows, id_col: str) -> DataFrame:
     """Large-cell-count assignment: exact scaled-long GEMM over Arrow
     batches.  Coordinates quantize to DECIMAL(8,6)·10⁶ longs, so every
     product ≤ 2.5×10¹¹ and every 64-term partial sum ≤ 1.6×10¹³ < 2⁵³
@@ -161,19 +201,6 @@ def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> Data
     import numpy as np
     import pandas as pd
 
-    crows = (
-        centroids.filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
-        )
-        .select("cid", F.expr(_SCALED_LONG.format(col="embedding")).alias("cs"))
-        .collect()
-    )
-    if not crows:
-        # zero usable centroids → zero assignments (join semantics)
-        return emb.select(F.col(id_col)).limit(0).select(
-            F.col(id_col), F.lit(None).cast("int").alias("cell")
-        )
-    crows.sort(key=lambda r: r["cid"])
     cids = np.asarray([r["cid"] for r in crows], dtype=np.int64)
     # null ELEMENTS contribute nothing to a SQL SUM — a zero product is
     # the same thing, so both the centroid matrix and the row batches
@@ -209,7 +236,12 @@ def _ivf_assign_arrow(emb: DataFrame, centroids: DataFrame, id_col: str) -> Data
     return src.mapInPandas(assign_batches, schema=f"{id_col} long, cell int")
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    centroid_rows=None,
+) -> DataFrame:
     """Assign each vector to its max-dot-product centroid cell.  At
     100 TB: centroids are broadcast (k rows), the fact side never
     shuffles for assignment — one narrow pass.
@@ -227,23 +259,42 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> 
     paths produce bit-identical assignments (same quantization, same
     (dot DESC, cid ASC) tie-break).  The pre-compute repartition keeps
     the pass spread across the cluster when the scan under-partitions
-    (sf10 parquet = 7 input splits)."""
-    sc = emb.sparkSession.sparkContext
-    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
-        emb = emb.repartition(sc.defaultParallelism, id_col)
-    if centroids.count() > IVF_ARROW_CELLS:
-        return _ivf_assign_arrow(emb, centroids, id_col)
-    # 1-row broadcast relation carrying every centroid's scaled-long
-    # vector (array_sort orders the struct array by its first field,
-    # cid — deterministic regardless of collect_list order); null /
-    # empty centroid embeddings drop out exactly as the explode
-    # formulation dropped them
-    cents = (
-        centroids.filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    (sf10 parquet = 7 input splits).
+
+    Round-9: the centroid set materializes on the driver ONCE at build
+    time (:func:`_collect_scaled_centroids`) — it is the broadcast side
+    by contract, so this is the same bytes the broadcast already moved,
+    and it replaces the path-probe ``count()`` job plus the per-branch
+    centroid-aggregate rebuilds that a multi-use plan re-executed every
+    run; the partition probe is the ``inputFiles()`` metadata call
+    instead of an RDD conversion (:func:`_spread_scan`).  Callers that
+    assign several tables against the SAME centroid set (knn-join,
+    recall-eval: corpus + query batch) pass the collected rows via
+    ``centroid_rows`` so the centroid job runs once per query, not per
+    assignment."""
+    emb = _spread_scan(emb, id_col)
+    crows = (
+        _collect_scaled_centroids(centroids)
+        if centroid_rows is None
+        else centroid_rows
+    )
+    if not crows:
+        # zero usable centroids → zero assignments (the old join
+        # formulation's inner-join semantics), never a sentinel cid
+        return emb.select(F.col(id_col)).limit(0).select(
+            F.col(id_col), F.lit(None).cast("int").alias("cell")
         )
-        .select(F.expr(_SCALED_LONG.format(col="embedding")).alias("cs"), "cid")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cs"))).alias("cents"))
+    if len(crows) > IVF_ARROW_CELLS:
+        return _ivf_assign_arrow(emb, crows, id_col)
+    # 1-row broadcast relation carrying every centroid's scaled-long
+    # vector, cid-sorted (built from the driver rows — values identical
+    # to the old array_sort(collect_list(struct(cid, cs))) aggregate);
+    # null / empty centroid embeddings were dropped pre-collect exactly
+    # as the explode formulation dropped them
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [([(int(r["cid"]), r["cs"]) for r in crows],)],
+        "cents: array<struct<cid:int,cs:array<bigint>>>",
     )
     scored = (
         emb
@@ -252,9 +303,6 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> 
         # sweep pins this
         .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
         .crossJoin(F.broadcast(cents))
-        # zero centroids → zero assignments (the join formulation's
-        # inner-join semantics), never the fold's sentinel cid
-        .filter(F.size("cents") > 0)
         .select(
             id_col,
             F.expr(_SCALED_LONG.format(col="embedding")).alias("xl"),
@@ -290,7 +338,9 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").cast("int").alias("cid"), "embedding"
     )
-    assign = ivf_assign(emb, cents)
+    # the assignment feeds BOTH the query-cell lookup and the member
+    # scan — checkpoint so the corpus fold runs once per query
+    assign = ivf_assign(emb, cents).localCheckpoint(eager=False)
     qcell = assign.filter(F.col("vec_id") == 0).select("cell")
     cand_ids = (
         assign.join(F.broadcast(qcell), "cell")
@@ -724,13 +774,20 @@ def q_simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").cast("int").alias("cid"), "embedding"
     )
-    a_corpus = ivf_assign(corpus, cents)
+    # shared-centroid collect + checkpointed candidate pairs: same
+    # build-once/reuse shape as q_simsearch_ivf_knn_join (the corpus
+    # assignment otherwise re-executes for every candidate consumer)
+    crows = _collect_scaled_centroids(cents)
+    a_corpus = ivf_assign(corpus, cents, centroid_rows=crows)
     a_q = ivf_assign(
         queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
         cents,
+        centroid_rows=crows,
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    cand = a_q.join(a_corpus.select("vec_id", "cell"), "cell").select(
-        "query_id", "vec_id"
+    cand = (
+        a_q.join(a_corpus.select("vec_id", "cell"), "cell")
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
     s = ivf_candidate_cosine(corpus, queries, cand)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
@@ -999,13 +1056,24 @@ def q_simsearch_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").cast("int").alias("cid"), "embedding"
     )
-    a_corpus = ivf_assign(corpus, cents)
+    # one centroid job for both assignments (corpus + query batch)
+    crows = _collect_scaled_centroids(cents)
+    a_corpus = ivf_assign(corpus, cents, centroid_rows=crows)
     a_q = ivf_assign(
         queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
         cents,
+        centroid_rows=crows,
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    cand = a_q.join(a_corpus.select("vec_id", "cell"), "cell").select(
-        "query_id", "vec_id"
+    # the candidate pair table feeds BOTH the corpus prune and the dot
+    # equi-join inside ivf_candidate_cosine; without the checkpoint the
+    # whole corpus-assignment pass executes once per consumer.  Lazy
+    # localCheckpoint = compute once, reuse the (id, id) pairs — the
+    # "decide with small rows, attach once" shape; the persisted table
+    # is two longs per candidate, ≪ the vectors it saves re-scoring.
+    cand = (
+        a_q.join(a_corpus.select("vec_id", "cell"), "cell")
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
     s = ivf_candidate_cosine(corpus, queries, cand)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
@@ -2270,7 +2338,8 @@ def q_simsearch_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").cast("int").alias("cid"), "embedding"
     )
-    assign = ivf_assign(emb, cents)
+    # assignment reused by the query-cell lookup and the member scan
+    assign = ivf_assign(emb, cents).localCheckpoint(eager=False)
     qcell = assign.filter(F.col("vec_id") == PQ_QUERY_ID).select("cell")
     cand_ids = (
         assign.join(F.broadcast(qcell), "cell")
@@ -2503,7 +2572,10 @@ def _nprobe_curve(
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cid"), "embedding"
     )
-    assign = ivf_assign(emb, cents)
+    # the assignment is consumed once per probed level (×2: member join
+    # + candidate count) — checkpoint so the corpus fold runs once, not
+    # 2·|levels| times
+    assign = ivf_assign(emb, cents).localCheckpoint(eager=False)
     query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     truth = cosine_topk_exact(emb.filter(F.col("vec_id") != 0), query, k=NPROBE_TOPK)
     # rank cells by query→centroid dot (the probe order)
@@ -2529,6 +2601,8 @@ def _nprobe_curve(
             assign.join(F.broadcast(probe_cells), "cell")
             .filter(F.col("vec_id") != 0)
             .select("vec_id")
+            # consumed twice per level (rerank join + candidate count)
+            .localCheckpoint(eager=False)
         )
         approx = cosine_topk_exact(
             emb.join(cand_ids, "vec_id"), query, k=NPROBE_TOPK
