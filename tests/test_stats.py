@@ -111,3 +111,70 @@ def test_bm25_term_frequency_orders_equal_length_docs(spark):
     out = bm25_scores(docs, terms=("spark",)).collect()
     assert [r.doc_id for r in out] == [1, 2]  # doc 3 never matches
     assert out[0].bm25 > out[1].bm25  # higher tf at equal dl wins
+
+
+def test_bm25_null_semantics_pinned_vs_reference(spark):
+    """Pin bm25_scores against an inline copy of its formulation on the
+    edge cases any future restructuring must preserve (round 9 tried a
+    single-tokenize-pass rewrite — measured slower at sf1 AND sf10, see
+    OPTIMIZATION_r09.md C2 — and these are the semantics that rewrite
+    almost silently changed): a NULL-doc_id doc containing a query term
+    feeds df and sum_dl but is excluded from output by the tf⋈dl inner
+    join; a NULL-text doc counts only toward n_docs; an empty-text doc
+    has one ""-token, so dl=1."""
+    from pyspark.sql import functions as F
+    from pandasqlite_spark.functions.text import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark pad"),
+            (2, "window pad"),
+            (3, "pad pad pad"),
+            (None, "spark window"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms, k1, b = ("spark", "window"), 1.2, 0.75
+
+    # original formulation, verbatim
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.sum("dl").alias("sum_dl")))
+    )
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * ((tfd * F.lit(k1 + 1.0)) / (tfd + norm))
+    ref = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    got = bm25_scores(docs, terms=terms, k1=k1, b=b).collect()
+    assert [(r.doc_id, r.bm25) for r in got] == [
+        (r.doc_id, r.bm25) for r in ref
+    ]
+    # the null-id doc must be absent yet have fed df/sum_dl
+    assert all(r.doc_id is not None for r in got)
