@@ -53,53 +53,36 @@ def cosine_topk(
 def cosine_topk_exact(
     emb: DataFrame, query: DataFrame, k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Oracle-checkable variant: posexplode + true decimal SUM, which
-    stays exact (Spark's ``aggregate`` lambda would round a scale digit
-    away per step once the accumulator hits precision 38).
+    """Oracle-checkable variant: scaled-long row-local folds.
+
+    Round-9 shape (guide §2.4: remove shuffles outright): coordinates
+    quantize to DECIMAL(8,6)·10⁶ BIGINTs — products ≤ 2.5×10¹¹, 64-term
+    sums ≤ 1.6×10¹³ < 2⁵³, so the integer fold is exact in any order
+    and /1e12 is the same single rounding as the old decimal→double
+    cast.  That kills the original reason this was a posexplode ⋈
+    broadcast ⋈ groupBy (a decimal ``aggregate`` lambda would round a
+    scale digit per step at precision 38): the dot and both norms now
+    fold row-locally in whole-stage codegen, the 64×-row explode, the
+    position join, and the partial-agg exchange are gone, and the only
+    cross-partition step is the TakeOrdered top-k merge.  Null
+    semantics pinned by the explode-reference bit-identity test: null
+    ELEMENTS drop out of the folds like SQL SUM, null/empty arrays drop
+    the row, all-null vectors surface a NULL cosine.
 
     float → double → decimal(8,6): the double hop is load-bearing —
     casting float straight to decimal goes through the float's short
     string form in Spark but the widened double in DuckDB.
     """
-    # spread the explode INPUT to cluster parallelism first: the 64-256x
-    # posexplode inherits the scan's partitioning, and a small parquet
-    # (sf10 embeddings = 7 input splits) serializes the whole decimal
-    # dot-reduction onto 7 tasks — the straggler that cut off the sf10
-    # ANN sizing row (round-6 verdict #2).  Shuffling the pre-explode
-    # rows is ~dims-times cheaper than letting the exploded rows skew.
-    src = emb
-    sc = emb.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism, id_col)
-    # round-8: coordinates carry as DECIMAL(8,6)·10⁶ BIGINTs — products
-    # ≤ 2.5×10¹¹, 64-term sums ≤ 1.6×10¹³ < 2⁵³, so the long SUM is
-    # exact and /1e12 is the same single rounding as the old
-    # decimal→double cast (bit-identical cosines, codegen-speed folds)
-    e = src.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
-        id_col,
-        "pos",
-        (F.col("x").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("x"),
+    c = _fold_rows(emb, id_col=id_col)
+    q = (
+        query.filter(F.col("qv").isNotNull() & (F.size("qv") > 0))
+        .select(F.expr(_SCALED_LONG.format(col="qv")).alias("qs"))
+        .select("qs", F.expr(_SUMSQ_FOLD.format(col="qs")).alias("nq"))
     )
-    q = query.select(F.posexplode("qv").alias("pos", "qx")).select(
-        "pos",
-        (F.col("qx").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("qx"),
-    )
-
-    def as_dbl(c: Column) -> Column:
-        return c.cast("double") / F.lit(1e12)
-
-    nq = q.agg(as_dbl(F.sum(F.col("qx") * F.col("qx"))).alias("nq"))
-    per_vec = (
-        e.join(F.broadcast(q), "pos")
-        .groupBy(id_col)
-        .agg(
-            as_dbl(F.sum(F.col("x") * F.col("qx"))).alias("dot"),
-            as_dbl(F.sum(F.col("x") * F.col("x"))).alias("ne"),
-        )
-    )
-    cos = F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))
+    dot = F.expr(_DOT_FOLD.format(a="xs", b="qs"))
+    cos = dot / (F.sqrt("nn") * F.sqrt("nq"))
     return (
-        per_vec.crossJoin(F.broadcast(nq))
+        c.crossJoin(F.broadcast(q))
         .select(id_col, cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), id_col)
         .limit(k)
@@ -135,6 +118,36 @@ _SCALED_LONG = (
     "transform({col}, v -> CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))"
     " * 1000000 AS BIGINT))"
 )
+
+# SUM-semantics folds over scaled-long arrays: skip null terms, return
+# NULL when every term is null — exactly what the old posexplode ⋈ SQL
+# SUM produced, which `_dec_rows`'s zero-init fold does NOT (a null
+# element poisons its accumulator).  /1e12 after a < 2⁵³ integer sum is
+# the same single rounding as the decimal→double cast (see _dec_rows).
+_SUMSQ_FOLD = (
+    "CAST(aggregate(filter(transform({col}, x -> x * x), p -> p IS NOT NULL),"
+    " CAST(NULL AS BIGINT),"
+    " (s, v) -> CASE WHEN s IS NULL THEN v ELSE s + v END) AS DOUBLE) / 1e12"
+)
+_DOT_FOLD = (
+    "CAST(aggregate(filter(zip_with({a}, {b}, (x, y) -> x * y),"
+    " p -> p IS NOT NULL),"
+    " CAST(NULL AS BIGINT),"
+    " (s, v) -> CASE WHEN s IS NULL THEN v ELSE s + v END) AS DOUBLE) / 1e12"
+)
+
+
+def _fold_rows(
+    emb: DataFrame, id_col: str = "vec_id", arr: str = "embedding"
+) -> DataFrame:
+    """(id, xs, nn): scaled-long vector + exact SUM-semantics norm, with
+    null/empty arrays dropped — the row-local equivalent of what the
+    posexplode ⋈ SUM pipelines computed per id (posexplode emits no rows
+    for a null/empty array, so those ids vanished there too)."""
+    src = emb.filter(F.col(arr).isNotNull() & (F.size(arr) > 0))
+    return src.select(
+        F.col(id_col), F.expr(_SCALED_LONG.format(col=arr)).alias("xs")
+    ).select(id_col, "xs", F.expr(_SUMSQ_FOLD.format(col="xs")).alias("nn"))
 
 
 IVF_ARROW_CELLS = 32
@@ -645,48 +658,30 @@ def knn_join_exact(
     gets its cosine top-k among ``emb`` rows — the many-query form of
     :func:`cosine_topk_exact` (single lookup → batch retrieval).
 
-    Scale shape: the query side is the broadcast side (ANN batches are
-    thousands of rows; the corpus is the 100 TB side), dots reduce via
-    one ``groupBy(qid, vec_id)`` partial-aggregated shuffle, and the
-    per-query top-k is a rank-filter window — no all-pairs
-    materialization beyond the candidate dot products, and at scale the
-    candidate set would first be cut by ``bucketed_neighbors``.
-    Decimal(8,6) sums keep the double conversion bit-identical across
-    engines (same contract as :func:`cosine_topk_exact`).
+    Scale shape (round-9, guide §2.4): the query side is the broadcast
+    side (ANN batches are thousands of rows; the corpus is the 100 TB
+    side); each corpus row folds its scaled-long dot against every
+    broadcast query row-locally in whole-stage codegen — the 64×-row
+    posexplode, the position join, and the ``groupBy(qid, vec_id)``
+    partial-agg exchange of the previous shape are gone.  The only
+    exchange left is the rank-filter window (WindowGroupLimit pushes
+    the k-filter map-side), and at scale the candidate set would first
+    be cut by ``bucketed_neighbors``.  Scaled-long sums (< 2⁵³) keep
+    the double conversion bit-identical across engines (same contract
+    as :func:`cosine_topk_exact`; null semantics pinned by the
+    explode-reference bit-identity test).
     """
-    # scaled-long coordinates (see cosine_topk_exact): exact < 2⁵³
-    # integer sums, /1e12 = the decimal→double cast's single rounding
-    e = emb.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
-        id_col,
-        "pos",
-        (F.col("x").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("x"),
+    c = _fold_rows(emb, id_col=id_col)
+    q = (
+        queries.filter(F.col("qv").isNotNull() & (F.size("qv") > 0))
+        .select(F.col(qid_col), F.expr(_SCALED_LONG.format(col="qv")).alias("qs"))
+        .select(qid_col, "qs", F.expr(_SUMSQ_FOLD.format(col="qs")).alias("nq"))
     )
-    q = queries.select(qid_col, F.posexplode("qv").alias("pos", "qx")).select(
+    dot = F.expr(_DOT_FOLD.format(a="xs", b="qs"))
+    scored = c.crossJoin(F.broadcast(q)).select(
         qid_col,
-        "pos",
-        (F.col("qx").cast("double").cast(_DEC) * 1000000).cast("bigint").alias("qx"),
-    )
-    ne = e.groupBy(id_col).agg(
-        (F.sum(F.col("x") * F.col("x")).cast("double") / F.lit(1e12)).alias("ne")
-    )
-    nq = q.groupBy(qid_col).agg(
-        (F.sum(F.col("qx") * F.col("qx")).cast("double") / F.lit(1e12)).alias("nq")
-    )
-    dots = (
-        e.join(F.broadcast(q), "pos")
-        .groupBy(qid_col, id_col)
-        .agg(
-            (F.sum(F.col("x") * F.col("qx")).cast("double") / F.lit(1e12)).alias("dot")
-        )
-    )
-    scored = (
-        dots.join(ne, id_col)
-        .join(F.broadcast(nq), qid_col)
-        .select(
-            qid_col,
-            id_col,
-            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
-        )
+        F.col(id_col),
+        (dot / (F.sqrt("nn") * F.sqrt("nq"))).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -709,11 +704,21 @@ def ivf_candidate_cosine(
     with |candidates| BY CONSTRUCTION — not with |corpus|, and not
     contingent on AQE choosing to broadcast (round-5 verdict #6).  The
     distinct candidate-id set is tiny (≤ queries × probed-cell
-    population), so the semi-join broadcasts at any corpus scale."""
+    population), so the semi-join broadcasts at any corpus scale.
+
+    Round-9 shape (guide §2.4): after the prune, each candidate row
+    carries its scaled-long vector + norm (:func:`_fold_rows`) through
+    ONE equi-join onto the (query_id, vec_id) pair set, the query
+    vectors broadcast, and the dot folds row-locally — the 64×-row
+    posexplode, the position join, and the ``groupBy(query_id,
+    vec_id)`` partial-agg exchange are gone (sf0.1 q19 A/B: 1.71 →
+    1.01 s).  ``cand`` pairs must be unique — true of every caller
+    (one cell per vector) and already an implicit precondition of the
+    old shape, whose SUM would have double-counted duplicated pairs."""
     # PANDASQLITE_IVF_NO_PRUNE=1 is a BENCH-ONLY escape hatch for the
     # prune-in/prune-out A/B (round-6 verdict #4); results are
     # identical either way (the candidate equi-join below bounds the
-    # output), only the explode input size changes
+    # output), only the fold input size changes
     import os as _os
 
     if _os.environ.get("PANDASQLITE_IVF_NO_PRUNE") == "1":
@@ -722,29 +727,20 @@ def ivf_candidate_cosine(
         cand_vecs = corpus.join(
             F.broadcast(cand.select("vec_id").distinct()), "vec_id", "left_semi"
         )
-    e = cand_vecs.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
-        "vec_id", "pos", F.col("x").cast("double").cast(_DEC).alias("x")
+    c = _fold_rows(cand_vecs)
+    q = (
+        queries.filter(F.col("qv").isNotNull() & (F.size("qv") > 0))
+        .select("query_id", F.expr(_SCALED_LONG.format(col="qv")).alias("qs"))
+        .select("query_id", "qs", F.expr(_SUMSQ_FOLD.format(col="qs")).alias("nq"))
     )
-    qd = queries.select("query_id", F.posexplode("qv").alias("pos", "qx")).select(
-        "query_id", "pos", F.col("qx").cast("double").cast(_DEC).alias("qx")
-    )
-    ne = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("ne"))
-    nq = qd.groupBy("query_id").agg(
-        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
-    )
-    dots = (
-        cand.join(e, "vec_id")
-        .join(F.broadcast(qd), ["query_id", "pos"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
-    )
+    dot = F.expr(_DOT_FOLD.format(a="xs", b="qs"))
     return (
-        dots.join(ne, "vec_id")
-        .join(F.broadcast(nq), "query_id")
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "vec_id",
-            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
+            (dot / (F.sqrt("nn") * F.sqrt("nq"))).alias("cosine"),
         )
     )
 

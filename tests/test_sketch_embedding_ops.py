@@ -374,3 +374,228 @@ def test_nprobe_perturbed_slice_is_discriminative(spark):
     ).collect()[0]["m"]
     assert mx * 1_000_000 <= _SCALED_ABS_MAX, mx
     assert PERT_P * 2 < _SCALED_ABS_MAX
+
+
+# ---------------------------------------------------------------------------
+# Round-9 fold rewrite of the explode-based cosine reductions: the old
+# posexplode ⋈ SUM formulations live HERE as the bit-identity reference
+# (the test_ivf_assign_arrow_and_jvm_paths_identical pattern).
+# ---------------------------------------------------------------------------
+
+
+def _ref_cosine_topk_exact(emb, query, k=10, id_col="vec_id"):
+    """Pre-round-9 cosine_topk_exact: posexplode + scaled-long SUM."""
+    from pyspark.sql import functions as F
+
+    e = emb.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
+        id_col,
+        "pos",
+        (F.col("x").cast("double").cast("decimal(8,6)") * 1000000)
+        .cast("bigint")
+        .alias("x"),
+    )
+    q = query.select(F.posexplode("qv").alias("pos", "qx")).select(
+        "pos",
+        (F.col("qx").cast("double").cast("decimal(8,6)") * 1000000)
+        .cast("bigint")
+        .alias("qx"),
+    )
+
+    def as_dbl(c):
+        return c.cast("double") / F.lit(1e12)
+
+    nq = q.agg(as_dbl(F.sum(F.col("qx") * F.col("qx"))).alias("nq"))
+    per_vec = (
+        e.join(F.broadcast(q), "pos")
+        .groupBy(id_col)
+        .agg(
+            as_dbl(F.sum(F.col("x") * F.col("qx"))).alias("dot"),
+            as_dbl(F.sum(F.col("x") * F.col("x"))).alias("ne"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))
+    return (
+        per_vec.crossJoin(F.broadcast(nq))
+        .select(id_col, cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
+
+
+def _ref_knn_join_exact(emb, queries, k=5, id_col="vec_id", qid_col="query_id"):
+    """Pre-round-9 knn_join_exact: posexplode + pos-join + groupBy."""
+    from pyspark.sql import Window, functions as F
+
+    e = emb.select(id_col, F.posexplode("embedding").alias("pos", "x")).select(
+        id_col,
+        "pos",
+        (F.col("x").cast("double").cast("decimal(8,6)") * 1000000)
+        .cast("bigint")
+        .alias("x"),
+    )
+    q = queries.select(qid_col, F.posexplode("qv").alias("pos", "qx")).select(
+        qid_col,
+        "pos",
+        (F.col("qx").cast("double").cast("decimal(8,6)") * 1000000)
+        .cast("bigint")
+        .alias("qx"),
+    )
+    ne = e.groupBy(id_col).agg(
+        (F.sum(F.col("x") * F.col("x")).cast("double") / F.lit(1e12)).alias("ne")
+    )
+    nq = q.groupBy(qid_col).agg(
+        (F.sum(F.col("qx") * F.col("qx")).cast("double") / F.lit(1e12)).alias("nq")
+    )
+    dots = (
+        e.join(F.broadcast(q), "pos")
+        .groupBy(qid_col, id_col)
+        .agg((F.sum(F.col("x") * F.col("qx")).cast("double") / F.lit(1e12)).alias("dot"))
+    )
+    scored = (
+        dots.join(ne, id_col)
+        .join(F.broadcast(nq), qid_col)
+        .select(
+            qid_col,
+            id_col,
+            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "cosine")
+    )
+
+
+def _ref_ivf_candidate_cosine(corpus, queries, cand):
+    """Pre-round-9 ivf_candidate_cosine: decimal posexplode + SUM."""
+    from pyspark.sql import functions as F
+
+    cand_vecs = corpus.join(
+        F.broadcast(cand.select("vec_id").distinct()), "vec_id", "left_semi"
+    )
+    e = cand_vecs.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "pos", F.col("x").cast("double").cast("decimal(8,6)").alias("x"))
+    qd = queries.select("query_id", F.posexplode("qv").alias("pos", "qx")).select(
+        "query_id", "pos", F.col("qx").cast("double").cast("decimal(8,6)").alias("qx")
+    )
+    ne = e.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("ne")
+    )
+    nq = qd.groupBy("query_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq")
+    )
+    dots = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qd), ["query_id", "pos"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(ne, "vec_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("dot") / (F.sqrt("ne") * F.sqrt("nq"))).alias("cosine"),
+        )
+    )
+
+
+def _edge_embeddings(spark):
+    """60 clean 64-dim vectors + every null-contract edge the explode
+    formulations defined: null array, empty array, null element at both
+    ends, ALL-null elements (non-empty) — on ids the tests key on."""
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(13)
+
+    def mkvec(n=64):
+        return [round(rng.uniform(-1, 1), 4) for _ in range(n)]
+
+    rows = [(i, mkvec()) for i in range(60)]
+    rows[3] = (3, None)
+    rows[4] = (4, [])
+    v = mkvec()
+    v[0] = None
+    v[63] = None
+    rows[5] = (5, v)
+    rows[6] = (6, [None] * 64)  # all-null → NULL norm → NULL cosine
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cosine_fold_matches_explode_reference(spark):
+    """The round-9 row-local scaled-long folds must be BIT-IDENTICAL to
+    the explode ⋈ SUM formulations they replaced — values AND row sets,
+    on real data and on every null edge (null/empty arrays drop the
+    row; null elements drop the term; all-null vectors surface a NULL
+    cosine; null/empty QUERY vectors drop the query)."""
+    from pyspark.sql import functions as F
+
+    from pandasqlite_spark.functions.similarity import (
+        cosine_topk_exact,
+        ivf_candidate_cosine,
+        knn_join_exact,
+    )
+    from pandasqlite_spark.operators.common import load
+
+    def rows_of(df):
+        return sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    for emb in (
+        load(spark, "/root/testdata/sf0.001", "embeddings"),
+        _edge_embeddings(spark),
+    ):
+        # single-query top-k: clean query, then each query edge
+        query = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        corpus = emb.filter(F.col("vec_id") != 0)
+        assert rows_of(cosine_topk_exact(corpus, query, k=10)) == rows_of(
+            _ref_cosine_topk_exact(corpus, query, k=10)
+        )
+        for edge_qid in (3, 4, 6):  # null / empty / all-null-element qv
+            query_e = emb.filter(F.col("vec_id") == edge_qid).select(
+                F.col("embedding").alias("qv")
+            )
+            assert rows_of(cosine_topk_exact(corpus, query_e, k=10)) == rows_of(
+                _ref_cosine_topk_exact(corpus, query_e, k=10)
+            ), f"topk qv edge {edge_qid}"
+
+        # batched knn join + candidate cosine, with the edge ids (3-6)
+        # landing on the QUERY side (split at 8) and then on the CORPUS
+        # side (split at 52, queries = clean tail ids)
+        for qpred, cpred in (
+            (F.col("vec_id") < 8, F.col("vec_id") >= 8),
+            (F.col("vec_id") >= 52, F.col("vec_id") < 52),
+        ):
+            queries = emb.filter(qpred).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            )
+            corpus_s = emb.filter(cpred)
+            assert rows_of(knn_join_exact(corpus_s, queries, k=5)) == rows_of(
+                _ref_knn_join_exact(corpus_s, queries, k=5)
+            )
+
+            # candidate-restricted cosine: synthetic unique pair set
+            # keyed off id arithmetic so edge ids appear in pairs
+            cand = (
+                queries.select("query_id")
+                .crossJoin(corpus_s.select("vec_id"))
+                .filter((F.col("vec_id") + F.col("query_id")) % 3 == 0)
+            )
+            assert rows_of(ivf_candidate_cosine(corpus_s, queries, cand)) == rows_of(
+                _ref_ivf_candidate_cosine(corpus_s, queries, cand)
+            )
