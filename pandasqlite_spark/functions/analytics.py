@@ -228,9 +228,32 @@ def fuzzy_pairs(
             % sample_mod
             == 0
         )
-    return (
-        cand.withColumn("dist", F.expr(f"levenshtein(name_a, name_b, {max_dist})"))
+    # round-9 (guide §8: decide with small rows): the DP depends only on
+    # the NAME PAIR, and big corpora replicate names (gen_sf: ~10× at
+    # sf1, ~100× at sf10), so running it per candidate-ID pair repeated
+    # every DP ~replication²/sample_mod times (sf10: ~10⁸ sampled DPs
+    # for ~3×10⁵ distinct pairs — the largest single operator wall of
+    # the sf10 ledger, 793 s).  The distance table is now built ONCE per
+    # distinct ordered name pair within each block (same blocking, same
+    # length prefilter — both lossless) and attached back by name
+    # equality; ID pairs with a null name or dist > max_dist drop at the
+    # inner join exactly as they dropped at the old dist>=0 filter
+    # (lev(NULL,·) is NULL).  The name-pair table is bounded by
+    # Σ_block |distinct names|² ≪ candidate count whenever names repeat,
+    # and the DP cost no longer scales with corpus replication at all.
+    dn = parts.select("p_name", *[F.col(c) for c in block_cols]).distinct()
+    an = dn.select(F.col("p_name").alias("name_a"), *block_cols)
+    bn = dn.select(F.col("p_name").alias("name_b"), *block_cols)
+    dp = (
+        an.join(bn, list(block_cols))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn("dist", F.expr(f"levenshtein(name_a, name_b, {max_dist})"))
         .filter(F.col("dist") >= 0)
+    )
+    return (
+        cand.join(dp, ["name_a", "name_b"])
         .select("pa", "pb", "dist")
         .orderBy("pa", "pb")
     )

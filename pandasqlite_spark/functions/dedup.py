@@ -1310,7 +1310,15 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
-    sig = minhash_signatures(docs, k=k, portable=True)
+    # round-9 (guide §5: cut lineage for reused intermediates): the
+    # signature subtree feeds 3 configs × (bucket-size agg + both sides
+    # of the verify self-join) ≈ 9 plan branches, each re-hashing every
+    # document k times; the checkpoint payload is doc_id + k longs —
+    # tiny next to the text it derives from.  Likewise `bsz` (bucket
+    # sizes: feeds the cost row AND the small-bucket filter) and
+    # `sampled` (the self-join candidate pairs: feeds the intersection
+    # join AND the left-join spine inside jaccard_verify).
+    sig = minhash_signatures(docs, k=k, portable=True).localCheckpoint(eager=False)
     rows = None
     for b in configs:
         r = k // b
@@ -1318,7 +1326,7 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
         bands_df = lsh_bands(sig, bands=b, k=k)
         bsz = bands_df.groupBy("band", "band_sig").agg(
             F.count(F.lit(1)).alias("n")
-        )
+        ).localCheckpoint(eager=False)
         cost = bsz.agg(
             F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("n_candidate_slots"),
             F.sum(F.when(F.col("n") > BAND_TUNING_CAP, 1).otherwise(0))
@@ -1340,6 +1348,7 @@ def band_tuning(docs: DataFrame, configs=(8, 4, 2), k: int = N_HASHES, tau: floa
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .filter((F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0)
             .distinct()
+            .localCheckpoint(eager=False)
         )
         ver = jaccard_verify(docs, sampled)
         vagg = ver.agg(
