@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandasqlite_spark.operators.common import load, load_events, load_events_timeline
+from pandasqlite_spark.operators.common import (
+    load,
+    load_events,
+    load_events_timeline,
+    spread_scan,
+)
 
 
 # ---------------------------------------------------------------- anomaly
@@ -786,7 +791,18 @@ def bootstrap_ci(orders: DataFrame, reps: int = BOOT_R) -> DataFrame:
     Scale shape: the replicate fan-out is a row-local explode (R rows
     per input row — R ≈ tens), one partial-aggregated groupBy on the
     replicate id, and the CI is a rank pick over R rows.  Weighted
-    sums accumulate in decimal (order-free)."""
+    sums accumulate in decimal (order-free).
+
+    Parallelism (round 9, guide §2.5): the fan-out's md5-per-(row,
+    replicate) work executes INSIDE the scan task (map-side partial
+    agg), so a file layout with fewer splits than cores serializes
+    R × |rows| hashes onto 1–2 tasks (sf1 parquet = 2 splits: 30M
+    md5s on 2 of 32 cores — the measured 45.7 s sf1 wall).  The
+    skinny (key, price) projection is therefore spread to session
+    parallelism before the explode when — and only when — the scan
+    under-partitions; the shuffle moves 12 bytes/row, the hash work
+    it unlocks is ~R × 300 ns/row.  Decimal sums are order-free, so
+    the repartition is bit-identical."""
     u = (
         (
             F.conv(
@@ -800,9 +816,15 @@ def bootstrap_ci(orders: DataFrame, reps: int = BOOT_R) -> DataFrame:
         )
         / F.lit(65536.0)
     )
-    fan = orders.select(
+    skinny = spread_scan(
+        orders.select(
+            "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+        ),
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    fan = skinny.select(
+        "o_orderkey",
+        "p",
         F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("r"),
     ).withColumn("w", _poisson_weight(u))
     means = fan.groupBy("r").agg(

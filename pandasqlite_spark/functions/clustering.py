@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandasqlite_spark.operators.common import load
+from pandasqlite_spark.operators.common import load, spread_scan
 
 _DEC = "decimal(8,6)"
 
@@ -54,7 +54,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     long form is itself the scale-safe layout (no giant array rows),
     and the exact-decimal sum ÷ count division happens once, in
     double."""
-    sums = label_centroid_sums(load(spark, sf_dir, "embeddings"))
+    sums = label_centroid_sums(
+        spread_scan(load(spark, sf_dir, "embeddings"), "vec_id")
+    )
     return sums.select(
         "label",
         "dim",
@@ -117,7 +119,9 @@ def assign_nearest_centroid(emb: DataFrame, cent_sums: DataFrame) -> DataFrame:
 
 
 def q_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # spread once; both the sums and the assignment explodes reuse it
+    # (see kmeans_lloyd's parallelism note)
+    emb = spread_scan(load(spark, sf_dir, "embeddings"), "vec_id")
     return assign_nearest_centroid(emb, label_centroid_sums(emb))
 
 
@@ -134,7 +138,18 @@ def kmeans_lloyd(
     table but the *assignment* lineage would otherwise deepen by one
     join + two aggregations per round; localCheckpoint truncates it so
     round N's plan doesn't replay rounds 1..N-1.  Empty clusters simply
-    drop out of the sums table (both engines agree)."""
+    drop out of the sums table (both engines agree).
+
+    Parallelism (round 9, guide §2.5): every round's heavy work — the
+    |vectors|·dims·k decimal multiply-adds of the assignment and the
+    |vectors|·dims centroid partial sums — executes map-side inside the
+    posexplode, i.e. inside the SCAN task; an under-split file layout
+    (sf1 = 1–2 row groups) serializes it onto 1–2 cores.  One spread of
+    the vector table to session parallelism feeds every round of both
+    subtrees (the exchange is planned once and reused); all reductions
+    are order-free (decimal sums, counts, a total-order window argmin),
+    so results are bit-identical."""
+    emb = spread_scan(emb, "vec_id")
     assigned = emb.select("vec_id", (F.col("vec_id") % k).cast("int").alias("label"))
     for _ in range(iters):
         sums = label_centroid_sums(emb.drop("label").join(assigned, "vec_id"))
