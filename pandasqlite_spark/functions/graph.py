@@ -34,8 +34,18 @@ def pagerank_scaled(
     per dst, then ``rank' = (100-d)%·(1/N) + d%·sum`` in integer math.
     Nodes with no in-edges drop out (the caller's edge list decides the
     node universe; a symmetrized list keeps every node).
+
+    Lineage (round 9, guide §5 / the CC precedent): the canonical edge
+    list is referenced by BOTH joins of every iteration and by the
+    degree table, so without a cut the caller's edge derivation (an
+    orders⋈lineitem distinct for the trade-graph keys) re-executes up
+    to 2·iterations+2 times inside the final plan.  One eager
+    ``localCheckpoint`` of the deduplicated (src, dst) pairs — two
+    longs per edge, ≪ the fact tables they derive from — executes the
+    derivation once; ``deg`` rides on the materialized edges.  All
+    arithmetic is integer (div/sum), so the cut is bit-exact.
     """
-    edges = edges.select("src", "dst").distinct()
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     base_pct = 100 - damping_pct
@@ -207,7 +217,14 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
     a pure function of the graph (no async race like GraphX's LPA),
     which is what lets the DuckDB oracle unroll the same rounds as
     CTEs.  Hub-heavy skew lands in the vote count, which partial-
-    aggregates map-side before the exchange."""
+    aggregates map-side before the exchange.
+
+    Lineage (round 9, guide §5 / the CC precedent): the symmetrized
+    edge list is joined by EVERY round and seeds the label table, so
+    the caller's edge derivation would re-execute ~iterations+2 times;
+    one eager ``localCheckpoint`` (two longs per edge) runs it once.
+    Votes are integer counts with a total-order argmax — bit-exact
+    under any partitioning."""
     from pyspark.sql import Window as W
 
     sym = (
@@ -216,6 +233,7 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
         .union(edges.select(F.col("src").alias("src"), F.col("src").alias("dst")))
         .union(edges.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
@@ -875,7 +893,19 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     shuffles), one community groupBy for intra-edge counts, one for
     degree sums — everything after the collapse runs on |communities|
     rows.  ``labels`` must carry (node, lbl).
+
+    Lineage (round 9, guide §5): ``m = tagged.count()`` is an eager
+    ACTION that executes edges⋈labels before the main plan runs them
+    again, edges feeds the tagged join AND both sides of the degree
+    union, and labels feeds both endpoint joins AND the degree-sum
+    groupBy — for the trade-graph key that multiplied the
+    orders⋈lineitem derivation and the full 2-round label propagation
+    ~4–6×.  Two eager ``localCheckpoint``s (two longs per edge / per
+    node) execute each derivation once.  Everything downstream is
+    integer/decimal arithmetic — bit-exact under any partitioning.
     """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("ca"))
     lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cb"))
     tagged = edges.join(la, "src").join(lb, "dst")
