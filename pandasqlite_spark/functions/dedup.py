@@ -1111,11 +1111,28 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and died on maxResultSize — the round-4 sf10 find), and a sketch
     QUALITY readout never needs every pair, it needs an unbiased,
     reproducible sample.  Candidate GENERATION — the part that must
-    scale — stays full."""
+    scale — stays full.
+
+    Parallelism + lineage (round 9, guide §2.5/§5): the k·|shingles|
+    md5s of the signature and the shingle hashing of the verify run
+    map-side inside the scan task, so the under-split sf1 layout
+    serialized them onto 2 cores — the skinny (doc_id, text)
+    projection is spread to session parallelism first (no-op on real
+    many-split inputs).  The signature feeds three consumers (bands +
+    both estimate sides) and the sampled pair list two (estimate +
+    verify): both get an eager localCheckpoint — doc_id + k hashes /
+    two longs per pair — so each computes once (the C4 band_tuning
+    precedent).  MIN/count aggregates throughout: bit-exact under any
+    partitioning."""
     d = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
-    pairs = candidate_pairs(lsh_bands(sig)).filter(
-        (F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0
+    from pandasqlite_spark.operators.common import spread_scan
+
+    ds = spread_scan(d.select("doc_id", "text"), "doc_id")
+    sig = minhash_signatures(ds).localCheckpoint(eager=True)
+    pairs = (
+        candidate_pairs(lsh_bands(sig))
+        .filter((F.col("doc_a") * 31 + F.col("doc_b")) % 16 == 0)
+        .localCheckpoint(eager=True)
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -1131,7 +1148,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", n_match.alias("n_match")
     )
-    exact = jaccard_verify(d, pairs)
+    exact = jaccard_verify(ds, pairs)
     return (
         est.join(exact, ["doc_a", "doc_b"])
         .select(
