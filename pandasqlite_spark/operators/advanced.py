@@ -435,33 +435,77 @@ _RANGE_MS = 5 * 60 * 1000
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events following each error within 5 minutes.  Bucket both sides
-    by 5-minute epoch buckets; each error probes its own and the next
-    bucket — an equi-join on (bucket) + a residual range filter.  The
-    shuffle moves each row at most twice; a naive θ-join would be a
-    broadcast nested loop over every pair."""
+    """Events following each error within 5 minutes — as a prefix-count
+    difference, the same density-proof shape as
+    :func:`interval_overlap_join` (round 9, guide §2.4).
+
+    ``event_id`` is unique per event (generator invariant all SFs and
+    twins preserve, and the key-integrity contract of the nulls twin),
+    so the oracle's ``COUNT(DISTINCT e2.event_id)`` over
+    ``t ∈ (a_ms, a_ms + W]`` equals the COUNT of events in that range,
+    i.e. ``F(a_ms + W) − F(a_ms)`` for F = inclusive prefix count of
+    event timestamps (the ``e2.event_id <> e1.event_id`` predicate is
+    vacuous under strict ``>``: an event cannot follow itself, and the
+    two probes bracket it out anyway).  F is the same distributed
+    prefix sum: one W-wide-bucket window for the intra-bucket running
+    count, one cumulative pass over the collapsed ≤|span/W|-row bucket
+    grid for the carry.  Two bounded shuffles at ANY event density.
+
+    (The previous form — explode each error into its own + next
+    bucket, equi-join all events on the bucket, countDistinct — is
+    correct but materializes every (error, follower-candidate) pair:
+    pair volume grows with density², which is exactly how the sf
+    ladder scales events; measured 18.9 → 2.9 s at sf1 and the gap is
+    the quadratic term, see AB_RANGEJOIN_SF1.json.)
+
+    Null semantics preserved exactly: null-ts events count nowhere
+    (the oracle's join predicate is null-rejecting), null-ts errors
+    emit no probes and surface ``n_following = 0`` through the final
+    left join, errors of any count stay one row each."""
     e = load_events(spark, sf_dir)
     ms = F.unix_millis("ts")
-    errors = (
-        e.filter(F.col("event_type") == "error")
-        .select(F.col("event_id").alias("a_id"), ms.alias("a_ms"))
-        .withColumn("bucket", F.explode(F.array(
-            F.expr(f"a_ms div {_RANGE_MS}"),
-            F.expr(f"a_ms div {_RANGE_MS} + 1"),
-        )))
+    cnt = e.filter(F.col("ts").isNotNull()).select(
+        ms.alias("t"),
+        F.lit(1).alias("is_cnt"),
+        F.lit(None).cast("long").alias("a_id"),
+        F.lit(0).alias("sign"),
     )
-    others = e.select(F.col("event_id").alias("b_id"), ms.alias("b_ms")).withColumn(
-        "bucket", F.expr(f"b_ms div {_RANGE_MS}")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"), ms.alias("a_ms")
     )
-    joined = errors.join(others, "bucket").filter(
-        (F.col("b_ms") > F.col("a_ms"))
-        & (F.col("b_ms") <= F.col("a_ms") + _RANGE_MS)
-        & (F.col("b_id") != F.col("a_id"))
+    probes = errors.filter(F.col("a_ms").isNotNull())
+    # lo probe at t = a_ms subtracts F(a_ms) (inclusive — counting rows
+    # sort before probes at equal t, so events AT a_ms are excluded
+    # from the window, matching the strict lower bound); hi probe at
+    # t = a_ms + W adds F(a_ms + W) (inclusive upper bound)
+    lo = probes.select(
+        F.col("a_ms").alias("t"), F.lit(0).alias("is_cnt"), "a_id",
+        F.lit(-1).alias("sign"),
     )
-    per_error = joined.groupBy("a_id").agg(F.countDistinct("b_id").alias("n_following"))
-    all_errors = e.filter(F.col("event_type") == "error").select(F.col("event_id").alias("a_id"))
+    hi = probes.select(
+        (F.col("a_ms") + _RANGE_MS).alias("t"), F.lit(0).alias("is_cnt"),
+        "a_id", F.lit(1).alias("sign"),
+    )
+    pts = cnt.unionByName(lo).unionByName(hi).withColumn(
+        "bucket", F.expr(f"t div {_RANGE_MS}")
+    )
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("t", F.desc("is_cnt"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pts = pts.withColumn("cum_in", F.sum("is_cnt").over(w_in))
+    grid = pts.groupBy("bucket").agg(F.sum("is_cnt").alias("n_cnt"))
+    w_grid = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    grid = grid.withColumn("carry", F.coalesce(F.sum("n_cnt").over(w_grid), F.lit(0)))
+    counted = (
+        pts.filter(F.col("sign") != 0)
+        .join(grid.select("bucket", "carry"), "bucket")
+        .select("a_id", (F.col("sign") * (F.col("cum_in") + F.col("carry"))).alias("c"))
+    )
+    hits = counted.groupBy("a_id").agg(F.sum("c").alias("n_following"))
     return (
-        all_errors.join(per_error, "a_id", "left")
+        errors.select("a_id").join(hits, "a_id", "left")
         .select("a_id", F.coalesce("n_following", F.lit(0)).alias("n_following"))
     )
 

@@ -324,6 +324,82 @@ def test_interval_overlap_matches_theta_join(spark, sf_dir):
     assert got.count() == purch.count()  # zero-overlap purchases kept
 
 
+def test_range_join_prefix_count_matches_theta_join(spark, sf_dir, tmp_path):
+    """The round-9 prefix-count range-join must equal the naive θ-join
+    on real small-SF data AND on a hand-built boundary fixture: events
+    at EXACTLY a_ms (strict lower bound excludes), EXACTLY a_ms + W
+    (inclusive upper bound counts), timestamp ties between counting
+    and probe rows, a null-ts error (0 followers), and a null-ts event
+    (counts nowhere)."""
+    import shutil
+
+    from pandasqlite_spark.operators.advanced import _RANGE_MS, q_range_join
+    from pandasqlite_spark.operators.common import load_events
+
+    def naive(e):
+        ms = F.unix_millis("ts")
+        a = e.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("a_id"), ms.alias("a_ms")
+        )
+        b = e.select(F.col("event_id").alias("b_id"), ms.alias("b_ms"))
+        joined = a.crossJoin(b).filter(
+            (F.col("b_ms") > F.col("a_ms"))
+            & (F.col("b_ms") <= F.col("a_ms") + _RANGE_MS)
+            & (F.col("b_id") != F.col("a_id"))
+        )
+        per = joined.groupBy("a_id").agg(F.countDistinct("b_id").alias("n"))
+        return (
+            a.select("a_id").join(per, "a_id", "left")
+            .select("a_id", F.coalesce("n", F.lit(0)).alias("n_following"))
+        )
+
+    # real data
+    e = load_events(spark, sf_dir)
+    got = sorted(map(tuple, q_range_join(spark, sf_dir).collect()))
+    want = sorted(map(tuple, naive(e).collect()))
+    assert got == want and len(got) > 0
+
+    # boundary fixture, written as an events.parquet twin so the same
+    # loader path runs; W = _RANGE_MS
+    base = 1_600_000_000_000  # ms epoch
+    rows = [
+        # (event_id, ms or None, event_type)
+        (1, base, "error"),            # probe
+        (2, base, "click"),            # tie at a_ms: excluded (strict >)
+        (3, base + 1, "click"),        # just inside
+        (4, base + _RANGE_MS, "click"),  # exactly at bound: counts
+        (5, base + _RANGE_MS + 1, "click"),  # just outside
+        (6, None, "error"),            # null-ts error -> 0
+        (7, None, "click"),            # null-ts event counts nowhere
+        (8, base + 2, "error"),        # second error, also a follower of 1
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1000 if r[1] is not None else None for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+        }
+    )
+    fix_dir = tmp_path / "rj_fixture"
+    fix_dir.mkdir()
+    pq.write_table(tbl, str(fix_dir / "events.parquet"))
+    got2 = {r["a_id"]: r["n_following"]
+            for r in q_range_join(spark, str(fix_dir)).collect()}
+    # error 1: followers are 3, 4, 8 (2 tied -> excluded, 5 outside)
+    # error 8: followers are 4, 5 (both within (base+2, base+2+W])
+    # error 6: null ts -> 0
+    assert got2 == {1: 3, 8: 2, 6: 0}
+    shutil.rmtree(str(fix_dir), ignore_errors=True)
+
+
 def test_weighted_sample_deterministic_and_weight_biased(spark, sf_dir):
     """Same pick under different partitioning; long docs overrepresented
     relative to their population share."""
