@@ -777,8 +777,20 @@ def bm25_scores(
     the |terms|-row df table, and one 1-row (N, avgdl) broadcast; the
     final top-k is TakeOrderedAndProject.  tf/dl/df/N are exact
     integers; the idf's ``ln`` is the only libm call, absorbed by
-    ROUND(…, 6) (same contract as the entropy/lift keys)."""
-    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    ROUND(…, 6) (same contract as the entropy/lift keys).
+
+    Parallelism (round 9, guide §2.5): the tokenize+explode subtrees
+    (the dl pass and the term-filtered tf pass — kept as separate
+    concurrent codegen pipelines per the round-9 single-pass negative
+    result above) run map-side in the scan task; spreading the skinny
+    (doc_id, text) projection first lets both pipelines run at session
+    parallelism when the file layout under-splits.  All reductions
+    below the spread are integer counts; the one double sum is per-doc
+    over ≤|terms| rows under ROUND(…, 6)."""
+    from pandasqlite_spark.operators.common import spread_scan
+
+    base = spread_scan(docs.select("doc_id", "text"), "doc_id")
+    toks = base.select("doc_id", F.explode(tokens()).alias("tok"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         toks.filter(F.col("tok").isin(*terms))
