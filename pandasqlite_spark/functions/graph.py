@@ -903,6 +903,15 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     ~4–6×.  Two eager ``localCheckpoint``s (two longs per edge / per
     node) execute each derivation once.  Everything downstream is
     integer/decimal arithmetic — bit-exact under any partitioning.
+
+    Session-lifetime note (round-9 advice): like every eager
+    ``localCheckpoint`` in this module, the checkpointed blocks live in
+    executor storage until the session ends — repeated calls in a
+    long-lived session accumulate (bounded: two longs per edge/node per
+    call), and localCheckpoint is not fault-tolerant to executor loss.
+    Acceptable for the one-query-per-invocation driver contract; a
+    resident service should unpersist the returned plan's checkpoints
+    after materializing its result.
     """
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)

@@ -446,7 +446,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. ``F(a_ms + W) − F(a_ms)`` for F = inclusive prefix count of
     event timestamps (the ``e2.event_id <> e1.event_id`` predicate is
     vacuous under strict ``>``: an event cannot follow itself, and the
-    two probes bracket it out anyway).  F is the same distributed
+    two probes bracket it out anyway).  The rewrite leans on that
+    uniqueness twice — a duplicated event row would count once per
+    copy where COUNT(DISTINCT) collapses copies, and a duplicated
+    ERROR row would emit two probe pairs whose sums merge under the
+    ``groupBy(a_id)`` (double-counting that error's followers) — so a
+    caller feeding data from outside the generator contract must
+    dedup event_id at the load boundary first.  F is the same distributed
     prefix sum: one W-wide-bucket window for the intra-bucket running
     count, one cumulative pass over the collapsed ≤|span/W|-row bucket
     grid for the carry.  Two bounded shuffles at ANY event density.
@@ -475,9 +481,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = errors.filter(F.col("a_ms").isNotNull())
     # lo probe at t = a_ms subtracts F(a_ms) (inclusive — counting rows
-    # sort before probes at equal t, so events AT a_ms are excluded
-    # from the window, matching the strict lower bound); hi probe at
-    # t = a_ms + W adds F(a_ms + W) (inclusive upper bound)
+    # at equal t sort BEFORE the probe, so events AT a_ms are included
+    # in F(a_ms) and thereby subtracted out of the final difference,
+    # matching the strict lower bound); hi probe at t = a_ms + W adds
+    # F(a_ms + W) (inclusive upper bound)
     lo = probes.select(
         F.col("a_ms").alias("t"), F.lit(0).alias("is_cnt"), "a_id",
         F.lit(-1).alias("sign"),

@@ -55,9 +55,16 @@ def _artifact_time(repo: str, f: str) -> float:
 def merge(repo: str) -> dict[str, dict]:
     # per key, the most recent record of each kind: pass / mismatch / error
     latest: dict[str, dict[str, tuple[int, dict]]] = {}
+    # round-10 rule: .partial scratch can NEVER be cited as evidence —
+    # refuse to run while any sits in the repo root (archive it first)
+    partials = glob.glob(os.path.join(repo, "*.json.partial"))
+    if partials:
+        raise SystemExit(
+            "sf10_ledger: refusing to merge with .partial scratch present: "
+            + ", ".join(sorted(os.path.basename(p) for p in partials))
+        )
     files = sorted(
-        glob.glob(os.path.join(repo, "SWEEP_SF10*.json"))
-        + glob.glob(os.path.join(repo, "SWEEP_SF10*.json.partial")),
+        glob.glob(os.path.join(repo, "SWEEP_SF10*.json")),
         key=lambda f: (_artifact_time(repo, f), os.path.basename(f)),
     )
     for idx, f in enumerate(files):
