@@ -228,6 +228,20 @@ def candidate_pairs(bands_df: DataFrame) -> DataFrame:
     )
 
 
+def _rep_lsh_pairs(rep_frame: DataFrame) -> DataFrame:
+    """LSH candidate pairs over the distinct-text representatives —
+    shared by every collapsed-spine key.  Factored for one definition
+    (and so harnesses can wrap it)."""
+    return candidate_pairs(lsh_bands(minhash_signatures(rep_frame)))
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, xxhash64(shingle)) — the 16 B/row proxy the verify
+    joins run on.  Factored out so the verify stages share one
+    definition (and so harnesses can wrap it)."""
+    return shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
+
+
 def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact 3-gram Jaccard for candidate pairs — the verification stage
     after LSH: cheap because it only touches candidate pairs, never the
@@ -240,7 +254,7 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     draws from the ~10² shingles two docs union to (P < 1e-14).  At
     sf10 this cut the verify shuffle ~3× on top of the exact-collapse
     in :func:`exact_text_groups`."""
-    sh = shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
+    sh = _shingle_hashes(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -276,7 +290,7 @@ def containment_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     all-pairs product.  The ratio divides identical ints in both
     engines (single IEEE division, no aggregation of doubles).
     Shingles travel as xxhash64 like :func:`jaccard_verify`."""
-    sh = shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
+    sh = _shingle_hashes(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -304,9 +318,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group shingle count, 1.0) — identical texts fully contain each
     other."""
     d = load(spark, sf_dir, "documents")
-    m = exact_text_groups(d)
-    rep_frame = m.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id", "text")
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(rep_frame)))
+    skinny, rep_frame = text_group_spine(d)
+    pairs = _rep_lsh_pairs(rep_frame)
     ver = containment_verify(rep_frame, pairs)
     sz = (
         shingles(rep_frame)
@@ -315,7 +328,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("rep_doc"), "n_sh")
     )
     return expand_member_pairs(
-        m.join(sz, "rep_doc"),
+        skinny.join(sz, "rep_doc"),
         ver,
         {"n_inter": F.col("n_sh"), "containment": F.lit(1.0)},
         ["n_inter", "containment"],
@@ -369,6 +382,45 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(lsh_bands(minhash_signatures(d)))
 
 
+def text_group_spine(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(skinny member map, rep_frame) — the exact-collapse spine with
+    its round-10 lineage cut.
+
+    ``skinny`` is (doc_id, rep_doc, n_members), lazily
+    ``localCheckpoint``-ed: ~24 B/doc, so the groupBy-on-text
+    derivation (TWO full-text exchanges: the aggregation and the
+    member join) executes ONCE per query instead of once per plan
+    branch — the jaccard-verify/containment/near/threshold-curve plans
+    re-derived it up to dozens of times (48–132 parquet scans/plan at
+    r10 start).  The document TEXT never enters the checkpoint: the
+    heavy bytes stay on live scan lineage (guide §8 — persist the
+    lightweight proxy, move heavy bytes only when consumed).
+
+    ``rep_frame`` is (doc_id, text) for group representatives,
+    rebuilt per consumer as scan ⋈ checkpointed rep ids (a doc_id
+    equi-join, broadcast at bench SFs) — one scan per consumer where
+    the old form paid scan + groupBy(text) + text-keyed join per
+    consumer.
+
+    The doc_id reattach join is exact because ``doc_id`` is the
+    documents table's primary key at every SF AND in the nulls twin
+    (gen_nulls.py keeps key columns non-null; uniqueness is a
+    generator invariant) — each elig row matches exactly one skinny
+    row, reproducing the old text-keyed join bit-for-bit."""
+    elig = docs.filter(F.size(tokens()) >= 3).select("doc_id", "text")
+    reps = elig.groupBy("text").agg(
+        F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_members")
+    )
+    skinny = (
+        elig.join(reps, "text")
+        .select("doc_id", "rep_doc", "n_members")
+        .localCheckpoint(eager=False)
+    )
+    rep_ids = skinny.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id")
+    rep_frame = elig.join(rep_ids, "doc_id")
+    return skinny, rep_frame
+
+
 def exact_text_groups(docs: DataFrame) -> DataFrame:
     """Exact-duplicate collapse — the step EVERY production near-dup
     pipeline runs FIRST: group shingle-eligible docs (≥3 tokens, the
@@ -386,22 +438,26 @@ def exact_text_groups(docs: DataFrame) -> DataFrame:
     contributes ONE doc.  At sf10 this halves the corpus (500k docs →
     254,592 distinct texts) and removes every intra-group pair from
     the quadratic stage.  Grouping is by the raw text (bit-exact); at
-    100 TB the group key would be a 128-bit content hash, same plan."""
+    100 TB the group key would be a 128-bit content hash, same plan.
+
+    Since round 10 this is a thin view over :func:`text_group_spine`
+    (one checkpointed derivation per query); spine-internal callers
+    use the spine directly and never re-attach the text."""
+    skinny, _ = text_group_spine(docs)
     elig = docs.filter(F.size(tokens()) >= 3).select("doc_id", "text")
-    reps = elig.groupBy("text").agg(
-        F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_members")
+    return elig.join(skinny, "doc_id").select(
+        "text", "doc_id", "rep_doc", "n_members"
     )
-    return elig.join(reps, "text")
 
 
 def rep_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(members, rep_frame, rep-level verified candidates): LSH + exact
-    Jaccard over DISTINCT TEXTS only — the shared collapsed spine of
-    every raw-corpus candidate+verify key."""
-    m = exact_text_groups(docs)
-    rep_frame = m.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id", "text")
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(rep_frame)))
-    return m, rep_frame, jaccard_verify(rep_frame, pairs)
+    """(skinny members, rep_frame, rep-level verified candidates): LSH +
+    exact Jaccard over DISTINCT TEXTS only — the shared collapsed spine
+    of every raw-corpus candidate+verify key.  The member map is the
+    checkpointed skinny form (text on live lineage only)."""
+    skinny, rep_frame = text_group_spine(docs)
+    pairs = _rep_lsh_pairs(rep_frame)
+    return skinny, rep_frame, jaccard_verify(rep_frame, pairs)
 
 
 def expand_member_pairs(
@@ -528,6 +584,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # round re-reads the edge set; without this the full upstream
     # lineage re-executes per round — a ~10× wall multiplier at sf10
     e = e.localCheckpoint(eager=True)
+    n_e = e.count()
     for _ in range(max_iter):
         # large-star: for each node u, hook every LARGER neighbor onto
         # min(N(u) ∪ {u}) — emitted edges stay (larger, smaller)
@@ -554,11 +611,20 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        same = (
-            ss.count() == e.count()
-            and ss.exceptAll(e).limit(1).count() == 0
-        )
-        e = ss
+        # convergence probe (round 10): e's count is last round's
+        # ss.count — carry it in the driver instead of re-running a
+        # count job every round (4 driver-synchronous jobs per round
+        # instead of 5; the exceptAll still short-circuits on a count
+        # mismatch, so non-converged rounds stay shuffle-free past the
+        # two checkpoints).  A ONE-job full-outer-join probe was built
+        # and measured for this round and REJECTED: wash at sf1
+        # (AB_DEDUPSPINE_SF1.json's first capture) and strictly worse
+        # at scale — it shuffles BOTH edge sets every round where the
+        # count probe shuffles only on the final (equal-count) rounds.
+        # The RAISE-on-non-convergence contract below is unchanged.
+        n_ss = ss.count()
+        same = n_ss == n_e and ss.exceptAll(e).limit(1).count() == 0
+        e, n_e = ss, n_ss
         if same:
             break
     else:
@@ -1485,10 +1551,11 @@ def threshold_curve(docs: DataFrame, taus=(0.3, 0.5, 0.7, 0.9)) -> DataFrame:
     member-expanded ever materializes.  The τ fan-out is a 4-row
     broadcast over the rep-level pair table.
     """
-    m = exact_text_groups(docs)
-    gsz = m.filter(F.col("doc_id") == F.col("rep_doc")).select("rep_doc", "n_members")
-    rep_frame = m.filter(F.col("doc_id") == F.col("rep_doc")).select("doc_id", "text")
-    rep_pairs = candidate_pairs(lsh_bands(minhash_signatures(rep_frame, portable=True)))
+    skinny, rep_frame = text_group_spine(docs)
+    gsz = skinny.filter(F.col("doc_id") == F.col("rep_doc")).select(
+        "rep_doc", "n_members"
+    )
+    rep_pairs = _rep_lsh_pairs(rep_frame)
     rep_ver = jaccard_verify(rep_frame, rep_pairs)
     wa = gsz.select(F.col("rep_doc").alias("doc_a"), F.col("n_members").alias("na"))
     wb = gsz.select(F.col("rep_doc").alias("doc_b"), F.col("n_members").alias("nb"))

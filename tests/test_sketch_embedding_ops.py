@@ -312,6 +312,76 @@ def test_pq_adc_arrow_and_jvm_paths_identical(spark):
     assert new_top == old_top
 
 
+def test_pq_exact_rerank_arrow_and_jvm_paths_identical(spark):
+    """Round-10 closure of the q15 family: the exact rerank's two paths
+    — the legacy JVM ``zip_with``/``aggregate`` fold and the
+    ``_pq_exact_arrow`` numpy kernel — must produce IDENTICAL full
+    ``pq_topk`` outputs, including every fold edge: null candidate
+    array (→ null exact_dist), empty array vs a 64-dim query (pad →
+    null), ragged lengths on either side, null ELEMENT inside the
+    zipped range (→ null), query row null / empty / short / MISSING
+    (missing → zero output rows, the empty-broadcast crossJoin
+    contract), and two-empty-arrays → fold init 0."""
+    import random
+
+    from pyspark.sql import types as T
+
+    import pandasqlite_spark.functions.similarity as sim
+
+    rng = random.Random(11)
+
+    def mkvec(n=64):
+        return [round(rng.uniform(-1, 1), 4) for _ in range(n)]
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def both(rows):
+        emb = spark.createDataFrame(rows, schema)
+        a = [tuple(r) for r in sim.pq_topk(emb, arrow=True).collect()]
+        j = [tuple(r) for r in sim.pq_topk(emb, arrow=False).collect()]
+        return a, j
+
+    base = [(i, mkvec()) for i in range(60)]
+
+    # candidate-side edges: null / empty / short / long / null elements
+    rows = list(base)
+    rows[20] = (20, None)
+    rows[21] = (21, [])
+    rows[22] = (22, mkvec(5))
+    rows[23] = (23, mkvec(70))
+    v = mkvec()
+    v[0] = None
+    v[63] = None
+    rows[24] = (24, v)
+    a, j = both(rows)
+    assert a == j and len(a) > 0
+
+    # query-side edges: null, empty, short — and empty scan arr vs each
+    for qcase in (None, [], mkvec(20)):
+        rows2 = list(base)
+        rows2[42] = (42, qcase)
+        rows2[25] = (25, [])
+        a, j = both(rows2)
+        assert a == j
+
+    # missing query row → zero output rows on both paths
+    a, j = both([(i, mkvec()) for i in range(40)])
+    assert a == j == []
+
+    # real data
+    from pandasqlite_spark.operators.common import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = [tuple(r) for r in sim.pq_topk(emb, arrow=True).collect()]
+    j = [tuple(r) for r in sim.pq_topk(emb, arrow=False).collect()]
+    assert a == j and len(a) > 0
+
+
 def test_scaled_bound_guard_raises():
     """The float64-exactness envelope (|scaled coordinate| ≤ 2^22 ⇒
     every kernel sum < 2^53) fails LOUDLY if the value domain widens —
